@@ -1,0 +1,92 @@
+"""Parquet table loaders for the driver's synthetic star schema.
+
+Columnar scans with Catalyst pushdown are the engine's default source —
+the operator library consumes DataFrames, so CSV/JSON/ORC (see
+``read_any``) flow through identically. At 100 TB the only change is the
+path: the same `spark.read.parquet` over a partitioned directory tree
+gets partition pruning + predicate pushdown for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at every realistic scale factor.
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_nanos_safe(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Columns stored as TIMESTAMP(NANOS) in the parquet footer (driver-side
+    metadata read only — no data scan)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    if os.path.isdir(path):
+        files = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+        if not files:
+            return []
+        path = os.path.join(path, files[0])
+    schema = pq.read_schema(path)
+    return [f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"]
+
+
+def read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark's vectorized reader rejects INT64(NANOS) outright; with the
+    ``nanosAsLong`` legacy conf it reads them as raw nanos longs, which we
+    convert to microsecond timestamps (``x div 1000`` — integer division,
+    no double round-trip). Sub-microsecond precision is truncated, matching
+    what Spark timestamps can represent at all.
+    """
+    from pyspark.sql import functions as F  # local: keep module import light
+
+    nanos = _nanos_columns(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view for the SQL API."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_any(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options) -> DataFrame:
+    """Format-generic scan (parquet/csv/json/text/orc).
+
+    Always pass an explicit schema for csv/json in production paths —
+    inference triggers an extra full scan.
+    """
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).load(path)

@@ -1,0 +1,14 @@
+"""Workload registry: every operator exposed through the driver contract.
+
+Each workload module registers (name → PySpark callable) plus, where the
+operator is SQL-expressible, (name → DuckDB oracle SQL). ``__spark_entry__``
+re-exports the merged registries. Import order is load-bearing only in that
+all modules must be imported for their registrations to run.
+"""
+
+from .core import ORACLE, QUERIES, query  # noqa: F401
+from . import relational  # noqa: F401,E402
+from . import logpipe  # noqa: F401,E402
+from . import llmdata  # noqa: F401,E402
+
+__all__ = ["QUERIES", "ORACLE", "query"]

@@ -1,0 +1,70 @@
+"""Registration machinery for driver-facing queries.
+
+Contract (driver, /root/repo/__spark_entry__.py): each query is
+``(spark, sf_dir) -> DataFrame``; the oracle is ANSI SQL DuckDB runs over
+the same parquet registered as views. Column names are part of the
+contract — the driver sorts columns by name before hashing — so every
+computed column is aliased identically on both sides.
+
+Float discipline: sums/avgs of doubles differ between engines in the last
+ulp (different reduction order), so workloads ROUND every floating-point
+aggregate (both sides, same digits) to make the value hash stable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import read_parquet_nanos_safe
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a workload; ``oracle=None`` ⇒ rows-only driver check."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate workload name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_nanos_safe(spark, f"{sf_dir}/{name}.parquet")
+
+
+# --- cross-engine float discipline -----------------------------------------
+# Spark's round(double) goes through the shortest decimal repr with HALF_UP;
+# DuckDB rounds the raw binary double. At half-boundaries (which money data
+# hits constantly: odd cents × 1.1 ends in .5 at the 3rd decimal) the two
+# disagree. Two safe patterns, used by every workload:
+#  1. Discrete-decimal (money) aggregates: cast to DECIMAL before summing —
+#     both engines then do EXACT decimal arithmetic and agree; round in
+#     decimal space, cast the final value to double.
+#  2. Ratios/averages of deterministic doubles: fround() — floor(x*10^k+0.5)
+#     is the same IEEE op sequence in both engines, so identical inputs give
+#     identical outputs (no engine-specific rounding rule involved).
+
+
+def fround(col, digits: int):
+    """Deterministic round-half-up via floor; same result in Spark & DuckDB
+    for identical input doubles. SQL side: floor((x)*1eK + 0.5)/1eK."""
+    from pyspark.sql import functions as F
+
+    m = 10**digits
+    return F.floor(col * m + F.lit(0.5)) / m
+
+
+def money(col, scale: int = 2):
+    """Cast a discrete-decimal double column to exact DECIMAL for summing."""
+    return col.cast(f"decimal(18,{scale})")

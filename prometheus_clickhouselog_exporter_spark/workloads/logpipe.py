@@ -1,0 +1,216 @@
+"""Log-pipeline workloads: the reference's computational semantics (parse /
+classify / byte-parse / sessionize / histogram — SURVEY §2.1) exercised over
+the driver's synthetic tables so each piece is DuckDB-oracle-checkable.
+
+The fidelity corpus (real ClickHouse log lines, golden-asserted) lives in
+``tests/``; these workloads re-express the same operators over ``events`` —
+the driver's stream-shaped table, with ``user_id`` in the query-ID role and
+``event_type`` in the line-kind role (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.bytesize import parse_bytes
+from ..functions.histogram import prometheus_histogram
+from ..functions.stmt import classify_statement
+from ..operators.parsing import parse_log_lines
+from .core import fround, query, table
+
+
+@query(
+    "logpipe_sessionize_events",
+    oracle="""
+    SELECT user_id,
+           min(ts) FILTER (WHERE event_type = 'signup')                    AS session_start,
+           max(ts)                                                         AS last_seen,
+           count(*) FILTER (WHERE event_type = 'click'
+             AND ts >= (SELECT min(e2.ts) FROM events e2
+                        WHERE e2.user_id = e.user_id AND e2.event_type = 'signup')) AS n_clicks,
+           count(*) FILTER (WHERE event_type = 'error')                    AS n_errors,
+           floor(coalesce(arg_max(value, event_id)
+                 FILTER (WHERE event_type = 'purchase'), 0) * 100 + 0.5) / 100 AS last_purchase_value
+    FROM events e
+    GROUP BY user_id
+    HAVING min(ts) FILTER (WHERE event_type = 'signup') IS NOT NULL
+    """,
+)
+def logpipe_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization in the shape of the reference's ST1-ST5: signup
+    plays the initial line (opens the session), later clicks enrich it,
+    errors are counted, last purchase is last-write-wins (query.go:178-181).
+
+    100 TB: single shuffle on user_id with conditional aggregates — the
+    same one-shuffle plan `correlate_batch` uses for real log sessions.
+    """
+    e = table(spark, sf_dir, "events")
+    start = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+    out = (
+        e.groupBy("user_id")
+        .agg(
+            start.alias("session_start"),
+            F.max("ts").alias("last_seen"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+            fround(
+                F.coalesce(
+                    F.max_by(F.col("value"), F.when(F.col("event_type") == "purchase", F.col("event_id"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("last_purchase_value"),
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts"))).alias("_click_ts"),
+        )
+        .filter(F.col("session_start").isNotNull())
+    )
+    # clicks count only from session start, mirroring orphan semantics
+    # (enrich lines before the initial are not joined, query.go:190).
+    n_clicks = F.size(F.filter(F.col("_click_ts"), lambda t: t >= F.col("session_start")))
+    return out.withColumn("n_clicks", n_clicks.cast("long")).drop("_click_ts")
+
+
+@query(
+    "logpipe_value_histogram",
+    oracle="""
+    SELECT event_type,
+           sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END)   AS le_10,
+           sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END)   AS le_50,
+           sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END)  AS le_100,
+           sum(CASE WHEN value <= 500 THEN 1 ELSE 0 END)  AS le_500,
+           count(value)                                   AS le_inf,
+           count(value)                                   AS bucket_count,
+           floor(sum(value) * 100 + 0.5) / 100            AS bucket_sum
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def logpipe_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-histogram helper (A5-A9 shape, metrics.go:39-69) oracle-
+    checked: cumulative le-buckets + count + sum per label."""
+    e = table(spark, sf_dir, "events")
+    h = prometheus_histogram(e, "value", [10, 50, 100, 500], ["event_type"])
+    return h.withColumn("bucket_sum", fround(F.col("bucket_sum"), 2))
+
+
+@query(
+    "logpipe_stmt_classify",
+    oracle="""
+    WITH sqls AS (
+      SELECT event_id,
+             CASE event_type
+               WHEN 'click'    THEN 'SELECT count() FROM hits WHERE id = ' || CAST(event_id AS VARCHAR)
+               WHEN 'view'     THEN '/* cached */  select 1'
+               WHEN 'purchase' THEN 'INSERT INTO sales VALUES (' || CAST(event_id AS VARCHAR) || ')'
+               WHEN 'signup'   THEN '-- new user
+UPDATE users SET active = 1'
+               ELSE 'OPTIMIZE TABLE hits'
+             END AS sql_text
+      FROM events
+    )
+    SELECT CASE WHEN first_word IN ('select','insert','update','delete')
+                THEN first_word ELSE 'other' END AS stmt_type,
+           count(*) AS n
+    FROM (
+      SELECT lower(regexp_replace(
+               coalesce(regexp_extract(regexp_replace(sql_text, '^(?s:(?:\\s|--[^\\n]*(?:\\n|$)|/\\*.*?\\*/)*)', ''), '^(\\S+)', 1), ''),
+               '^[^A-Za-z]+', '')) AS first_word
+      FROM sqls
+    )
+    GROUP BY 1
+    """,
+)
+def logpipe_stmt_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 statement classification (query.go:125, 276-289) oracle-checked:
+    SQL text synthesized deterministically from events, classified by the
+    engine's expression on the Spark side and by the equivalent regex
+    pipeline in DuckDB."""
+    e = table(spark, sf_dir, "events")
+    sql_text = (
+        F.when(F.col("event_type") == "click", F.concat(F.lit("SELECT count() FROM hits WHERE id = "), F.col("event_id").cast("string")))
+        .when(F.col("event_type") == "view", F.lit("/* cached */  select 1"))
+        .when(F.col("event_type") == "purchase", F.concat(F.lit("INSERT INTO sales VALUES ("), F.col("event_id").cast("string"), F.lit(")")))
+        .when(F.col("event_type") == "signup", F.lit("-- new user\nUPDATE users SET active = 1"))
+        .otherwise(F.lit("OPTIMIZE TABLE hits"))
+    )
+    return (
+        e.select(classify_statement(sql_text).alias("stmt_type"))
+        .groupBy("stmt_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "logpipe_bytes_roundtrip",
+    oracle="""
+    WITH sized AS (
+      SELECT event_id,
+             CASE CAST(event_id % 5 AS INTEGER)
+               WHEN 0 THEN CAST(round(value, 2) AS VARCHAR) || ' B'
+               WHEN 1 THEN CAST(round(value, 2) AS VARCHAR) || ' KiB'
+               WHEN 2 THEN CAST(round(value, 2) AS VARCHAR) || ' MiB'
+               WHEN 3 THEN CAST(round(value, 2) AS VARCHAR) || ' GB'
+               ELSE        CAST(round(value, 2) AS VARCHAR) || ' TiB'
+             END AS human,
+             round(value, 2) AS num,
+             CAST(power(1024, CAST(event_id % 5 AS INTEGER)) AS BIGINT) AS mult
+      FROM events WHERE value IS NOT NULL AND value >= 0
+    )
+    SELECT event_id, human,
+           CAST(floor(num * mult) AS BIGINT) AS parsed_bytes
+    FROM sized
+    """,
+)
+def logpipe_bytes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/C4 byte-size parse (bytefmt semantics, query.go:150-162) oracle-
+    checked by round-trip: format a deterministic human string from
+    events.value, parse with the engine expression, compare to DuckDB's
+    arithmetic of the same construction."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+    unit = F.element_at(F.array(F.lit("B"), F.lit("KiB"), F.lit("MiB"), F.lit("GB"), F.lit("TiB")), (F.col("event_id") % 5 + 1).cast("int"))
+    num = F.round(F.col("value"), 2)
+    human = F.concat(num.cast("string"), F.lit(" "), unit)
+    return e.select(
+        "event_id",
+        human.alias("human"),
+        parse_bytes(human).alias("parsed_bytes"),
+    )
+
+
+@query(
+    "logpipe_parse_roundtrip",
+    oracle="""
+    WITH lines AS (
+      SELECT event_id,
+             strftime(ts, '%Y.%m.%d %H:%M:%S.%f') || ' [ ' || CAST(event_id % 997 AS VARCHAR)
+               || ' ] {q-' || CAST(event_id AS VARCHAR) || '} <Debug> executeQuery: (from 10.0.'
+               || CAST(user_id % 200 AS VARCHAR) || '.7:' || CAST(30000 + event_id % 999 AS VARCHAR)
+               || ') SELECT ' || CAST(event_id AS VARCHAR) AS line
+      FROM events
+    )
+    SELECT regexp_extract(line, '\\{(.*)\\}', 1)                                  AS id,
+           strptime(regexp_extract(line, '^(\\d{4}\\.\\d{2}\\.\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{6})', 1),
+                    '%Y.%m.%d %H:%M:%S.%f')                                       AS ts,
+           CAST(regexp_extract(line, '\\[ (\\d+) \\]', 1) AS BIGINT)              AS pid,
+           regexp_extract(line, 'from ((?:[0-9]{1,3}\\.){3}[0-9]{1,3}):', 1)      AS host,
+           CAST(regexp_extract(line, 'from (?:[0-9]{1,3}\\.){3}[0-9]{1,3}:(\\d+)', 1) AS BIGINT) AS port,
+           regexp_extract(line, '\\) (SELECT .*)$', 1)                            AS query
+    FROM lines
+    """,
+)
+def logpipe_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 initial-line regex projection + C1/C2 casts (query.go:15, 81-130)
+    oracle-checked end-to-end: synthesize valid ClickHouse initial lines
+    from events rows, run them through the engine's real parse stack
+    (`parse_log_lines`), and have DuckDB extract the same fields."""
+    e = table(spark, sf_dir, "events")
+    line = F.concat(
+        F.date_format("ts", "yyyy.MM.dd HH:mm:ss.SSSSSS"),
+        F.lit(" [ "), (F.col("event_id") % 997).cast("string"),
+        F.lit(" ] {q-"), F.col("event_id").cast("string"),
+        F.lit("} <Debug> executeQuery: (from 10.0."), (F.col("user_id") % 200).cast("string"),
+        F.lit(".7:"), (F.lit(30000) + F.col("event_id") % 999).cast("string"),
+        F.lit(") SELECT "), F.col("event_id").cast("string"),
+    )
+    parsed = parse_log_lines(e.select(line.alias("value")))
+    return parsed.select("id", "ts", "pid", "host", "port", "query")
