@@ -46,6 +46,19 @@ from ..functions.stmt import classify_statement
 _INSERT = "insert"
 
 
+def enrich_parsed(parsed: DataFrame) -> DataFrame:
+    """Stateless enrichment shared by batch and streaming: parsed byte
+    quantities (C3) and statement classification (X1). Pure expressions —
+    valid on both bounded and streaming DataFrames."""
+    k = F.col("event_kind")
+    return (
+        parsed.withColumn("bytes_read", F.when(k == "stats", parse_bytes(F.col("bytes_raw"))))
+        .withColumn("speed", F.when(k == "stats", parse_bytes(F.col("speed_raw"))))
+        .withColumn("memory_bytes", F.when(k == "memory", parse_bytes(F.col("memory_raw"))))
+        .withColumn("stmt_type", F.when(k == "initial", classify_statement(F.col("query"))))
+    )
+
+
 def annotate_events(parsed: DataFrame) -> DataFrame:
     """Add session context to every parsed event row (one shuffle, by id).
 
@@ -59,16 +72,7 @@ def annotate_events(parsed: DataFrame) -> DataFrame:
     """
     k = F.col("event_kind")
     is_ini = k == "initial"
-
-    df = parsed.withColumn(
-        "bytes_read", F.when(k == "stats", parse_bytes(F.col("bytes_raw")))
-    ).withColumn(
-        "speed", F.when(k == "stats", parse_bytes(F.col("speed_raw")))
-    ).withColumn(
-        "memory_bytes", F.when(k == "memory", parse_bytes(F.col("memory_raw")))
-    ).withColumn(
-        "stmt_type", F.when(is_ini, classify_statement(F.col("query")))
-    )
+    df = enrich_parsed(parsed)
 
     valid_ini = is_ini & ~F.col("convert_error")
     # Arrival-order proxy: (ts, raw_line) lexicographic per id.

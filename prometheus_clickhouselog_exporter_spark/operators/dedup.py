@@ -1,0 +1,270 @@
+"""Deduplication operators over document corpora (SURVEY §2.3).
+
+Scale doctrine: never materialize the O(n²) pair space. Exact dedup is a
+16-byte-digest hash aggregate; MinHash/SimHash go through LSH-band blocking
+so only bucket-colliding candidate pairs are verified; n-gram Jaccard goes
+through an inverted-index (posting-list) join. Everything is pure DataFrame
+expressions — deterministic (fixed hash-family coefficients, no RNG), so
+results are reproducible run-to-run and testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: the classic universal-hash modulus. Keeping
+# arithmetic under 2^31 keeps a*h+b within long range even with ANSI
+# overflow checks enabled (Spark 4 default).
+_P = 2_147_483_647
+# Deterministic hash-family coefficients (a_j, b_j) seeded by j.
+_A = [2 * j + 1 for j in range(1, 129)]  # odd multipliers
+_B = [(j * j * 7919 + 104729) % _P for j in range(1, 129)]
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest id per exact content hash (one shuffle of digests).
+
+    100 TB: the shuffle carries sha2 digests + ids, never document bodies.
+    """
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("_h"), F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .drop("_h")
+    )
+
+
+def tokenize(text: Column) -> Column:
+    return F.array_distinct(F.split(F.lower(text), r"\s+"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles; documents shorter than n words fall back
+    to whole-text so they can still collide with near-identical twins."""
+    toks = F.split(F.lower(text), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def _h32(col: Column) -> Column:
+    """xxhash64 folded into [0, P) — keeps downstream affine hashing in
+    overflow-safe range."""
+    return F.pmod(F.xxhash64(col), F.lit(_P))
+
+
+def minhash_signature(shingles: Column, k: int = 32) -> Column:
+    """k-permutation MinHash signature as an array<int> expression.
+
+    One xxhash64 per shingle, then k affine maps over the folded hash —
+    all inside codegen; no UDF, no RNG.
+    """
+    base = F.transform(shingles, _h32)
+
+    def affine(j: int):
+        a, b = _A[j], _B[j]
+        # NB: the lambda must take exactly one arg — PySpark binds a Column
+        # per declared parameter of a HOF lambda.
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))
+
+    return F.array(*[F.array_min(F.transform(base, affine(j))) for j in range(k)])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text_col: str, id_col: str, k: int = 32, bands: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    rows = k/bands per band; a pair collides if any band's sub-signature
+    matches exactly. Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    100 TB: explode to (band, band_hash, id) — the self-join shuffles on
+    (band, band_hash) so only same-bucket ids meet; signature arrays never
+    cross the shuffle (band_hash is a single long).
+    """
+    r = k // bands
+    sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), k)
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice(sig, b * r + 1, r))).alias("bhash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select("_id", "bh.band", "bh.bhash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle-Jaccard ≥ threshold.
+
+    Returns (id_a, id_b, jaccard) confirmed near-dup pairs.
+    """
+    cands = minhash_lsh_candidates(df, text_col, id_col, k, bands, shingle_n)
+    sh = df.select(F.col(id_col).alias("_jid"), word_shingles(F.col(text_col), shingle_n).alias("_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
+    union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh")))
+    return (
+        cands.join(a, cands.id_a == F.col("a._jid"))
+        .join(b, cands.id_b == F.col("b._jid"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_table(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """(id, simhash long): per-token xxhash64, per-bit ±1 votes, sign bits
+    reassembled into a 64-bit fingerprint.
+
+    Shape: explode tokens → one hash per row → 64 conditional sums in a
+    single hash aggregate by id (one shuffle — the same inverted-index
+    shuffle every dedup pass here uses; bit shifts are compile-time ints
+    inside codegen).
+    """
+    h = F.xxhash64(F.col("_tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    # Term-FREQUENCY weighting (no distinct): with small vocabularies the
+    # unweighted variant's per-bit votes are tiny sums that flip on single
+    # token edits — classic SimHash weights each occurrence.
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    voted = (
+        df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("_tok"))
+        .groupBy("_id")
+        .agg(*votes)
+    )
+    sim = None
+    for j in range(bits):
+        bit = (1 << j) if j < 63 else -(1 << 63)  # bit 63 = sign bit of long
+        term = F.when(F.col(f"v{j}") > 0, F.lit(bit).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return voted.select("_id", sim.alias("_sim"))
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, bands: int = 8
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Blocking: split the 64-bit hash into ``bands`` segments; by pigeonhole
+    any pair within distance < bands shares at least one exact segment, so
+    the join is an equi-join on (segment_idx, segment_value) — never a
+    cross product. Verification counts differing bits via bit_count(xor).
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sh = simhash_table(df, text_col, id_col)
+    # shift amounts must be Python ints (codegen'd constants), so the band
+    # structs are built in a driver-side loop, not a HOF.
+    seg_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("seg"),
+                F.shiftrightunsigned(F.col("_sim"), b * width).bitwiseAND(F.lit(mask)).alias("segval"),
+            )
+            for b in range(bands)
+        ]
+    )
+    seg = sh.select("_id", "_sim", F.explode(seg_structs).alias("s")).select(
+        "_id", "_sim", "s.seg", "s.segval"
+    )
+    l, r = seg.alias("l"), seg.alias("r")
+    hamming = F.bit_count(F.col("l._sim").bitwiseXOR(F.col("r._sim")))
+    return (
+        l.join(
+            r,
+            (F.col("l.seg") == F.col("r.seg"))
+            & (F.col("l.segval") == F.col("r.segval"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact token-Jaccard near-dup pairs via an inverted-index join.
+
+    explode(tokens) → posting lists → self-join on token counts common
+    tokens per pair; |A∪B| = |A|+|B|−common. The pair space is bounded by
+    co-occurring tokens, not n². 100 TB: drop stop-tokens with huge posting
+    lists (df > limit) before the join — the classic positional-filter
+    refinement; omitted here because the synthetic vocabulary is small.
+    """
+    toks = df.select(F.col(id_col).alias("_id"), tokenize(F.col(text_col)).alias("_t"))
+    sizes = toks.select("_id", F.size("_t").alias("_n"))
+    posting = toks.select("_id", F.explode("_t").alias("tok"))
+    l, r = posting.alias("l"), posting.alias("r")
+    common = (
+        l.join(r, (F.col("l.tok") == F.col("r.tok")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa._n") + F.col("sb._n") - F.col("n_common"))
+    return (
+        common.join(sa, common.id_a == F.col("sa._id"))
+        .join(sb, common.id_b == F.col("sb._id"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold.
+
+    Brute-force pair join (correctness baseline; the LSH-bucketed path in
+    operators/similarity.py is the 100 TB route).
+    """
+    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda s, x: s + x * x))
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(as_double, lambda x: x / norm).alias("_v"),
+    )
+    l, r = v.alias("l"), v.alias("r")
+    cosine = F.aggregate(
+        F.zip_with(F.col("l._v"), F.col("r._v"), lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    return (
+        l.join(r, F.col("l._id") < F.col("r._id"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), "cosine")
+    )

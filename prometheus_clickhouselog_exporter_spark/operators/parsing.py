@@ -115,42 +115,54 @@ def parse_log_lines(df: DataFrame, line_col: str = "value", keep_unmatched: bool
     line = F.col(line_col)
     gated = coarse_filter(df, line_col)
 
-    ini = _groups(line, INITIAL_RE, 7)
-    sta = _groups(line, STATS_RE, 8)
-    mem = _groups(line, MEMORY_RE, 4)
-    err = _groups(line, ERROR_RE, 5)
+    def shape(name: str, pattern: str, n: int) -> Column:
+        replacement = SEP.join(f"${i}" for i in range(1, n + 1))
+        return F.struct(
+            F.lit(name).alias("kind"),
+            F.split(F.regexp_replace(line, pattern, replacement), SEP).alias("g"),
+        )
 
     # F2 dispatch: first matching shape wins. The four anchors are mutually
     # exclusive (<Debug> executeQuery / <Information> executeQuery /
     # <Debug> MemoryTracker / <Error> executeQuery), so CASE order only
     # matters for fidelity of the tie that cannot occur (query.go:53-75).
-    parsed = gated.withColumn(
-        "_g",
-        F.when(ini.isNotNull(), F.struct(F.lit("initial").alias("kind"), ini.alias("g")))
-        .when(sta.isNotNull(), F.struct(F.lit("stats").alias("kind"), sta.alias("g")))
-        .when(err.isNotNull(), F.struct(F.lit("error").alias("kind"), err.alias("g")))
-        .when(mem.isNotNull(), F.struct(F.lit("memory").alias("kind"), mem.alias("g"))),
+    #
+    # The dispatch struct goes through an explode(array(...)) Generate
+    # BARRIER before field extraction. Without it, Catalyst's project
+    # collapse inlines this regex when-chain into every downstream field
+    # extraction and CSE cannot hoist it (conditional branches are exempt
+    # from subexpression elimination) — measured 10× slowdown: each line
+    # re-ran the dispatch regexes once per projected column. After the
+    # barrier the typed projection references the Generate's output
+    # attribute, so the regex work runs exactly once per line (≤4 rlike
+    # probes + 1 rewrite), and the codegen'd expression stays far below
+    # janino's 64 KB method limit.
+    g_struct = (
+        F.when(line.rlike(INITIAL_RE), shape("initial", INITIAL_RE, 7))
+        .when(line.rlike(STATS_RE), shape("stats", STATS_RE, 8))
+        .when(line.rlike(ERROR_RE), shape("error", ERROR_RE, 5))
+        .when(line.rlike(MEMORY_RE), shape("memory", MEMORY_RE, 4))
+    )
+    parsed = gated.select(
+        F.explode(F.array(g_struct)).alias("_g"), F.col(line_col).alias("raw_line")
     )
     if not keep_unmatched:
-        parsed = parsed.filter(F.col("_g").isNotNull())
+        parsed = parsed.filter(F.col("_g.kind").isNotNull())
 
     kind = F.col("_g.kind")
-    g = F.col("_g.g")
 
     def at(i: int) -> Column:
-        return F.element_at(g, i)
+        return F.element_at(F.col("_g.g"), i)
 
     is_ini = kind == "initial"
     is_sta = kind == "stats"
     is_mem = kind == "memory"
     is_err = kind == "error"
 
-    ts = _ts(at(1))
-    pid = at(2).try_cast("long")
     out = parsed.select(
         kind.alias("event_kind"),
-        ts.alias("ts"),
-        pid.alias("pid"),
+        _ts(at(1)).alias("ts"),
+        at(2).try_cast("long").alias("pid"),
         at(3).alias("id"),
         F.when(is_ini, at(4)).alias("host"),
         F.when(is_ini, at(5).try_cast("long")).alias("port"),
@@ -163,7 +175,7 @@ def parse_log_lines(df: DataFrame, line_col: str = "value", keep_unmatched: bool
         F.when(is_mem, at(4)).alias("memory_raw"),
         F.when(is_err, at(4).try_cast("long")).alias("error_code"),
         F.when(is_err, at(5)).alias("error_message"),
-        F.col(line_col).alias("raw_line"),
+        F.col("raw_line"),
     )
 
     # C1/C2 failure detection, mirroring exactly which casts each reference

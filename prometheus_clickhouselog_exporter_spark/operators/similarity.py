@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (SURVEY §2.3).
+
+Two tiers:
+- ``cosine_topk`` — exact brute force: broadcast the query set, scan the
+  corpus once, per-group top-k window. The correctness baseline, and the
+  right plan whenever |queries| is small.
+- ``lsh_bucketed_topk`` — random-hyperplane LSH (signed projections) for
+  corpus-scale query sets: both sides hash to sign-pattern buckets, the
+  join is an equi-join on bucket, exact cosine re-ranks within buckets.
+  Projections are generated from a fixed seed on the driver and applied by
+  an Arrow-vectorized Pandas UDF (one matrix multiply per batch — the one
+  place where numpy genuinely beats per-element expressions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def normalize(col: Column) -> Column:
+    v = as_double(col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+    return F.transform(v, lambda x: x / norm)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (broadcast queries)."""
+    c = corpus.select(F.col(id_col).alias("nbr_id"), normalize(F.col(vec_col)).alias("_cv"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("nbr_id"))
+        .withColumn("cosine", dot(F.col("_qv"), F.col("_cv")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "nbr_id", "cosine", "rk")
+    )
+
+
+def _sign_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Pandas UDF: embedding → array of LSH bucket ids, one per hash table.
+
+    Multi-table LSH is what makes sign-random-projection usable: a single
+    k-bit table's collision probability at angle θ is (1−θ/π)^k (≈9% for
+    k=6 at 60°); unioning L independent tables lifts per-neighbor recall
+    to 1−(1−p)^L. The table index is encoded into the bucket id, so the
+    downstream join is a single equi-join after explode.
+
+    The projection tensor derives from ``seed`` identically in every task
+    (numpy default_rng is deterministic) — no broadcast variable needed,
+    and task retries replay identically.
+    """
+    planes = np.random.default_rng(seed).standard_normal((n_tables, dim, n_planes))
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())  # (batch, dim)
+        out = np.empty((m.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            bits = (m @ planes[t]) > 0
+            out[:, t] = (bits @ weights) + (t << n_planes)
+        return pd.Series(list(out))
+
+    return buckets
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: explode per-table sign-buckets, equi-join on
+    bucket id, dedup candidates, exact cosine re-rank.
+
+    100 TB: the corpus is hashed once (Arrow batches) and shuffled once on
+    bucket id; candidates per query ≈ L × corpus/2^k, tunable via
+    (n_planes ↑ precision, n_tables ↑ recall). Multi-probe (flipping
+    low-margin bits) is the standard next extension.
+    """
+    buckets = _sign_buckets_udf(dim, n_planes, n_tables, seed)
+    c = (
+        corpus.select(F.col(id_col).alias("nbr_id"), normalize(F.col(vec_col)).alias("_cv"))
+        .withColumn("_bucket", F.explode(buckets(F.col("_cv"))))
+    )
+    q = (
+        queries.select(F.col(query_id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qv"))
+        .withColumn("_bucket", F.explode(buckets(F.col("_qv"))))
+    )
+    cands = (
+        c.join(q, ["_bucket"])
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", "_qv", "_cv")
+        .dropDuplicates(["query_id", "nbr_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return (
+        cands.withColumn("cosine", dot(F.col("_qv"), F.col("_cv")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "nbr_id", "cosine", "rk")
+    )

@@ -1,0 +1,78 @@
+"""End-to-end streaming pipeline (the reference's main loop, main.go:70-145,
+as Structured Streaming):
+
+    text file source over the log directory (S1/S2, rotation-safe)
+      → coarse filter + regex parse (F1/F2/P1-P4, shared with batch)
+      → stateless enrich (C3 byte parse, X1 classification)
+      → stateful sessionization by query id (ST1-ST5 + timeout)
+      → foreachBatch Prometheus snapshot sink (K1/A1-A9)
+
+A second lightweight query counts raw lines for A1 (the reference counts
+every tailed line before parsing, main.go:119).
+
+Checkpointing replaces the reference's manual offset handling (S2): a fresh
+checkpoint dir ≈ --from-start; an existing one resumes. `stop()` on the
+returned queries is the graceful-shutdown path (K2) — state and offsets are
+in the checkpoint, so restart loses nothing (the reference loses its whole
+map on restart).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.correlate import enrich_parsed
+from ..operators.parsing import parse_log_lines
+from ..sources.logsource import read_log_stream
+from .session_state import sessionize_stream
+from .sink import PrometheusSnapshotSink
+
+
+@dataclass
+class LogPipeline:
+    sessions_query: StreamingQuery
+    lines_query: StreamingQuery
+    sink: PrometheusSnapshotSink
+
+    def process_all_available(self) -> None:
+        self.lines_query.processAllAvailable()
+        self.sessions_query.processAllAvailable()
+
+    def stop(self) -> None:
+        for q in (self.sessions_query, self.lines_query):
+            if q.isActive:
+                q.stop()
+
+
+def run_log_pipeline(
+    spark: SparkSession,
+    log_dir: str,
+    checkpoint_dir: str,
+    sink: PrometheusSnapshotSink | None = None,
+    timeout_ms: int = 0,
+    max_files_per_trigger: int | None = None,
+) -> LogPipeline:
+    sink = sink or PrometheusSnapshotSink()
+
+    raw = read_log_stream(spark, log_dir, max_files_per_trigger)
+    sessions = sessionize_stream(enrich_parsed(parse_log_lines(raw)), timeout_ms)
+
+    sessions_query = (
+        sessions.writeStream.outputMode("append")
+        .foreachBatch(sink.process_batch)
+        .option("checkpointLocation", f"{checkpoint_dir}/sessions")
+        .queryName("ch_log_sessions")
+        .start()
+    )
+    lines_query = (
+        read_log_stream(spark, log_dir, max_files_per_trigger)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink.count_lines_batch)
+        .option("checkpointLocation", f"{checkpoint_dir}/lines")
+        .queryName("ch_log_lines")
+        .start()
+    )
+    return LogPipeline(sessions_query, lines_query, sink)

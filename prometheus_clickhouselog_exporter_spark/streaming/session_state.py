@@ -1,0 +1,206 @@
+"""Stateful streaming sessionization — the exact rendering of the
+reference's ``map[string]*chQuery`` state machine (ST1-ST5) on
+``applyInPandasWithState``.
+
+Semantics reproduced line-for-line from /root/reference/query.go:
+- ST1 insert-on-initial; duplicate ID while a session is open counts
+  ``duplicated_initial_query`` and keeps the first record (query.go:91-95);
+  the dup check precedes cast checks, so a malformed duplicate still counts
+  as a duplicate while a malformed initial with no open session counts
+  ``convert`` and does not occupy the session (query.go:96-116).
+- ST2 stats enrich: lookup-miss counts ``not_found_query`` (query.go:190);
+  any cast failure counts ``convert`` and skips the whole line
+  (query.go:150-176); success sets rows/bytes/rps/speed and observes the
+  four histograms (query.go:178-186).
+- ST3 memory enrich: sets memory/end-time, derives
+  ``elapsed = memory.dt − initial.dt`` (the stats line's own elapsed field
+  is deliberately unused — query.go:226), observes query_time for ALL
+  statement types including INSERT (observe precedes the FullInfo check,
+  query.go:228 vs :231), completes the session iff stmt ≠ insert.
+- ST4 error enrich: sets error fields, counts query_errors; never closes
+  the session (query.go:253-268).
+- ST5 eviction on completion (main.go:125-129) — after which a re-used ID
+  opens a FRESH session, exactly as the reference's map behaves. Plus the
+  state timeout the reference lacks (its INSERT/error-only sessions leak
+  forever): stale sessions are evicted and reported as ``timeout_evict``.
+
+Scale: state is partitioned by query ID across executors (RocksDB-backed
+state store on a real cluster), so active-session memory is per-executor
+O(active/executors); the timeout bounds it absolutely.
+
+Arrival order: within a micro-batch, events are folded in (ts, raw_line)
+order — ClickHouse timestamps are monotone per query. Cross-batch disorder
+degrades exactly as the reference does (a stats line before its initial
+counts ``not_found_query``), no buffering is invented.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# One wide nullable schema for all emitted row kinds keeps this a single
+# append-mode stream that downstream aggregates split by row_type.
+SESSION_OUTPUT_SCHEMA = (
+    "row_type string, id string, host string, port bigint, pid bigint, "
+    "query string, stmt_type string, start_time timestamp, end_time timestamp, "
+    "rows_read bigint, bytes_read bigint, rps bigint, speed bigint, "
+    "memory bigint, elapsed double, error boolean, error_code bigint, "
+    "error_message string, full_info boolean, err_type string, obs_label string"
+)
+
+STATE_SCHEMA = (
+    "host string, port bigint, pid bigint, query string, stmt_type string, "
+    "start_us bigint, rows_read bigint, bytes_read bigint, rps bigint, "
+    "speed bigint, memory bigint, end_us bigint, error boolean, "
+    "error_code bigint, error_message string"
+)
+
+_OUT_COLS = [
+    "row_type", "id", "host", "port", "pid", "query", "stmt_type",
+    "start_time", "end_time", "rows_read", "bytes_read", "rps", "speed",
+    "memory", "elapsed", "error", "error_code", "error_message",
+    "full_info", "err_type", "obs_label",
+]
+
+
+def _blank(row_type: str, qid: str) -> dict[str, Any]:
+    d = dict.fromkeys(_OUT_COLS)
+    d["row_type"] = row_type
+    d["id"] = qid
+    return d
+
+
+def _session_row(row_type: str, qid: str, s: tuple, full_info: bool) -> dict[str, Any]:
+    d = _blank(row_type, qid)
+    (host, port, pid, query, stmt, start_us, rows, bts, rps, speed, mem, end_us, err, code, msg) = s
+    d.update(
+        host=host, port=port, pid=pid, query=query, stmt_type=stmt,
+        start_time=_us_to_ts(start_us), end_time=_us_to_ts(end_us),
+        rows_read=rows, bytes_read=bts, rps=rps, speed=speed, memory=mem,
+        elapsed=((end_us - start_us) / 1e6 if end_us is not None and start_us is not None else None),
+        error=bool(err), error_code=code, error_message=msg, full_info=full_info,
+    )
+    return d
+
+
+def _us_to_ts(us):
+    return pd.Timestamp(us, unit="us") if us is not None else None
+
+
+def _none_if_nan(v):
+    if v is None:
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return v
+
+
+def make_session_func(timeout_ms: int = 0):
+    """Build the applyInPandasWithState function (ST1-ST5 fold)."""
+
+    def func(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        qid = key[0]
+        out: list[dict[str, Any]] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                out.append(_session_row("timeout_evict", qid, tuple(state.get), False))
+                state.remove()
+            yield pd.DataFrame(out, columns=_OUT_COLS)
+            return
+
+        events = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(events):
+            events = events.sort_values(["ts", "raw_line"], na_position="last", kind="mergesort")
+
+        sess: tuple | None = tuple(state.get) if state.exists else None
+
+        for ev in events.itertuples(index=False):
+            kind = ev.event_kind
+            ts_us = None if pd.isna(ev.ts) else int(ev.ts.value // 1000)
+            if kind == "initial":
+                if sess is not None:
+                    out.append(_blank("err", qid) | {"err_type": "duplicated_initial_query"})
+                elif ev.convert_error:
+                    out.append(_blank("err", qid) | {"err_type": "convert"})
+                else:
+                    # pandas upcasts nullable int columns to float — cast back
+                    # so the state tuple matches the bigint state schema.
+                    sess = (
+                        ev.host, int(ev.port), int(ev.pid), ev.query,
+                        ev.stmt_type, ts_us, None, None, None, None, None, None,
+                        False, None, None,
+                    )
+                    out.append(_blank("obs_initial", qid) | {"obs_label": ev.stmt_type})
+            elif kind == "stats":
+                if sess is None:
+                    out.append(_blank("err", qid) | {"err_type": "not_found_query"})
+                elif ev.convert_error or pd.isna(ev.bytes_read) or pd.isna(ev.speed):
+                    out.append(_blank("err", qid) | {"err_type": "convert"})
+                else:
+                    sess = sess[:6] + (int(ev.rows_read), int(ev.bytes_read), int(ev.rps), int(ev.speed)) + sess[10:]
+                    d = _blank("obs_stats", qid)
+                    d.update(rows_read=int(ev.rows_read), bytes_read=int(ev.bytes_read),
+                             rps=int(ev.rps), speed=int(ev.speed))
+                    out.append(d)
+            elif kind == "memory":
+                if sess is None:
+                    out.append(_blank("err", qid) | {"err_type": "not_found_query"})
+                elif ev.convert_error or pd.isna(ev.memory_bytes):
+                    out.append(_blank("err", qid) | {"err_type": "convert"})
+                else:
+                    sess = sess[:10] + (int(ev.memory_bytes), ts_us) + sess[12:]
+                    elapsed = (ts_us - sess[5]) / 1e6
+                    out.append(_blank("obs_time", qid) | {"obs_label": sess[4], "elapsed": elapsed})
+                    if sess[4] != "insert":  # FullInfo ⇒ evict (main.go:125-129)
+                        out.append(_session_row("session", qid, sess, True))
+                        sess = None
+            elif kind == "error":
+                if sess is None:
+                    out.append(_blank("err", qid) | {"err_type": "not_found_query"})
+                elif ev.convert_error:
+                    out.append(_blank("err", qid) | {"err_type": "convert"})
+                else:
+                    sess = sess[:12] + (True, int(ev.error_code), ev.error_message)
+                    out.append(
+                        _blank("obs_error", qid)
+                        | {"obs_label": sess[4], "error_code": int(ev.error_code)}
+                    )
+
+        if sess is not None:
+            state.update(sess)
+            if timeout_ms > 0:
+                state.setTimeoutDuration(timeout_ms)
+        elif state.exists:
+            state.remove()
+
+        yield pd.DataFrame(out, columns=_OUT_COLS)
+
+    return func
+
+
+def sessionize_stream(enriched: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """enriched parsed events (see ``correlate.enrich_parsed``) → session /
+    observation / error row stream. Works on streaming and batch inputs."""
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if timeout_ms > 0 else GroupStateTimeout.NoTimeout
+    )
+    return (
+        enriched.groupBy("id")
+        .applyInPandasWithState(
+            make_session_func(timeout_ms),
+            SESSION_OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            timeout_conf,
+        )
+    )

@@ -8,6 +8,7 @@ all modules must be imported for their registrations to run.
 
 from .core import ORACLE, QUERIES, query  # noqa: F401
 from . import relational  # noqa: F401,E402
+from . import relational2  # noqa: F401,E402
 from . import logpipe  # noqa: F401,E402
 from . import llmdata  # noqa: F401,E402
 

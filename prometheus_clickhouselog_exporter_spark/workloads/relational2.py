@@ -1,0 +1,289 @@
+"""Relational battery II (SURVEY §2.2 long tail): non-equi joins (range,
+as-of), cube / pivot / unpivot, window frames (lag/lead/running), global
+sort+limit, array functions, session windows, approximate aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .core import fround, money, query, table
+
+
+@query(
+    "range_join_value_neighbors",
+    oracle="""
+    SELECT a.event_id, count(b.event_id) AS n_neighbors
+    FROM events a JOIN events b
+      ON b.value BETWEEN a.value - 5 AND a.value + 5
+     AND a.event_id <> b.event_id
+    GROUP BY a.event_id
+    """,
+)
+def range_join_value_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: events within ±5 of each other's value.
+
+    Spark has no interval-join operator, so the scale path is bucketize +
+    equi-join on bucket±1 + residual filter — the pair space becomes
+    O(n × density) instead of O(n²). DuckDB's oracle uses its native
+    IEJoin on the same predicate.
+    """
+    e = table(spark, sf_dir, "events").select("event_id", "value")
+    width = 5.0
+    bucketed = e.withColumn("b", F.floor(F.col("value") / width).cast("long"))
+    probe = bucketed.withColumn("b", F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)))
+    l, r = probe.alias("l"), bucketed.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.b") == F.col("r.b"))
+            & (F.col("r.value") >= F.col("l.value") - width)
+            & (F.col("r.value") <= F.col("l.value") + width)
+            & (F.col("l.event_id") != F.col("r.event_id")),
+        )
+        .groupBy(F.col("l.event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+    )
+
+
+@query(
+    "asof_join_click_before_purchase",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts)
+             AS last_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_join_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent click at-or-before it
+    by the same user.
+
+    Rendered as a single ordered window over the unioned event stream
+    (running max of click timestamps) — one shuffle on user_id, no
+    correlated subquery, no per-row probe. This is the merge-asof plan
+    shape that scales; `pd.merge_asof` via applyInPandas is the fallback
+    for exotic tolerances.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_last = e.withColumn(
+        "last_click_ts",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+    return with_last.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "last_click_ts"
+    )
+
+
+@query(
+    "cube_returnflag_status",
+    oracle="""
+    SELECT coalesce(l_returnflag, '*') AS returnflag,
+           coalesce(l_linestatus, '*') AS linestatus,
+           count(*) AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets)."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(money(F.col("l_quantity"))), 2).cast("double").alias("qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("*")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("*")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order status counts per priority.
+
+    Explicit pivot values keep it one pass (no distinct-values pre-query).
+    """
+    o = table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, measure, val FROM (
+      SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice', p_retailprice FROM part
+    )
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via stack()."""
+    p = table(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) AS (measure, val)",
+    )
+
+
+@query(
+    "order_limit_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+    """,
+)
+def order_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit: Spark plans TakeOrderedAndProject — per-
+    partition top-50 then a driver-side merge of 50×partitions rows, never
+    a full global sort. Deterministic via the orderkey tiebreak."""
+    o = table(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(50).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "window_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS running_spend,
+           lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS prev_order,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS next_order,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rk
+    FROM orders
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame battery: running decimal sum, lag, lead, rank over one
+    (partition, order) spec — Catalyst evaluates all four in a single
+    Window node (one shuffle + one sort)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(money(F.col("o_totalprice"))).over(frame), 2).cast("double").alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.rank().over(w).alias("rk"),
+    )
+
+
+@query(
+    "array_functions_part",
+    oracle="""
+    SELECT p_type,
+           array_to_string(list_sort(list_distinct(list(p_size))), ',') AS sizes,
+           len(list_distinct(list(p_size)))                             AS n_sizes,
+           list_sum(list_distinct(list(p_size)))                        AS size_sum
+    FROM part GROUP BY p_type
+    """,
+)
+def array_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function battery: collect_set → sort → HOF aggregate → join to
+    string (string output keeps the cross-engine hash representation-
+    independent)."""
+    p = table(spark, sf_dir, "part")
+    sizes = F.array_sort(F.collect_set("p_size"))
+    return p.groupBy("p_type").agg(
+        F.array_join(sizes, ",").alias("sizes"),
+        F.size(sizes).alias("n_sizes"),
+        F.aggregate(sizes, F.lit(0), lambda a, x: a + x).alias("size_sum"),
+    )
+
+
+@query(
+    "session_window_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts >= coalesce(
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    TIMESTAMP '1970-01-01')
+                  + INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           floor(sum(value) * 100 + 0.5) / 100 AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (1h inactivity gap) in batch — the same
+    `session_window` operator Structured Streaming uses for streaming
+    sessionization; the oracle is the classic gaps-and-islands rewrite.
+
+    100 TB: one shuffle on user_id; Spark merges overlapping windows in
+    the session-window aggregation node.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), fround(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) + percentile_approx per order
+    status. Rows-only driver check (sketches are engine-specific by
+    nature); the pytest suite asserts the estimates land within tolerance
+    of the exact answers."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
+    )

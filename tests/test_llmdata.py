@@ -1,0 +1,114 @@
+"""Tests for the LLM-data operators that the DuckDB oracle cannot check:
+SimHash recall, LSH similarity recall vs brute force, multimodal plumbing.
+The oracle-checkable ones (minhash, jaccard, fingerprint, quality, …) are
+covered by tools/check_oracle.py and the driver."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prometheus_clickhouselog_exporter_spark.operators.dedup import (
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+    word_shingles,
+)
+from prometheus_clickhouselog_exporter_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_features,
+    frame_sample_stub,
+)
+from prometheus_clickhouselog_exporter_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucketed_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, docs):
+    """Brute-force shingle-Jaccard ≥ 0.5 ground truth."""
+    sh = docs.select("doc_id", word_shingles(F.col("text"), 3).alias("s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    rows = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("j", inter / union)
+        .filter(F.col("j") >= 0.5)
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .collect()
+    )
+    return {(r["x"], r["y"]) for r in rows}
+
+
+def test_minhash_matches_exact(docs, exact_pairs):
+    got = {(r["id_a"], r["id_b"]) for r in minhash_lsh_dedup(docs, "text", "doc_id", 0.5).collect()}
+    assert got == exact_pairs and len(exact_pairs) > 0
+
+
+def test_simhash_recall(docs, exact_pairs):
+    """TF-weighted SimHash recall of the planted near-dups. Deterministic
+    (fixed hash, no RNG): measured 26/28 at Hamming ≤ 6 on this corpus —
+    the two misses are shingle-similar docs whose token multisets diverge,
+    SimHash's documented blind spot. Precision is corpus-limited (31-word
+    vocabulary) and not asserted."""
+    got = {(r["id_a"], r["id_b"]) for r in simhash_dedup(docs, "text", "doc_id", max_hamming=6).collect()}
+    recall = len(exact_pairs & got) / len(exact_pairs)
+    assert recall >= 0.9, f"recall {recall}: {len(exact_pairs & got)}/{len(exact_pairs)}"
+
+
+def test_ngram_token_jaccard_runs(spark, docs):
+    # token-level variant (the generic operator); tiny vocab ⇒ many pairs,
+    # just verify shape + determinism of a sample
+    pairs = ngram_jaccard_pairs(docs.limit(50), "text", "doc_id", threshold=0.8)
+    rows = pairs.collect()
+    assert all(0.8 <= r["jaccard"] <= 1.0 for r in rows)
+
+
+def test_lsh_similarity_recall_vs_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, "embedding", "vec_id", "vec_id", k=10).collect()
+    approx = lsh_bucketed_topk(emb, queries, "embedding", "vec_id", "vec_id", k=10, n_planes=6).collect()
+    exact_set = {(r["query_id"], r["nbr_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["nbr_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 16 tables × 6 planes, deterministic seed: measured 62.5% top-10
+    # recall on this corpus (vs 2% for random guessing).
+    assert recall >= 0.5, f"recall {recall}"
+    assert all(r["rk"] <= 10 for r in approx)
+
+
+def test_multimodal_roundtrip(spark, docs):
+    media = attach_fake_media(docs.select("doc_id").limit(100), "doc_id")
+    feats = {r["doc_id"]: r for r in decode_features(media).collect()}
+    assert len(feats) == 100
+    for doc_id, r in feats.items():
+        assert r["width"] == doc_id % 64 + 16
+        assert r["height"] == (doc_id * 7) % 64 + 16
+        assert r["payload_bytes"] == len(f"payload-{doc_id}")
+
+
+def test_multimodal_decode_rejects_unknown_format(spark):
+    df = spark.createDataFrame([(1, bytearray(b"JPEGnotreally"))], "doc_id long, media binary")
+    with pytest.raises(Exception, match="NotImplementedError|image/audio library"):
+        decode_features(df).collect()
+
+
+def test_frame_sampling_expands_rows(spark, docs):
+    media = attach_fake_media(docs.select("doc_id").limit(10), "doc_id", kind="video")
+    frames = frame_sample_stub(media, "media", every_n=1).collect()
+    assert len(frames) >= 10  # ≥1 frame per video
+    assert {f["doc_id"] for f in frames} == {r["doc_id"] for r in docs.limit(10).collect()}

@@ -1,0 +1,46 @@
+"""Source/format coverage (SURVEY §2.2 scans): CSV / JSON / text round-trip
+through the generic reader with explicit schemas, plus approx-aggregate
+tolerance (the rows-only driver entry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prometheus_clickhouselog_exporter_spark.sources.tables import read_any
+from prometheus_clickhouselog_exporter_spark.workloads.core import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    src = table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    src.write.mode("overwrite").option("header", True).csv(csv_dir)
+    src.write.mode("overwrite").json(json_dir)
+
+    schema = "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double"
+    got_csv = read_any(spark, csv_dir, "csv", schema=schema, header=True)
+    got_json = read_any(spark, json_dir, "json", schema=schema)
+
+    want = src.orderBy("o_orderkey").collect()
+    assert got_csv.orderBy("o_orderkey").collect() == want
+    assert got_json.orderBy("o_orderkey").collect() == want
+
+
+def test_text_scan(spark, fixture_log):
+    df = read_any(spark, fixture_log, "text")
+    assert df.columns == ["value"]
+    assert df.count() == 52
+
+
+def test_approx_distinct_tolerance(spark):
+    from prometheus_clickhouselog_exporter_spark.workloads.relational2 import agg_approx_distinct
+
+    rows = agg_approx_distinct(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        rel_err = abs(r["approx_customers"] - r["exact_customers"]) / max(r["exact_customers"], 1)
+        assert rel_err <= 0.05, f"{r['o_orderstatus']}: {rel_err}"
+        assert r["approx_median_price"] > 0

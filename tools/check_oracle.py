@@ -50,7 +50,9 @@ def cells_equal(a, b) -> tuple[bool, bool]:
         exact = af == bf or (math.isnan(af) and math.isnan(bf))
         approx = exact or math.isclose(af, bf, rel_tol=1e-9, abs_tol=1e-9)
         return exact, approx
-    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+    import numpy as np
+
+    if isinstance(a, np.ndarray) or isinstance(b, np.ndarray) or isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
         a, b = list(a), list(b)
         if len(a) != len(b):
             return False, False
