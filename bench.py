@@ -27,9 +27,14 @@ HEADLINE = [
     "window_tumbling_events",
     "logpipe_sessionize_events",
     "logpipe_parse_roundtrip",
+    "logpipe_correlate_roundtrip",
     "dedup_exact_documents",
+    "dedup_minhash_lsh",
     "text_token_stats",
+    "text_quality_langid",
     "similarity_cosine_topk",
+    "session_window_events",
+    "window_running_revenue",
 ]
 
 

@@ -59,7 +59,12 @@ def minhash_signature(shingles: Column, k: int = 32) -> Column:
     One xxhash64 per shingle, then k affine maps over the folded hash —
     all inside codegen; no UDF, no RNG.
     """
-    base = F.transform(shingles, _h32)
+    return minhash_signature_from_hashes(F.transform(shingles, _h32), k)
+
+
+def minhash_signature_from_hashes(hashed: Column, k: int = 32) -> Column:
+    """Signature from an already-folded hash array (see the CSE note in
+    ``minhash_lsh_candidates`` — pass an attribute, not a deep expression)."""
 
     def affine(j: int):
         a, b = _A[j], _B[j]
@@ -67,7 +72,7 @@ def minhash_signature(shingles: Column, k: int = 32) -> Column:
         # per declared parameter of a HOF lambda.
         return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))
 
-    return F.array(*[F.array_min(F.transform(base, affine(j))) for j in range(k)])
+    return F.array(*[F.array_min(F.transform(hashed, affine(j))) for j in range(k)])
 
 
 def minhash_lsh_candidates(
@@ -81,11 +86,24 @@ def minhash_lsh_candidates(
     100 TB: explode to (band, band_hash, id) — the self-join shuffles on
     (band, band_hash) so only same-bucket ids meet; signature arrays never
     cross the shuffle (band_hash is a single long).
+
+    The shingle→hash array goes through an explode(array(...)) Generate
+    barrier before the k affine maps: Spark does no CSE across HOF lambda
+    boundaries, so without the barrier the whole shingle pipeline
+    (split/slice/concat/distinct/xxhash64) re-evaluates inside every one
+    of the k signature elements AND every band slice — measured minutes
+    instead of seconds at 5k docs.
     """
     r = k // bands
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), k)
-    banded = df.select(
+    hashed = df.select(
         F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(F.transform(word_shingles(F.col(text_col), shingle_n), _h32))
+        ).alias("_hb"),
+    )
+    sig = minhash_signature_from_hashes(F.col("_hb"), k)
+    banded = hashed.select(
+        "_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),

@@ -54,25 +54,32 @@ def run_log_pipeline(
     sink: PrometheusSnapshotSink | None = None,
     timeout_ms: int = 0,
     max_files_per_trigger: int | None = None,
+    trigger_interval: str | None = "1 second",
 ) -> LogPipeline:
+    """``trigger_interval`` bounds micro-batch frequency. Without it, any
+    pending processing-time state timer makes the engine run no-data
+    batches back-to-back (observed: hundreds of empty batches per minute,
+    each writing a state-store version) — a pure CPU/IO burn. One-second
+    triggers keep metric latency negligible and batch count sane."""
     sink = sink or PrometheusSnapshotSink()
 
     raw = read_log_stream(spark, log_dir, max_files_per_trigger)
     sessions = sessionize_stream(enrich_parsed(parse_log_lines(raw)), timeout_ms)
 
-    sessions_query = (
+    sessions_writer = (
         sessions.writeStream.outputMode("append")
         .foreachBatch(sink.process_batch)
         .option("checkpointLocation", f"{checkpoint_dir}/sessions")
         .queryName("ch_log_sessions")
-        .start()
     )
-    lines_query = (
+    lines_writer = (
         read_log_stream(spark, log_dir, max_files_per_trigger)
         .writeStream.outputMode("append")
         .foreachBatch(sink.count_lines_batch)
         .option("checkpointLocation", f"{checkpoint_dir}/lines")
         .queryName("ch_log_lines")
-        .start()
     )
-    return LogPipeline(sessions_query, lines_query, sink)
+    if trigger_interval:
+        sessions_writer = sessions_writer.trigger(processingTime=trigger_interval)
+        lines_writer = lines_writer.trigger(processingTime=trigger_interval)
+    return LogPipeline(sessions_writer.start(), lines_writer.start(), sink)

@@ -25,6 +25,7 @@ from ..functions.histogram import (
     QUERY_TIME_BUCKETS,
     ROWS_PER_SEC_BUCKETS,
     ROWS_READ_BUCKETS,
+    _le_name,
 )
 
 _HISTOGRAMS = {
@@ -45,9 +46,16 @@ class _Hist:
 
 
 class PrometheusSnapshotSink:
-    """foreachBatch target for the sessionized output stream."""
+    """foreachBatch target for the sessionized output stream.
 
-    def __init__(self) -> None:
+    ``session_parquet_path``: optional parquet directory where completed
+    session records are appended per batch — the downstream-publish hook
+    the reference left as a TODO (main.go:126); swap the writer line for
+    ``.format("jdbc")`` with a ClickHouse URL to land in ClickHouse.
+    """
+
+    def __init__(self, session_parquet_path: str | None = None) -> None:
+        self.session_parquet_path = session_parquet_path
         self._lock = threading.Lock()
         self.read_lines = 0
         self.exporter_errors: dict[str, int] = defaultdict(int)
@@ -94,6 +102,13 @@ class PrometheusSnapshotSink:
                 hists[name] = src.groupBy(label.alias("label")).agg(*aggs).collect()
             n_sessions = batch_df.filter(F.col("row_type") == "session").count()
             n_timeouts = batch_df.filter(F.col("row_type") == "timeout_evict").count()
+            if self.session_parquet_path and n_sessions:
+                (
+                    batch_df.filter(F.col("row_type") == "session")
+                    .drop("row_type", "err_type", "obs_label")
+                    .write.mode("append")
+                    .parquet(self.session_parquet_path)
+                )
         finally:
             batch_df.unpersist()
 
@@ -122,6 +137,26 @@ class PrometheusSnapshotSink:
             self.read_lines += n
 
     # -- exposition ---------------------------------------------------------
+
+    def load_metric_frames(self, frames: dict) -> None:
+        """Populate the snapshot from `operators.metrics.metric_snapshot`
+        DataFrames (batch mode — the CLI's --batch path)."""
+        with self._lock:
+            self.read_lines += frames["chlogexporter_read_lines"].collect()[0]["n"]
+            for r in frames["chlogexporter_errors"].collect():
+                self.exporter_errors[r["err_type"]] += r["n"]
+            for r in frames["clickhouse_query_count"].collect():
+                self.query_count[r["type"]] += r["n"]
+            for r in frames["clickhouse_query_errors"].collect():
+                self.query_errors[(r["type"], str(r["code"]))] += r["n"]
+            for name, (col, buckets, _, labelled) in _HISTOGRAMS.items():
+                for r in frames[name].collect():
+                    label = r["type"] if labelled else ""
+                    h = self.histograms[name].setdefault(label, _Hist(buckets))
+                    for b in h.buckets:
+                        h.counts[b] += r[_le_name(b)]
+                    h.total += r["bucket_count"]
+                    h.sum += r["bucket_sum"] or 0.0
 
     def render_exposition(self) -> str:
         """Prometheus text format, mirroring metrics.go collector names."""

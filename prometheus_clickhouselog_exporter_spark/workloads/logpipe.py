@@ -214,3 +214,98 @@ def logpipe_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = parse_log_lines(e.select(line.alias("value")))
     return parsed.select("id", "ts", "pid", "host", "port", "query")
+
+
+@query(
+    "logpipe_correlate_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT 'q-' || CAST(event_id AS VARCHAR)            AS id,
+             '10.0.' || CAST(user_id % 200 AS VARCHAR) || '.7' AS host,
+             30000 + event_id % 999                       AS port,
+             event_id % 997                               AS pid,
+             CASE event_type WHEN 'click' THEN 'select' WHEN 'view' THEN 'select'
+                             WHEN 'purchase' THEN 'insert' WHEN 'signup' THEN 'update'
+                             ELSE 'other' END             AS stmt_type,
+             ts                                           AS start_time,
+             value >= 10                                  AS has_stats,
+             event_id % 3 <> 0                            AS has_memory,
+             event_id, value, event_type
+      FROM events
+    )
+    SELECT id, host, port, pid, stmt_type, start_time,
+           CASE WHEN has_memory THEN start_time + INTERVAL 2 SECOND END  AS end_time,
+           CASE WHEN has_stats THEN event_id % 100000 END                AS rows_read,
+           CASE WHEN has_stats
+                THEN CAST(floor(round(value, 2) * 1048576) AS BIGINT) END AS bytes_read,
+           CASE WHEN has_stats THEN event_id % 9999 + 1 END              AS rps,
+           CASE WHEN has_stats
+                THEN CAST(floor(round(value, 2) * 1024) AS BIGINT) END   AS speed,
+           CASE WHEN has_memory
+                THEN CAST(floor(round(value, 2) * 1024) AS BIGINT) END   AS memory,
+           CASE WHEN has_memory THEN CAST(2.0 AS DOUBLE) END             AS elapsed,
+           (has_memory AND stmt_type <> 'insert')                        AS full_info,
+           false                                                        AS error
+    FROM base WHERE value IS NOT NULL AND value >= 0
+    """,
+)
+def logpipe_correlate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END fidelity oracle: synthesize a full ClickHouse log (initial
+    + stats + memory lines, all four regex shapes exercised) from the events
+    table, push it through the REAL pipeline — parse_log_lines →
+    correlate_batch (the batch ST1-ST5 lowering) — and have DuckDB compute
+    the expected session table by independent arithmetic (no regex on the
+    oracle side). Any drift in regexes, byte parsing, timestamp handling,
+    statement classification, elapsed derivation, or completion semantics
+    shows up as a value-hash mismatch.
+
+    (Duplicate/orphan/malformed corners are golden-tested in pytest; this
+    workload certifies the happy-path math at table scale.)
+    """
+    from ..operators.correlate import correlate_batch
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+    qid = F.concat(F.lit("q-"), F.col("event_id").cast("string"))
+    dt0 = F.date_format("ts", "yyyy.MM.dd HH:mm:ss.SSSSSS")
+    dt1 = F.date_format(F.col("ts") + F.expr("INTERVAL 1 SECOND"), "yyyy.MM.dd HH:mm:ss.SSSSSS")
+    dt2 = F.date_format(F.col("ts") + F.expr("INTERVAL 2 SECOND"), "yyyy.MM.dd HH:mm:ss.SSSSSS")
+    pid = (F.col("event_id") % 997).cast("string")
+    host_port = F.concat(
+        F.lit("10.0."), (F.col("user_id") % 200).cast("string"), F.lit(".7:"),
+        (F.lit(30000) + F.col("event_id") % 999).cast("string"),
+    )
+    sql_text = (
+        F.when(F.col("event_type") == "click", F.lit("SELECT count() FROM hits"))
+        .when(F.col("event_type") == "view", F.lit("/* cached */ SELECT 1"))
+        .when(F.col("event_type") == "purchase", F.lit("INSERT INTO sales VALUES (1)"))
+        .when(F.col("event_type") == "signup", F.lit("UPDATE users SET active = 1"))
+        .otherwise(F.lit("OPTIMIZE TABLE hits"))
+    )
+    num = F.round(F.col("value"), 2).cast("string")
+
+    initial = e.select(
+        F.concat(dt0, F.lit(" [ "), pid, F.lit(" ] {"), qid, F.lit("} <Debug> executeQuery: (from "),
+                 host_port, F.lit(") "), sql_text).alias("value")
+    )
+    stats = e.filter(F.col("value") >= 10).select(
+        F.concat(dt1, F.lit(" [ "), pid, F.lit(" ] {"), qid,
+                 F.lit("} <Information> executeQuery: Read "),
+                 (F.col("event_id") % 100000).cast("string"),
+                 F.lit(" rows, "), num, F.lit(" MiB in 1.000 sec., "),
+                 (F.col("event_id") % 9999 + 1).cast("string"),
+                 F.lit(" rows/sec., "), num, F.lit(" KiB/sec.")).alias("value")
+    )
+    memory = e.filter(F.col("event_id") % 3 != 0).select(
+        F.concat(dt2, F.lit(" [ "), pid, F.lit(" ] {"), qid,
+                 F.lit("} <Debug> MemoryTracker: Peak memory usage (for query): "),
+                 num, F.lit(" KiB.")).alias("value")
+    )
+    log = initial.unionAll(stats).unionAll(memory)
+    from ..operators.parsing import parse_log_lines
+
+    sessions = correlate_batch(parse_log_lines(log))
+    return sessions.select(
+        "id", "host", "port", "pid", "stmt_type", "start_time", "end_time",
+        "rows_read", "bytes_read", "rps", "speed", "memory", "elapsed",
+        "full_info", "error",
+    )
