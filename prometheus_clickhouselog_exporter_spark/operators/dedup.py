@@ -101,15 +101,19 @@ def minhash_lsh_candidates(
             F.array(F.transform(word_shingles(F.col(text_col), shingle_n), _h32))
         ).alias("_hb"),
     )
-    sig = minhash_signature_from_hashes(F.col("_hb"), k)
-    banded = hashed.select(
+    # second barrier: the signature is referenced once per band slice —
+    # materialize it so the k array_min folds run once, not `bands` times.
+    signed = hashed.select(
+        "_id", F.explode(F.array(minhash_signature_from_hashes(F.col("_hb"), k))).alias("_sig")
+    )
+    banded = signed.select(
         "_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice(sig, b * r + 1, r))).alias("bhash"),
+                    F.xxhash64(F.concat_ws(",", F.slice(F.col("_sig"), b * r + 1, r))).alias("bhash"),
                 ),
             )
         ).alias("bh"),

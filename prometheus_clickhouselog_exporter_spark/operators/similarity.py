@@ -127,3 +127,58 @@ def lsh_bucketed_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "nbr_id", "cosine", "rk")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
+    each corpus vector assigned to its nearest centroid cell, each query
+    probing its ``n_probe`` nearest cells, exact cosine re-rank inside.
+
+    The quantizer is MLlib KMeans with a fixed seed (deterministic); the
+    centroid matrix is tiny and rides into an Arrow-batched assignment UDF.
+    100 TB: training samples the corpus; assignment is one scan; the probe
+    join shuffles on cell id, touching n_probe/n_centroids of the corpus
+    per query — the standard FAISS-style recall/cost dial.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c_norm = corpus.select(F.col(id_col).alias("nbr_id"), normalize(F.col(vec_col)).alias("_cv"))
+    train = c_norm.select(array_to_vector(F.col("_cv")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])  # (C, dim)
+
+    def cell_udf(n_cells: int):
+        @F.pandas_udf("array<int>")
+        def cells(vecs: pd.Series) -> pd.Series:
+            m = np.vstack(vecs.to_numpy())
+            sims = m @ centroids.T  # cosine order == dot order (all normalized-ish)
+            order = np.argsort(-sims, axis=1)[:, :n_cells].astype(np.int32)
+            return pd.Series(list(order))
+
+        return cells
+
+    assigned = c_norm.withColumn("_cell", F.element_at(cell_udf(1)(F.col("_cv")), 1))
+    probed = (
+        queries.select(F.col(query_id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qv"))
+        .withColumn("_cell", F.explode(cell_udf(n_probe)(F.col("_qv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return (
+        assigned.join(probed, ["_cell"])
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .withColumn("cosine", dot(F.col("_qv"), F.col("_cv")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "nbr_id", "cosine", "rk")
+    )

@@ -393,3 +393,15 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id")
     media = attach_fake_media(d, "doc_id", kind="image")
     return decode_features(media).select("doc_id", "width", "height", "payload_bytes", "checksum")
+
+
+@query("similarity_ivf_topk")
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 neighbors (k-means coarse quantizer, 4-of-16
+    cells probed, exact re-rank). Rows-only driver check (the quantizer is
+    MLlib-specific); pytest measures recall against brute force."""
+    from ..operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries_df, "embedding", "vec_id", "vec_id", k=10)

@@ -287,3 +287,116 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("exact_customers"),
         F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
     )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(5,2)))), 2) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: selective dim filter → fact join → agg → top-10.
+
+    100 TB: the BUILDING customer subset broadcasts; lineitem⋈orders is
+    the one shuffle; TakeOrderedAndProject caps the sort at 10 rows per
+    partition.
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1995-03-15 00:00:00"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1995-03-15 00:00:00"))
+    )
+    revenue = money(F.col("l_extendedprice")) * (F.lit(1) - F.col("l_discount").cast("decimal(5,2)"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: IN-subquery over a grouped HAVING, rendered as a
+    semi-join against the aggregated key set.
+
+    100 TB: the HAVING aggregate reduces lineitem to qualifying orderkeys
+    first (small), which then semi-joins — Catalyst plans the same shape
+    from the SQL form; both aggregations share the orderkey partitioning.
+    """
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "bk"), F.col("o_orderkey") == F.col("bk"), "left_semi")
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.round(F.sum(money(F.col("l_quantity"))), 2).cast("double").alias("total_qty"))
+    )
+
+
+@query(
+    "correlated_above_nation_avg",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+      SELECT avg(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their nation's average
+    balance — decorrelated into a window aggregate (one shuffle on
+    nationkey, no per-row probe), the rewrite Catalyst itself applies to
+    the SQL form.
+
+    The comparison uses raw doubles on both sides: avg() appears only in a
+    predicate, never in output, so engine rounding differences cannot leak
+    into the hash (a boundary-straddling acctbal would need the two
+    engines' avgs to differ by >1e-12 relative — they sum ≤150 values).
+    """
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        c.withColumn("_nation_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("_nation_avg"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )

@@ -112,3 +112,17 @@ def test_frame_sampling_expands_rows(spark, docs):
     frames = frame_sample_stub(media, "media", every_n=1).collect()
     assert len(frames) >= 10  # ≥1 frame per video
     assert {f["doc_id"] for f in frames} == {r["doc_id"] for r in docs.limit(10).collect()}
+
+
+def test_ivf_similarity_recall_vs_bruteforce(emb):
+    from prometheus_clickhouselog_exporter_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, "embedding", "vec_id", "vec_id", k=10).collect()
+    approx = ivf_topk(emb, queries, "embedding", "vec_id", "vec_id", k=10).collect()
+    exact_set = {(r["query_id"], r["nbr_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["nbr_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing 4 of 16 cells touches ~25% of the corpus; near neighbors
+    # concentrate in the probed cells, so recall must beat that baseline.
+    assert recall >= 0.4, f"recall {recall}"
