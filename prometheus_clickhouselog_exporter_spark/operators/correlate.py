@@ -75,25 +75,31 @@ def annotate_events(parsed: DataFrame) -> DataFrame:
     df = enrich_parsed(parsed)
 
     valid_ini = is_ini & ~F.col("convert_error")
-    # Arrival-order proxy: (ts, raw_line) lexicographic per id.
-    order_key = F.struct(F.col("ts"), F.col("raw_line"))
+    # Arrival-order proxy: (ts, xxhash64(raw_line)) per id — the hash
+    # tiebreak keeps the ~100-byte raw line out of the shuffle and the
+    # window buffers (it only matters for exact-duplicate timestamps,
+    # where any deterministic order is as faithful as any other).
+    line_h = F.xxhash64(F.col("raw_line"))
+    order_key = F.struct(F.col("ts"), line_h.alias("h"))
 
+    # ONE unordered window carries the whole session identity: the winning
+    # initial is min(struct(ts, h, stmt)) over the id partition (struct
+    # ordering is lexicographic and (ts, h) is unique), so no ordered
+    # window — and therefore no per-partition sort — is needed.
     w = Window.partitionBy("id")
-    session_key = F.min(F.when(valid_ini, order_key)).over(w)
-    df = df.withColumn("_session_key", session_key)
-
-    # Broadcast the winning initial's fields to every row of the id via a
-    # frame-complete first(ignorenulls) over the same partitioning.
-    w_full = (
-        Window.partitionBy("id")
-        .orderBy(F.when(valid_ini & (order_key == F.col("_session_key")), 0).otherwise(1))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    skey = F.min(
+        F.when(valid_ini, F.struct(F.col("ts"), line_h.alias("h"), F.col("stmt_type").alias("stmt")))
+    ).over(w)
+    df = df.withColumn("_sk", skey)
+    df = df.withColumn(
+        "_session_key", F.when(F.col("_sk").isNotNull(), F.struct(F.col("_sk.ts"), F.col("_sk.h")))
     )
     session_line = valid_ini & (order_key == F.col("_session_key"))
     df = (
         df.withColumn("is_session_line", F.coalesce(session_line, F.lit(False)))
-        .withColumn("session_start_ts", F.first(F.when(session_line, F.col("ts")), ignorenulls=True).over(w_full))
-        .withColumn("session_stmt", F.first(F.when(session_line, F.col("stmt_type")), ignorenulls=True).over(w_full))
+        .withColumn("session_start_ts", F.col("_sk.ts"))
+        .withColumn("session_stmt", F.col("_sk.stmt"))
+        .drop("_sk")
     )
     session_exists = F.col("session_start_ts").isNotNull()
 
@@ -137,47 +143,61 @@ def correlate_batch(parsed: DataFrame) -> DataFrame:
     """
     ev = annotate_events(parsed)
 
-    ini_ord = F.when(F.col("is_session_line"), F.col("ts"))
-    stats_ord = F.when(F.col("stats_valid"), F.col("ts"))
-    mem_ord = F.when(F.col("memory_valid"), F.col("ts"))
-    err_ord = F.when(F.col("error_valid"), F.col("ts"))
-
-    def pick_first(col: Column, ord_: Column) -> Column:
-        return F.min_by(col, ord_)
-
-    def pick_last(col: Column, ord_: Column) -> Column:
-        return F.max_by(col, ord_)
+    # Last-write-wins per event KIND is expressed as max over a struct led
+    # by (ts, line-hash): min/max over structs are declarative aggregates
+    # (whole-stage codegen hash agg, 4 buffers), where the equivalent
+    # min_by/max_by per field would be 15 ObjectHashAggregate buffers off
+    # the codegen path — and per-field picks could mix fields from
+    # different same-timestamp lines, while the struct keeps each line
+    # atomic, matching the reference's whole-line mutation.
+    h = F.xxhash64(F.col("raw_line"))
+    ini = F.min(
+        F.when(
+            F.col("is_session_line"),
+            F.struct(
+                F.col("ts"), F.col("host"), F.col("port"), F.col("pid"),
+                F.col("query"), F.col("stmt_type"),
+            ),
+        )
+    ).alias("_ini")
+    sta = F.max(
+        F.when(
+            F.col("stats_valid"),
+            F.struct(F.col("ts"), h.alias("h"), F.col("rows_read"), F.col("bytes_read"), F.col("rps"), F.col("speed")),
+        )
+    ).alias("_sta")
+    mem = F.max(
+        F.when(F.col("memory_valid"), F.struct(F.col("ts"), h.alias("h"), F.col("memory_bytes")))
+    ).alias("_mem")
+    err = F.max(
+        F.when(F.col("error_valid"), F.struct(F.col("ts"), h.alias("h"), F.col("error_code"), F.col("error_message")))
+    ).alias("_err")
 
     out = (
         ev.groupBy("id")
-        .agg(
-            pick_first(F.col("host"), ini_ord).alias("host"),
-            pick_first(F.col("port"), ini_ord).alias("port"),
-            pick_first(F.col("pid"), ini_ord).alias("pid"),
-            pick_first(F.col("query"), ini_ord).alias("query"),
-            pick_first(F.col("stmt_type"), ini_ord).alias("stmt_type"),
-            F.min(F.when(F.col("is_session_line"), F.col("ts"))).alias("start_time"),
-            pick_last(F.col("rows_read"), stats_ord).alias("rows_read"),
-            pick_last(F.col("bytes_read"), stats_ord).alias("bytes_read"),
-            pick_last(F.col("rps"), stats_ord).alias("rps"),
-            pick_last(F.col("speed"), stats_ord).alias("speed"),
-            pick_last(F.col("memory_bytes"), mem_ord).alias("memory"),
-            F.max(F.when(F.col("memory_valid"), F.col("ts"))).alias("end_time"),
-            F.max(F.col("error_valid")).alias("error"),
-            pick_last(F.col("error_code"), err_ord).alias("error_code"),
-            pick_last(F.col("error_message"), err_ord).alias("error_message"),
-        )
-        .filter(F.col("start_time").isNotNull())
+        .agg(ini, sta, mem, err, F.max(F.col("error_valid")).alias("error"))
+        .filter(F.col("_ini").isNotNull())
     )
-    elapsed = (
-        (F.unix_micros(F.col("end_time")) - F.unix_micros(F.col("start_time"))) / 1e6
-    )
-    return (
-        out.withColumn("elapsed", F.when(F.col("end_time").isNotNull(), elapsed))
-        .withColumn(
-            "full_info",
-            F.col("end_time").isNotNull() & (F.col("stmt_type") != _INSERT),
-        )
+    elapsed = (F.unix_micros(F.col("_mem.ts")) - F.unix_micros(F.col("_ini.ts"))) / 1e6
+    return out.select(
+        "id",
+        F.col("_ini.host").alias("host"),
+        F.col("_ini.port").alias("port"),
+        F.col("_ini.pid").alias("pid"),
+        F.col("_ini.query").alias("query"),
+        F.col("_ini.stmt_type").alias("stmt_type"),
+        F.col("_ini.ts").alias("start_time"),
+        F.col("_sta.rows_read").alias("rows_read"),
+        F.col("_sta.bytes_read").alias("bytes_read"),
+        F.col("_sta.rps").alias("rps"),
+        F.col("_sta.speed").alias("speed"),
+        F.col("_mem.memory_bytes").alias("memory"),
+        F.col("_mem.ts").alias("end_time"),
+        F.col("error"),
+        F.col("_err.error_code").alias("error_code"),
+        F.col("_err.error_message").alias("error_message"),
+        F.when(F.col("_mem").isNotNull(), elapsed).alias("elapsed"),
+        (F.col("_mem").isNotNull() & (F.col("_ini.stmt_type") != _INSERT)).alias("full_info"),
     )
 
 

@@ -309,3 +309,102 @@ def logpipe_correlate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_read", "bytes_read", "rps", "speed", "memory", "elapsed",
         "full_info", "error",
     )
+
+
+@query(
+    "logpipe_metrics_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT CASE event_type WHEN 'click' THEN 'select' WHEN 'view' THEN 'select'
+                             WHEN 'purchase' THEN 'insert' WHEN 'signup' THEN 'update'
+                             ELSE 'other' END AS type,
+             CAST(event_id % 7 AS DOUBLE)     AS elapsed
+      FROM events WHERE value IS NOT NULL AND value >= 0 AND event_id % 3 <> 0
+    )
+    SELECT type,
+           sum(CASE WHEN elapsed <= 1 THEN 1 ELSE 0 END)   AS le_1,
+           sum(CASE WHEN elapsed <= 5 THEN 1 ELSE 0 END)   AS le_5,
+           sum(CASE WHEN elapsed <= 10 THEN 1 ELSE 0 END)  AS le_10,
+           count(*)                                        AS bucket_count,
+           floor(sum(elapsed) * 100 + 0.5) / 100           AS bucket_sum
+    FROM base GROUP BY type
+    """,
+)
+def logpipe_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 query-time histogram certified end-to-end: synthesize initial +
+    memory lines (elapsed varies 0-6s by event_id), run the REAL pipeline
+    (parse → annotate → prometheus_histogram with the reference's bucket
+    bounds, metrics.go:42), and have DuckDB recompute the cumulative
+    buckets from first principles. Covers the elapsed derivation
+    (memory.dt − initial.dt, query.go:226) and the le/count/sum contract.
+    """
+    from ..operators.correlate import annotate_events
+    from ..operators.parsing import parse_log_lines
+    from ..functions.histogram import prometheus_histogram
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0) & (F.col("event_id") % 3 != 0)
+    )
+    qid = F.concat(F.lit("q-"), F.col("event_id").cast("string"))
+    dt0 = F.date_format("ts", "yyyy.MM.dd HH:mm:ss.SSSSSS")
+    dt_end = F.date_format(
+        F.col("ts") + F.make_interval(secs=(F.col("event_id") % 7).cast("double")),
+        "yyyy.MM.dd HH:mm:ss.SSSSSS",
+    )
+    pid = (F.col("event_id") % 997).cast("string")
+    sql_text = (
+        F.when(F.col("event_type") == "click", F.lit("SELECT count() FROM hits"))
+        .when(F.col("event_type") == "view", F.lit("/* cached */ SELECT 1"))
+        .when(F.col("event_type") == "purchase", F.lit("INSERT INTO sales VALUES (1)"))
+        .when(F.col("event_type") == "signup", F.lit("UPDATE users SET active = 1"))
+        .otherwise(F.lit("OPTIMIZE TABLE hits"))
+    )
+    initial = e.select(
+        F.concat(dt0, F.lit(" [ "), pid, F.lit(" ] {"), qid,
+                 F.lit("} <Debug> executeQuery: (from 10.0.0.7:9000) "), sql_text).alias("value")
+    )
+    memory = e.select(
+        F.concat(dt_end, F.lit(" [ "), pid, F.lit(" ] {"), qid,
+                 F.lit("} <Debug> MemoryTracker: Peak memory usage (for query): 1.00 MiB.")).alias("value")
+    )
+    ev = annotate_events(parse_log_lines(initial.unionAll(memory)))
+    mem = ev.filter(F.col("memory_valid")).withColumn(
+        "elapsed",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("session_start_ts"))) / 1e6,
+    )
+    h = prometheus_histogram(mem, "elapsed", [1, 5, 10], ["session_stmt"])
+    return h.select(
+        F.col("session_stmt").alias("type"),
+        "le_1", "le_5", "le_10",
+        "bucket_count",
+        fround(F.col("bucket_sum"), 2).alias("bucket_sum"),
+    )
+
+
+@query("streaming_sessionize_fidelity")
+def streaming_sessionize_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL Structured Streaming pipeline (file source →
+    applyInPandasWithState sessionization → foreachBatch sink) over the
+    fidelity corpus and returns the completed-session records the sink
+    wrote. Rows-only driver check (streaming is not SQL-expressible); the
+    golden assertions live in tests/test_streaming.py. sf_dir is unused —
+    the corpus is the reference-shaped fixture log.
+    """
+    import tempfile
+
+    from ..sources.fixtures import standard_corpus, FixtureLog
+    from ..streaming import PrometheusSnapshotSink, run_log_pipeline
+
+    tmp = tempfile.mkdtemp(prefix="stream-fidelity-")
+    log_dir = f"{tmp}/logs"
+    import os
+
+    os.makedirs(log_dir)
+    FixtureLog(standard_corpus().lines).write(f"{log_dir}/00.log")
+    sink = PrometheusSnapshotSink(session_parquet_path=f"{tmp}/sessions")
+    pipe = run_log_pipeline(spark, log_dir, f"{tmp}/ckpt", sink)
+    try:
+        pipe.process_all_available()
+    finally:
+        pipe.stop()
+    return spark.read.parquet(f"{tmp}/sessions")

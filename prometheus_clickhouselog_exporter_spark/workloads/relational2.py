@@ -400,3 +400,41 @@ def correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("_nation_avg"))
         .select("c_custkey", "c_name", "c_acctbal")
     )
+
+
+@query(
+    "scalar_battery2",
+    oracle="""
+    SELECT p_partkey,
+           concat_ws('-', p_brand, p_type)            AS brand_type,
+           CASE WHEN regexp_matches(p_name, '[aeiou]{2}') THEN 1 ELSE 0 END AS double_vowel,
+           CAST(p_size AS VARCHAR)                    AS size_str,
+           abs(p_size - 25)                           AS size_dist,
+           greatest(p_size, 10)                       AS size_floor10,
+           least(p_size, 40)                          AS size_cap40,
+           floor(sqrt(CAST(p_size AS DOUBLE)) * 10000 + 0.5) / 10000 AS size_sqrt,
+           CAST(power(2, CAST(p_size % 10 AS DOUBLE)) AS BIGINT) AS pow2,
+           replace(lower(p_brand), 'brand', 'b')      AS brand_short,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0')   AS key_padded,
+           substr(reverse(p_name), 1, 5)              AS name_rev5
+    FROM part
+    """,
+)
+def scalar_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second scalar battery: string manipulation, regexp predicate,
+    greatest/least, math — all codegen'd row-local expressions."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_name").rlike("[aeiou]{2}"), 1).otherwise(0).alias("double_vowel"),
+        F.col("p_size").cast("string").alias("size_str"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.greatest("p_size", F.lit(10)).alias("size_floor10"),
+        F.least("p_size", F.lit(40)).alias("size_cap40"),
+        fround(F.sqrt(F.col("p_size").cast("double")), 4).alias("size_sqrt"),
+        F.pow(F.lit(2), (F.col("p_size") % 10).cast("double")).cast("long").alias("pow2"),
+        F.replace(F.lower("p_brand"), F.lit("brand"), F.lit("b")).alias("brand_short"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.substring(F.reverse(F.col("p_name")), 1, 5).alias("name_rev5"),
+    )
