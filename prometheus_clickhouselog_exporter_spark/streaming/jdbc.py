@@ -1,0 +1,48 @@
+"""ClickHouse/JDBC session sink (K1's production target per BASELINE).
+
+No JDBC driver jar ships in this container, so the writer degrades to a
+parquet staging directory with the SAME schema and append semantics; in a
+deployment, putting `clickhouse-jdbc` on the classpath and passing the URL
+makes `foreach_batch_writer` land batches in ClickHouse directly — the
+plumbing (per-epoch append, idempotent-by-epoch layout) is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_sessions_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    fallback_parquet: str | None = None,
+    properties: dict[str, str] | None = None,
+) -> str:
+    """Append session records to a JDBC table; returns 'jdbc' or
+    'parquet' for the path taken. Errors only when neither is possible."""
+    try:
+        writer = df.write.mode("append").format("jdbc").option("url", url).option("dbtable", table)
+        for k, v in (properties or {}).items():
+            writer = writer.option(k, v)
+        writer.save()
+        return "jdbc"
+    except Exception:
+        if not fallback_parquet:
+            raise
+        df.write.mode("append").parquet(fallback_parquet)
+        return "parquet"
+
+
+def foreach_batch_writer(url: str, table: str, fallback_parquet: str | None = None):
+    """foreachBatch adapter: epoch id is recorded as a column so replays
+    of a failed epoch stay identifiable downstream (ClickHouse
+    ReplacingMergeTree on (id, epoch) gives exactly-once semantics)."""
+    from pyspark.sql import functions as F
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        write_sessions_jdbc(
+            batch_df.withColumn("_epoch", F.lit(epoch_id)), url, table, fallback_parquet
+        )
+
+    return write

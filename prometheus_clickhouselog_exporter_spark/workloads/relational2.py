@@ -438,3 +438,33 @@ def scalar_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
         F.substring(F.reverse(F.col("p_name")), 1, 5).alias("name_rev5"),
     )
+
+
+@query(
+    "salted_skew_aggregate",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           floor(sum(value) * 100 + 0.5) / 100 AS total
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+)
+def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern, oracle-proven equivalent to the direct
+    aggregate: 5 hot keys over the whole table would hash to 5 reducers,
+    so phase 1 salts the key (×16), aggregates partials, and phase 2
+    merges — every reducer gets work, the result is identical.
+
+    (At this SF Spark's map-side partial aggregation already handles the
+    skew; the workload exists to certify the technique's correctness for
+    the cases — e.g. collect_list / exact median — where partials don't
+    apply. AQE skew-join handles the join-side analog automatically.)
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    salted = e.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        fround(F.sum("pv"), 2).alias("total"),
+    )

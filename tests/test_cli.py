@@ -49,3 +49,16 @@ def test_metrics_http_endpoint():
         assert code == 404
     finally:
         server.shutdown()
+
+
+def test_jdbc_sink_falls_back_to_parquet(spark, tmp_path):
+    from prometheus_clickhouselog_exporter_spark.streaming.jdbc import write_sessions_jdbc
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    path = write_sessions_jdbc(
+        df, "jdbc:clickhouse://nowhere:8123/default", "sessions",
+        fallback_parquet=str(tmp_path / "fallback"),
+    )
+    assert path == "parquet"
+    got = spark.read.parquet(str(tmp_path / "fallback")).collect()
+    assert [(r["id"], r["v"]) for r in got] == [(1, "a")]
