@@ -57,7 +57,7 @@ def cosine_topk(
     )
 
 
-def _sign_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+def _sign_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int, n_probe: int = 0):
     """Pandas UDF: embedding → array of LSH bucket ids, one per hash table.
 
     Multi-table LSH is what makes sign-random-projection usable: a single
@@ -76,11 +76,19 @@ def _sign_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
     @F.pandas_udf("array<long>")
     def buckets(vecs: pd.Series) -> pd.Series:
         m = np.vstack(vecs.to_numpy())  # (batch, dim)
-        out = np.empty((m.shape[0], n_tables), dtype=np.int64)
+        outs = []
         for t in range(n_tables):
-            bits = (m @ planes[t]) > 0
-            out[:, t] = (bits @ weights) + (t << n_planes)
-        return pd.Series(list(out))
+            proj = m @ planes[t]  # (batch, n_planes)
+            base = ((proj > 0) @ weights) + (t << n_planes)
+            outs.append(base)
+            if n_probe:
+                # multi-probe: also emit the buckets reached by flipping
+                # the lowest-|margin| sign bits — the neighbors a vector
+                # most plausibly landed in instead.
+                order = np.argsort(np.abs(proj), axis=1)
+                for p in range(min(n_probe, n_planes)):
+                    outs.append(base ^ weights[order[:, p]])
+        return pd.Series(list(np.stack(outs, axis=1)))
 
     return buckets
 
@@ -95,24 +103,27 @@ def lsh_bucketed_topk(
     dim: int = 64,
     n_planes: int = 6,
     n_tables: int = 16,
+    n_probe: int = 2,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: explode per-table sign-buckets, equi-join on
     bucket id, dedup candidates, exact cosine re-rank.
 
     100 TB: the corpus is hashed once (Arrow batches) and shuffled once on
-    bucket id; candidates per query ≈ L × corpus/2^k, tunable via
-    (n_planes ↑ precision, n_tables ↑ recall). Multi-probe (flipping
-    low-margin bits) is the standard next extension.
+    bucket id; candidates per query ≈ L × (1+n_probe) × corpus/2^k,
+    tunable via (n_planes ↑ precision, n_tables / n_probe ↑ recall).
+    Multi-probe flips the query's lowest-margin sign bits — extra probes
+    cost only query-side explode rows, never corpus re-hashing.
     """
-    buckets = _sign_buckets_udf(dim, n_planes, n_tables, seed)
+    c_buckets = _sign_buckets_udf(dim, n_planes, n_tables, seed)
+    q_buckets = _sign_buckets_udf(dim, n_planes, n_tables, seed, n_probe=n_probe)
     c = (
         corpus.select(F.col(id_col).alias("nbr_id"), normalize(F.col(vec_col)).alias("_cv"))
-        .withColumn("_bucket", F.explode(buckets(F.col("_cv"))))
+        .withColumn("_bucket", F.explode(c_buckets(F.col("_cv"))))
     )
     q = (
         queries.select(F.col(query_id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qv"))
-        .withColumn("_bucket", F.explode(buckets(F.col("_qv"))))
+        .withColumn("_bucket", F.explode(q_buckets(F.col("_qv"))))
     )
     cands = (
         c.join(q, ["_bucket"])

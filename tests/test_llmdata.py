@@ -59,15 +59,17 @@ def test_minhash_matches_exact(docs, exact_pairs):
     assert got == exact_pairs and len(exact_pairs) > 0
 
 
-def test_simhash_recall(docs, exact_pairs):
-    """TF-weighted SimHash recall of the planted near-dups. Deterministic
-    (fixed hash, no RNG): measured 26/28 at Hamming ≤ 6 on this corpus —
-    the two misses are shingle-similar docs whose token multisets diverge,
-    SimHash's documented blind spot. Precision is corpus-limited (31-word
-    vocabulary) and not asserted."""
+def test_simhash_recall_and_precision(docs, exact_pairs):
+    """Shingle-weighted SimHash. Deterministic (fixed hash, no RNG):
+    measured 24/28 planted-pair recall at Hamming ≤ 6 with ~zero false
+    positives on this corpus (the 4 misses sit at Hamming 7-12 — the
+    sketch's resolution limit, found by loosening the cutoff)."""
     got = {(r["id_a"], r["id_b"]) for r in simhash_dedup(docs, "text", "doc_id", max_hamming=6).collect()}
     recall = len(exact_pairs & got) / len(exact_pairs)
-    assert recall >= 0.9, f"recall {recall}: {len(exact_pairs & got)}/{len(exact_pairs)}"
+    assert recall >= 0.85, f"recall {recall}: {len(exact_pairs & got)}/{len(exact_pairs)}"
+    # precision: the token-weighted variant returned thousands of pairs
+    # here; shingle features keep non-dup collisions near zero.
+    assert len(got) <= len(exact_pairs) + 10, f"{len(got)} pairs returned"
 
 
 def test_ngram_token_jaccard_runs(spark, docs):
@@ -85,9 +87,9 @@ def test_lsh_similarity_recall_vs_bruteforce(emb):
     exact_set = {(r["query_id"], r["nbr_id"]) for r in exact}
     approx_set = {(r["query_id"], r["nbr_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    # 16 tables × 6 planes, deterministic seed: measured 62.5% top-10
-    # recall on this corpus (vs 2% for random guessing).
-    assert recall >= 0.5, f"recall {recall}"
+    # 16 tables × 6 planes × 2 probes, deterministic seed: measured 91.2%
+    # top-10 recall on this corpus (62.5% without multi-probe; 2% random).
+    assert recall >= 0.85, f"recall {recall}"
     assert all(r["rk"] <= 10 for r in approx)
 
 

@@ -134,3 +134,30 @@ def test_timeout_evicts_leaked_sessions(spark, tmp_path):
     assert pipe.sink.timeouts == 1
     assert pipe.sink.sessions == 0
     assert pipe.sink.query_count["insert"] == 1  # session opened, then evicted
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """The 100 TB state backend: sessionization on the RocksDB state-store
+    provider (state off-heap/on-disk, bounded memory) must produce the
+    same results as the default HDFS-backed store."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        f1 = [initial_line(T, 1, "q-rocks", "10.1.0.1", 9000, "SELECT 1")]
+        f2 = [
+            stats_line(T + timedelta(seconds=1), 1, "q-rocks", 500, "1.00 KiB", 1.0, 500, "1.00 KiB"),
+            memory_line(T + timedelta(seconds=2), 1, "q-rocks", "1.00 MiB"),
+        ]
+        sink = _run(spark, tmp_path, {"00.log": f1, "01.log": f2})
+        assert sink.sessions == 1
+        assert dict(sink.exporter_errors) == {}
+        assert sink.query_count["select"] == 1
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
