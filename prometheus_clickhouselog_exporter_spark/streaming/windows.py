@@ -42,3 +42,28 @@ def windowed_event_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), *extra_keys, "n")
     )
+
+
+def windowed_metric_export(
+    events: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    extra_keys: tuple[str, ...] = ("event_kind",),
+):
+    """Warehouse-friendly metrics: per-window event counts appended to
+    parquet as windows close (append mode + watermark ⇒ each window is
+    written exactly once, immutable — the alternative to the Prometheus
+    sink's accumulate-forever counters when metrics feed a table instead
+    of a scrape endpoint). Returns the StreamingQuery."""
+    agg = windowed_event_counts(events, ts_col, window, None, watermark, extra_keys)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("windowed_metric_export")
+        .start()
+    )

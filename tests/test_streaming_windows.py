@@ -65,3 +65,32 @@ def test_watermark_append_emits_closed_windows_and_drops_late(spark, tmp_path):
         assert rows.get("2024-05-01 10:05:00") == 1
     finally:
         q.stop()
+
+
+def test_windowed_metric_export_to_parquet(spark, tmp_path):
+    """Closed windows land in parquet exactly once (append + watermark)."""
+    from prometheus_clickhouselog_exporter_spark.streaming.windows import windowed_metric_export
+
+    log_dir = tmp_path / "logs"
+    log_dir.mkdir()
+    FixtureLog(_lines(5, 20, 90)).write(str(log_dir / "00.log"))
+    stream = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(str(log_dir))
+    q = windowed_metric_export(
+        parse_log_lines(stream),
+        str(tmp_path / "metrics"),
+        str(tmp_path / "ckpt"),
+        window="1 minute",
+        watermark="1 minute",
+        extra_keys=(),
+    )
+    try:
+        q.processAllAvailable()
+        FixtureLog(_lines(300)).write(str(log_dir / "01.log"))
+        q.processAllAvailable()
+        FixtureLog(_lines(400)).write(str(log_dir / "02.log"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {str(r["window_start"]): r["n"] for r in spark.read.parquet(str(tmp_path / "metrics")).collect()}
+    assert rows.get("2024-05-01 10:00:00") == 2
+    assert rows.get("2024-05-01 10:01:00") == 1
