@@ -30,18 +30,40 @@ _MULTIPLIERS: dict[str, int] = {
 }
 
 
+# bytefmt's own unit grammar (bytefmt.go bytesPattern, case-folded): a
+# prefix letter optionally followed by IB/B, or bare B; we additionally
+# accept a missing unit as plain bytes (the pre-existing contract here).
+_PAT = r"^([0-9]*\.?[0-9]+)(B|[KMGTPE](?:IB|B)?)?$"
+_SEP = "\x01"
+
+
+def _mult_map() -> Column:
+    pairs: list[Column] = []
+    for letter, m in _MULTIPLIERS.items():
+        pairs += [F.lit(letter), F.lit(m)]
+    return F.create_map(*pairs)
+
+
 def parse_bytes(col: Column) -> Column:
-    """``"1.00 MiB"`` → ``1048576`` (LongType); NULL when unparseable."""
+    """``"1.00 MiB"`` → ``1048576`` (LongType); NULL when unparseable.
+
+    Single-pass shape: one rewrite of the whole match to ``$1\\x01$2`` +
+    split, then a map lookup for the multiplier — every subexpression is
+    unconditional, so Catalyst's CSE applies (``when``-chains are exempt
+    from subexpression elimination and re-ran the regexes once per
+    referencing column in the previous formulation — measured ~3× the
+    whole-pipeline cost under project collapse).
+
+    Non-matching input never yields a value: the rewrite then returns the
+    input unchanged, the split has one element, ``try_element_at`` makes
+    the unit NULL, and the NULL multiplier nulls the product.
+    """
     # C4: collapse/remove all whitespace first (query.go:150).
     s = F.upper(F.regexp_replace(col, r"\s+", ""))
-    num = F.regexp_extract(s, r"^([0-9]*\.?[0-9]+)", 1).try_cast("double")
-    unit = F.regexp_extract(s, r"^[0-9]*\.?[0-9]+([A-Z]*)$", 1)
-    # bytefmt accepts X, XB, XIB for each prefix letter; bare bytes are B/"".
-    prefix = F.when(unit.isin("B", ""), F.lit("B")).otherwise(
-        F.when(unit.substr(2, 10).isin("", "B", "IB"), unit.substr(1, 1))
-    )
-    mult = F.lit(None).cast("long")
-    for letter, m in _MULTIPLIERS.items():
-        mult = F.when(prefix == letter, F.lit(m)).otherwise(mult)
+    g = F.split(F.regexp_replace(s, _PAT, f"$1{_SEP}$2"), _SEP)
+    num = F.try_element_at(g, F.lit(1)).try_cast("double")
+    # "" (no unit) → "B"; "KIB"/"KB"/"K" → "K" via first letter.
+    letter = F.substring(F.concat(F.try_element_at(g, F.lit(2)), F.lit("B")), 1, 1)
+    mult = F.try_element_at(_mult_map(), letter)
     # bytefmt truncates the scaled float toward zero (uint64 conversion).
     return F.floor(num * mult).cast("long")

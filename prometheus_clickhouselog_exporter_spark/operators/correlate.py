@@ -66,20 +66,29 @@ def annotate_events(parsed: DataFrame) -> DataFrame:
     ``session_start_ts``/``session_stmt``/``session_exists``,
     ``is_session_line`` (the winning initial), ``found`` (enrich line has a
     session at-or-before it), ``stats_valid``/``memory_valid``/
-    ``error_valid`` (all casts for that code path succeeded), and
+    ``error_valid`` (all casts for that code path succeeded), ``line_hash``
+    (xxhash64 of the raw line, the arrival-order tiebreak), and
     ``err_type`` — the A4 internal-error label for this line
     (duplicated_initial_query | convert | not_found_query | NULL).
     """
     k = F.col("event_kind")
     is_ini = k == "initial"
-    df = enrich_parsed(parsed)
+    df = enrich_parsed(parsed).withColumn("line_hash", F.xxhash64(F.col("raw_line")))
+    # Generate BARRIER: the enrich columns (parse_bytes ×3, classification)
+    # are referenced by several downstream predicates/aggregates; without a
+    # barrier project collapse inlines the conditional parse trees into
+    # every reference and CSE cannot dedupe them (conditionals are exempt)
+    # — measured ~4× re-evaluation. After the barrier they are plain
+    # attributes: the regex work runs once per line, BEFORE the shuffle,
+    # and the shuffle carries small typed columns instead of re-parsing.
+    df = df.select(F.explode(F.array(F.struct(*df.columns))).alias("_e")).select("_e.*")
 
     valid_ini = is_ini & ~F.col("convert_error")
     # Arrival-order proxy: (ts, xxhash64(raw_line)) per id — the hash
     # tiebreak keeps the ~100-byte raw line out of the shuffle and the
     # window buffers (it only matters for exact-duplicate timestamps,
     # where any deterministic order is as faithful as any other).
-    line_h = F.xxhash64(F.col("raw_line"))
+    line_h = F.col("line_hash")
     order_key = F.struct(F.col("ts"), line_h.alias("h"))
 
     # ONE unordered window carries the whole session identity: the winning
@@ -150,7 +159,7 @@ def correlate_batch(parsed: DataFrame) -> DataFrame:
     # the codegen path — and per-field picks could mix fields from
     # different same-timestamp lines, while the struct keeps each line
     # atomic, matching the reference's whole-line mutation.
-    h = F.xxhash64(F.col("raw_line"))
+    h = F.col("line_hash")
     ini = F.min(
         F.when(
             F.col("is_session_line"),

@@ -43,6 +43,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_nanos_safe(spark, f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Round-robin repartition a narrow scan up to the cluster parallelism
+    before CPU-heavy per-row work (regex parse, shingling, signatures).
+
+    Why: a parquet file's row group is the minimum split unit, so a small
+    input (one row group) pins the whole codegen pipeline above it to ONE
+    core no matter how many the session has — `maxPartitionBytes` cannot
+    split below a row group, and AQE only coalesces, never fans out a scan.
+    On a real cluster the 100 TB input has thousands of splits and this is
+    a no-op (partitions already ≥ parallelism/min_factor); locally it
+    trades a tiny shuffle of the raw rows for full-width execution of the
+    expensive expressions above.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor >= target:
+        return df
+    return df.repartition(target)
+
+
 # --- cross-engine float discipline -----------------------------------------
 # Spark's round(double) goes through the shortest decimal repr with HALF_UP;
 # DuckDB rounds the raw binary double. At half-boundaries (which money data

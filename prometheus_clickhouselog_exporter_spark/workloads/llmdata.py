@@ -30,7 +30,7 @@ from ..operators.textstats import (
     quality_score,
     token_count,
 )
-from .core import fround, query, table
+from .core import fan_out, fround, query, table
 
 
 @query(
@@ -120,7 +120,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`similarity_lsh_topk`, operators/similarity.py) is the scale path when
     the query set itself is large.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     corpus = emb.select(F.col("vec_id"), F.col("label"), as_double.alias("ce"))
     queries = (
@@ -192,7 +192,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates shuffle, and verification joins carry shingle arrays for
     candidates only.
     """
-    d = table(spark, sf_dir, "documents").filter(F.size(F.split(F.col("text"), " ")) >= 3)
+    d = fan_out(table(spark, sf_dir, "documents")).filter(F.size(F.split(F.col("text"), " ")) >= 3)
     return minhash_lsh_dedup(d, "text", "doc_id", threshold=0.5)
 
 
@@ -205,7 +205,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab → ~30k distinct shingles here); the classic prefix/length filters
     slot in as pre-join pruning when corpora grow.
     """
-    d = table(spark, sf_dir, "documents").filter(F.size(F.split(F.col("text"), " ")) >= 3)
+    d = fan_out(table(spark, sf_dir, "documents")).filter(F.size(F.split(F.col("text"), " ")) >= 3)
     toks = d.select(F.col("doc_id").alias("_id"), word_shingles(F.col("text"), 3).alias("_t"))
     sizes = toks.select("_id", F.size("_t").alias("_n"))
     posting = toks.select("_id", F.explode("_t").alias("g"))
@@ -235,7 +235,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     collide), which is itself the documented SimHash failure mode; the
     pytest suite asserts recall of the planted near-dup pairs instead.
     """
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))
     return simhash_dedup(d, "text", "doc_id", max_hamming=3)
 
 
@@ -328,7 +328,7 @@ def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: all pure row-local expressions in the scan stage; zero shuffle.
     """
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         "lang",
@@ -353,7 +353,7 @@ def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint (mod 1e9+7),
     reproduced bit-for-bit by the DuckDB oracle."""
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
@@ -390,7 +390,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shapes, and schema handling are all correct. Real decoders (PIL/ffmpeg)
     replace one stub function; the Spark plumbing is what's being graded.
     """
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = fan_out(table(spark, sf_dir, "documents")).select("doc_id")
     media = attach_fake_media(d, "doc_id", kind="image")
     return decode_features(media).select("doc_id", "width", "height", "payload_bytes", "checksum")
 

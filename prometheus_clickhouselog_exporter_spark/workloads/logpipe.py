@@ -17,7 +17,7 @@ from ..functions.bytesize import parse_bytes
 from ..functions.histogram import prometheus_histogram
 from ..functions.stmt import classify_statement
 from ..operators.parsing import parse_log_lines
-from .core import fround, query, table
+from .core import fan_out, fround, query, table
 
 
 @query(
@@ -166,7 +166,7 @@ def logpipe_bytes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked by round-trip: format a deterministic human string from
     events.value, parse with the engine expression, compare to DuckDB's
     arithmetic of the same construction."""
-    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+    e = fan_out(table(spark, sf_dir, "events")).filter(F.col("value").isNotNull() & (F.col("value") >= 0))
     unit = F.element_at(F.array(F.lit("B"), F.lit("KiB"), F.lit("MiB"), F.lit("GB"), F.lit("TiB")), (F.col("event_id") % 5 + 1).cast("int"))
     num = F.round(F.col("value"), 2)
     human = F.concat(num.cast("string"), F.lit(" "), unit)
@@ -203,7 +203,7 @@ def logpipe_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked end-to-end: synthesize valid ClickHouse initial lines
     from events rows, run them through the engine's real parse stack
     (`parse_log_lines`), and have DuckDB extract the same fields."""
-    e = table(spark, sf_dir, "events")
+    e = fan_out(table(spark, sf_dir, "events"))
     line = F.concat(
         F.date_format("ts", "yyyy.MM.dd HH:mm:ss.SSSSSS"),
         F.lit(" [ "), (F.col("event_id") % 997).cast("string"),
@@ -264,7 +264,7 @@ def logpipe_correlate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.correlate import correlate_batch
 
-    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+    e = fan_out(table(spark, sf_dir, "events")).filter(F.col("value").isNotNull() & (F.col("value") >= 0))
     qid = F.concat(F.lit("q-"), F.col("event_id").cast("string"))
     dt0 = F.date_format("ts", "yyyy.MM.dd HH:mm:ss.SSSSSS")
     dt1 = F.date_format(F.col("ts") + F.expr("INTERVAL 1 SECOND"), "yyyy.MM.dd HH:mm:ss.SSSSSS")
@@ -283,24 +283,33 @@ def logpipe_correlate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.round(F.col("value"), 2).cast("string")
 
-    initial = e.select(
-        F.concat(dt0, F.lit(" [ "), pid, F.lit(" ] {"), qid, F.lit("} <Debug> executeQuery: (from "),
-                 host_port, F.lit(") "), sql_text).alias("value")
+    initial_line = F.concat(
+        dt0, F.lit(" [ "), pid, F.lit(" ] {"), qid, F.lit("} <Debug> executeQuery: (from "),
+        host_port, F.lit(") "), sql_text,
     )
-    stats = e.filter(F.col("value") >= 10).select(
+    stats_line = F.when(
+        F.col("value") >= 10,
         F.concat(dt1, F.lit(" [ "), pid, F.lit(" ] {"), qid,
                  F.lit("} <Information> executeQuery: Read "),
                  (F.col("event_id") % 100000).cast("string"),
                  F.lit(" rows, "), num, F.lit(" MiB in 1.000 sec., "),
                  (F.col("event_id") % 9999 + 1).cast("string"),
-                 F.lit(" rows/sec., "), num, F.lit(" KiB/sec.")).alias("value")
+                 F.lit(" rows/sec., "), num, F.lit(" KiB/sec.")),
     )
-    memory = e.filter(F.col("event_id") % 3 != 0).select(
+    memory_line = F.when(
+        F.col("event_id") % 3 != 0,
         F.concat(dt2, F.lit(" [ "), pid, F.lit(" ] {"), qid,
                  F.lit("} <Debug> MemoryTracker: Peak memory usage (for query): "),
-                 num, F.lit(" KiB.")).alias("value")
+                 num, F.lit(" KiB.")),
     )
-    log = initial.unionAll(stats).unionAll(memory)
+    # Single-scan synthesis: one events pass builds all three line shapes
+    # per row and explodes them (the previous 3-branch union scanned the
+    # parquet three times and re-evaluated the shared prefix columns per
+    # branch). NULL array slots (absent stats/memory lines) are dropped.
+    log = (
+        e.select(F.explode(F.array(initial_line, stats_line, memory_line)).alias("value"))
+        .filter(F.col("value").isNotNull())
+    )
     from ..operators.parsing import parse_log_lines
 
     sessions = correlate_batch(parse_log_lines(log))
@@ -342,7 +351,7 @@ def logpipe_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.parsing import parse_log_lines
     from ..functions.histogram import prometheus_histogram
 
-    e = table(spark, sf_dir, "events").filter(
+    e = fan_out(table(spark, sf_dir, "events")).filter(
         F.col("value").isNotNull() & (F.col("value") >= 0) & (F.col("event_id") % 3 != 0)
     )
     qid = F.concat(F.lit("q-"), F.col("event_id").cast("string"))
