@@ -49,13 +49,20 @@ _INSERT = "insert"
 def enrich_parsed(parsed: DataFrame) -> DataFrame:
     """Stateless enrichment shared by batch and streaming: parsed byte
     quantities (C3) and statement classification (X1). Pure expressions —
-    valid on both bounded and streaming DataFrames."""
+    valid on both bounded and streaming DataFrames.
+
+    One ``withColumns`` call, not four ``withColumn``: every DataFrame op
+    re-walks the whole upstream plan driver-side, and the parse subtree
+    below this point is thousands of expression nodes — call count here is
+    measurable per-query build latency."""
     k = F.col("event_kind")
-    return (
-        parsed.withColumn("bytes_read", F.when(k == "stats", parse_bytes(F.col("bytes_raw"))))
-        .withColumn("speed", F.when(k == "stats", parse_bytes(F.col("speed_raw"))))
-        .withColumn("memory_bytes", F.when(k == "memory", parse_bytes(F.col("memory_raw"))))
-        .withColumn("stmt_type", F.when(k == "initial", classify_statement(F.col("query"))))
+    return parsed.withColumns(
+        {
+            "bytes_read": F.when(k == "stats", parse_bytes(F.col("bytes_raw"))),
+            "speed": F.when(k == "stats", parse_bytes(F.col("speed_raw"))),
+            "memory_bytes": F.when(k == "memory", parse_bytes(F.col("memory_raw"))),
+            "stmt_type": F.when(k == "initial", classify_statement(F.col("query"))),
+        }
     )
 
 
@@ -149,45 +156,108 @@ def correlate_batch(parsed: DataFrame) -> DataFrame:
 
     Repeated enrich lines follow last-write-wins by event time, matching the
     reference's in-place mutation under monotone arrival.
-    """
-    ev = annotate_events(parsed)
 
-    # Last-write-wins per event KIND is expressed as max over a struct led
-    # by (ts, line-hash): min/max over structs are declarative aggregates
-    # (whole-stage codegen hash agg, 4 buffers), where the equivalent
-    # min_by/max_by per field would be 15 ObjectHashAggregate buffers off
-    # the codegen path — and per-field picks could mix fields from
-    # different same-timestamp lines, while the struct keeps each line
-    # atomic, matching the reference's whole-line mutation.
+    Physical shape: ONE exchange, ONE aggregation, NO window. The session
+    identity (winning initial = min struct over (ts, hash)) and each kind's
+    last-write-wins payload (max struct) are declarative conditional
+    aggregates in a single partial+final aggregate (SortAggregate — struct
+    buffers are not UnsafeRow-mutable, so hash agg is unavailable; the sort
+    is by the group key only) — where the previous window-based lowering
+    additionally buffered every partition through WindowExec before a
+    second aggregate. The "is this enrich line at-or-after the session
+    start" (orphan) test moves AFTER the agg: orphans have ts < start ≤ any
+    found line's ts, so the max struct picks a found line whenever one
+    exists, and a post-agg ``ts >= start`` check nulls the all-orphan case.
+    NULL-ts lines (the reference never parses stats/error dt, so a
+    dash-separated timestamp yields a valid line with NULL ts) always count
+    as found and sort below every non-null ts in the window ordering; a
+    second conditional agg per kind preserves exactly that: used only when
+    the non-null max is orphan or absent. Initial/memory NULL ts is
+    impossible here (parse marks it convert_error).
+    """
+    k = F.col("event_kind")
+    # One select builds the enrich columns (C3 byte parses, X1
+    # classification), folds raw_line into line_hash, prunes the dead
+    # raw-string columns (elapsed_str — query.go:16 vs :226 — and the
+    # *_raw fields once parsed) so the sort + shuffle rows carry only
+    # typed fields, and wraps it all in a Generate BARRIER (see
+    # annotate_events): the conditional parse trees are each referenced
+    # by an agg condition AND a payload; project collapse would otherwise
+    # inline them per reference (conditionals are CSE-exempt). Built as a
+    # single op because each DataFrame call re-walks the deep parse plan
+    # driver-side (see enrich_parsed).
+    ev = parsed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("event_kind"), F.col("ts"), F.col("pid"), F.col("id"),
+                    F.col("host"), F.col("port"), F.col("query"),
+                    F.col("rows_read"), F.col("rps"),
+                    F.col("error_code"), F.col("error_message"), F.col("convert_error"),
+                    F.when(k == "stats", parse_bytes(F.col("bytes_raw"))).alias("bytes_read"),
+                    F.when(k == "stats", parse_bytes(F.col("speed_raw"))).alias("speed"),
+                    F.when(k == "memory", parse_bytes(F.col("memory_raw"))).alias("memory_bytes"),
+                    F.when(k == "initial", classify_statement(F.col("query"))).alias("stmt_type"),
+                    F.xxhash64(F.col("raw_line")).alias("line_hash"),
+                )
+            )
+        ).alias("_e")
+    ).select("_e.*")
+
     h = F.col("line_hash")
+    ok = ~F.col("convert_error")
+    sta_ok = (k == "stats") & ok & F.col("bytes_read").isNotNull() & F.col("speed").isNotNull()
+    err_ok = (k == "error") & ok
+    tsn = F.col("ts").isNotNull()
+
     ini = F.min(
         F.when(
-            F.col("is_session_line"),
+            (k == "initial") & ok,
             F.struct(
-                F.col("ts"), F.col("host"), F.col("port"), F.col("pid"),
-                F.col("query"), F.col("stmt_type"),
+                F.col("ts"), h.alias("h"), F.col("host"), F.col("port"),
+                F.col("pid"), F.col("query"), F.col("stmt_type"),
             ),
         )
     ).alias("_ini")
     sta = F.max(
         F.when(
-            F.col("stats_valid"),
+            sta_ok & tsn,
             F.struct(F.col("ts"), h.alias("h"), F.col("rows_read"), F.col("bytes_read"), F.col("rps"), F.col("speed")),
         )
     ).alias("_sta")
+    sta_u = F.max(
+        F.when(
+            sta_ok & ~tsn,
+            F.struct(h.alias("h"), F.col("rows_read"), F.col("bytes_read"), F.col("rps"), F.col("speed")),
+        )
+    ).alias("_sta_u")
     mem = F.max(
-        F.when(F.col("memory_valid"), F.struct(F.col("ts"), h.alias("h"), F.col("memory_bytes")))
+        F.when((k == "memory") & ok & F.col("memory_bytes").isNotNull(), F.struct(F.col("ts"), h.alias("h"), F.col("memory_bytes")))
     ).alias("_mem")
     err = F.max(
-        F.when(F.col("error_valid"), F.struct(F.col("ts"), h.alias("h"), F.col("error_code"), F.col("error_message")))
+        F.when(err_ok & tsn, F.struct(F.col("ts"), h.alias("h"), F.col("error_code"), F.col("error_message")))
     ).alias("_err")
+    err_u = F.max(
+        F.when(err_ok & ~tsn, F.struct(h.alias("h"), F.col("error_code"), F.col("error_message")))
+    ).alias("_err_u")
 
     out = (
         ev.groupBy("id")
-        .agg(ini, sta, mem, err, F.max(F.col("error_valid")).alias("error"))
+        .agg(ini, sta, sta_u, mem, err, err_u)
         .filter(F.col("_ini").isNotNull())
     )
-    elapsed = (F.unix_micros(F.col("_mem.ts")) - F.unix_micros(F.col("_ini.ts"))) / 1e6
+
+    start = F.col("_ini.ts")
+    sta_found = F.col("_sta").isNotNull() & (F.col("_sta.ts") >= start)
+    mem_found = F.col("_mem").isNotNull() & (F.col("_mem.ts") >= start)
+    err_found = F.col("_err").isNotNull() & (F.col("_err.ts") >= start)
+    sta_any = sta_found | F.col("_sta_u").isNotNull()
+    err_any = err_found | F.col("_err_u").isNotNull()
+
+    def pick(found: Column, n: str, field: str) -> Column:
+        return F.when(found, F.col(f"_{n}.{field}")).otherwise(F.col(f"_{n}_u.{field}"))
+
+    elapsed = (F.unix_micros(F.col("_mem.ts")) - F.unix_micros(start)) / 1e6
     return out.select(
         "id",
         F.col("_ini.host").alias("host"),
@@ -195,18 +265,18 @@ def correlate_batch(parsed: DataFrame) -> DataFrame:
         F.col("_ini.pid").alias("pid"),
         F.col("_ini.query").alias("query"),
         F.col("_ini.stmt_type").alias("stmt_type"),
-        F.col("_ini.ts").alias("start_time"),
-        F.col("_sta.rows_read").alias("rows_read"),
-        F.col("_sta.bytes_read").alias("bytes_read"),
-        F.col("_sta.rps").alias("rps"),
-        F.col("_sta.speed").alias("speed"),
-        F.col("_mem.memory_bytes").alias("memory"),
-        F.col("_mem.ts").alias("end_time"),
-        F.col("error"),
-        F.col("_err.error_code").alias("error_code"),
-        F.col("_err.error_message").alias("error_message"),
-        F.when(F.col("_mem").isNotNull(), elapsed).alias("elapsed"),
-        (F.col("_mem").isNotNull() & (F.col("_ini.stmt_type") != _INSERT)).alias("full_info"),
+        start.alias("start_time"),
+        pick(sta_found, "sta", "rows_read").alias("rows_read"),
+        pick(sta_found, "sta", "bytes_read").alias("bytes_read"),
+        pick(sta_found, "sta", "rps").alias("rps"),
+        pick(sta_found, "sta", "speed").alias("speed"),
+        F.when(mem_found, F.col("_mem.memory_bytes")).alias("memory"),
+        F.when(mem_found, F.col("_mem.ts")).alias("end_time"),
+        err_any.alias("error"),
+        pick(err_found, "err", "error_code").alias("error_code"),
+        pick(err_found, "err", "error_message").alias("error_message"),
+        F.when(mem_found, elapsed).alias("elapsed"),
+        (mem_found & (F.col("_ini.stmt_type") != _INSERT)).alias("full_info"),
     )
 
 
