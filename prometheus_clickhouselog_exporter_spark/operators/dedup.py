@@ -276,6 +276,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Near-dup pairs → dedup clusters: (id, component) where component is
+    the minimum id reachable through the pair graph.
+
+    This is the step that turns pairwise dedup output into something a
+    pipeline can act on — pairs alone can't answer "which copy do we keep?"
+    when dups chain (A≈B, B≈C but A!≈C): the cluster is the unit of
+    retention, and min-id-per-component is the canonical pick.
+
+    Algorithm: hash-to-min label propagation. Each node starts labeled with
+    itself; per round every node takes the min label among itself and its
+    neighbors; converges in O(graph diameter) rounds. Dedup graphs are
+    near-cliques of bounded size, so the diameter is tiny (2-3 rounds);
+    for adversarial long-chain graphs the alternating large-star/small-star
+    variant (Kiveris et al., "Connected Components in MapReduce") drops to
+    O(log²n) rounds — same join/agg skeleton, swap when needed.
+
+    Scale notes: each round is one shuffle join (edges ⋈ labels on node id)
+    plus one min-aggregate; ``localCheckpoint`` after every round truncates
+    the lineage so round k's plan doesn't re-derive rounds 1..k-1 (iterative
+    lineage growth is the classic Spark CC failure mode), and the
+    convergence probe reuses the checkpointed blocks. Edges shuffle once per
+    round; at 100 TB the label table is |V| ≈ docs-in-any-pair, far smaller
+    than the corpus.
+    """
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select("id", F.least("comp", "ncomp").alias("comp"), (F.col("ncomp") < F.col("comp")).alias("_chg"))
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_cosine_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9
 ) -> DataFrame:
