@@ -390,6 +390,60 @@ def logpipe_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "logpipe_open_close_join",
+    oracle="""
+    SELECT 'q-' || CAST(event_id AS VARCHAR)  AS id,
+           ts                                 AS start_time,
+           ts + to_microseconds(CAST(event_id % 7 AS BIGINT) * 1000000) AS end_time,
+           CAST(event_id % 7 AS DOUBLE)       AS elapsed
+    FROM events
+    WHERE value IS NOT NULL AND value >= 0
+      AND event_id % 3 <> 0 AND event_id % 7 <= 5
+    """,
+)
+def logpipe_open_close_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (``streaming/joins.join_initial_to_close``): initial lines joined to
+    their MemoryTracker close within a 5-second bound. The SAME operator
+    runs streaming (watermarked state, tested in
+    tests/test_streaming_joins.py); here the bounded form is oracle-checked
+    against independent DuckDB arithmetic.
+
+    100 TB: equi-join on id + time-bound predicate; in streaming the bound
+    is the state-eviction contract, in batch Catalyst plans a plain
+    shuffled hash join on id.
+    """
+    from ..operators.parsing import parse_log_lines
+    from ..streaming.joins import join_initial_to_close
+
+    e = fan_out(table(spark, sf_dir, "events")).filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    qid = F.concat(F.lit("q-"), F.col("event_id").cast("string"))
+    dt0 = F.date_format("ts", "yyyy.MM.dd HH:mm:ss.SSSSSS")
+    dt_end = F.date_format(
+        F.col("ts") + F.make_interval(secs=(F.col("event_id") % 7).cast("double")),
+        "yyyy.MM.dd HH:mm:ss.SSSSSS",
+    )
+    pid = (F.col("event_id") % 997).cast("string")
+    initial = F.concat(
+        dt0, F.lit(" [ "), pid, F.lit(" ] {"), qid,
+        F.lit("} <Debug> executeQuery: (from 10.0.0.7:9000) SELECT 1"),
+    )
+    memory = F.when(
+        F.col("event_id") % 3 != 0,
+        F.concat(dt_end, F.lit(" [ "), pid, F.lit(" ] {"), qid,
+                 F.lit("} <Debug> MemoryTracker: Peak memory usage (for query): 1.00 MiB.")),
+    )
+    log = (
+        e.select(F.explode(F.array(initial, memory)).alias("value"))
+        .filter(F.col("value").isNotNull())
+    )
+    joined = join_initial_to_close(parse_log_lines(log), max_duration="5 seconds")
+    return joined.select("id", "start_time", "end_time", "elapsed")
+
+
 @query("streaming_sessionize_fidelity")
 def streaming_sessionize_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the REAL Structured Streaming pipeline (file source →
