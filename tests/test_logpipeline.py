@@ -88,6 +88,15 @@ def test_correlate_goldens(parsed):
     assert q["q-oth"]["stmt_type"] == "other"
 
 
+def test_correlate_plan_shape(parsed):
+    """Scale contract (SCALE.md): batch correlation is a single
+    aggregation with no window operator, and the only exchange above the
+    scan is the groupBy-id shuffle."""
+    plan = correlate_batch(parsed)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2  # agg exchange (+1 AQE artifact max)
+
+
 def test_error_counts(parsed):
     got = {r["err_type"]: r["n"] for r in error_counts(parsed).collect()}
     assert got == {"duplicated_initial_query": 1, "convert": 1, "not_found_query": 3}
