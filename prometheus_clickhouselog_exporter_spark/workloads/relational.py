@@ -329,6 +329,37 @@ def json_events_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_type,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_valid,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))   AS sum_k,
+           count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4 VariantType: ``try_parse_json``
+    → binary variant → typed ``try_variant_get`` path extraction.
+
+    Versus ``get_json_object`` (json_events_extract): the variant is
+    parsed ONCE into a binary-encoded form and every path access is a
+    field lookup, not a re-parse — the difference between O(paths) JSON
+    scans and one, which is what makes wide semi-structured columns
+    viable at 100 TB. Malformed documents become NULL (try_ semantics),
+    matching the engine's count-and-skip posture.
+    """
+    e = table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("k").alias("n_valid"),
+        F.sum("k").alias("sum_k"),
+        F.count_distinct("k").alias("distinct_k"),
+    )
+
+
+@query(
     "window_tumbling_events",
     oracle="""
     SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400) AS TIMESTAMP)
