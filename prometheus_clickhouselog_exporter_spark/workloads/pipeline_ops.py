@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import connected_components, minhash_lsh_dedup
+from ..operators.dedup import connected_components, minhash_lsh_dedup, word_shingles
 from ..operators.sampling import deterministic_sample, hash_bucket, stratified_sample
 from .core import fan_out, fround, query, table
 from .llmdata import _SHINGLE_JACCARD_SQL
@@ -110,6 +110,36 @@ def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_coordinated_users",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+    FROM events
+    WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 < 1500
+    GROUP BY user_id
+    """,
+)
+def sample_coordinated_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinated sampling: hash the JOIN KEY (user_id), not the row —
+    a kept user keeps ALL their events, so downstream per-user features
+    (counts, funnels, session chains) stay complete on the sample. The
+    same bucket rule applied to any other table keyed by user_id yields a
+    referentially consistent cross-table sample — the property row-level
+    samplers cannot give. 15% of users kept here.
+
+    100 TB: scan-stage predicate on each table independently; no
+    coordination state, no join needed to align samples.
+    """
+    e = table(spark, sf_dir, "events")
+    kept = deterministic_sample(e, F.col("user_id").cast("string"), 0.15)
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )
+
+
+@query(
     "text_quantile_stats",
     oracle="""
     SELECT lang,
@@ -203,6 +233,74 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(distinct_ratio, 4).alias("distinct_ratio"),
         fround(top_ratio, 4).alias("top_tok_ratio"),
         ((distinct_ratio >= 0.3) & (top_ratio <= 0.2)).alias("keep"),
+    )
+
+
+@query(
+    "dedup_jaccard_pruned",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 2 + 1),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks
+    ),
+    post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    keep AS (SELECT g FROM post GROUP BY g HAVING count(*) <= 4),
+    post2 AS (SELECT doc_id, g FROM post WHERE g IN (SELECT g FROM keep)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM post2 GROUP BY doc_id),
+    common AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+      FROM post2 l JOIN post2 r ON l.g = r.g AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, c / (sa.n + sb.n - c) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.doc_id
+    JOIN sizes sb ON common.id_b = sb.doc_id
+    WHERE c / (sa.n + sb.n - c) >= 0.5
+    """,
+)
+def dedup_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingle-pruned Jaccard: shingles whose document frequency
+    exceeds a limit are dropped BEFORE the posting-list self-join — the
+    classic frequency-pruning refinement that bounds the worst posting
+    list, here with limit 4 (this corpus's df tops out at 7; at web scale
+    the limit is the df where a posting list stops fitting a task).
+    Jaccard is then computed over the pruned shingle sets on both sides —
+    deterministic, so the oracle reproduces it exactly.
+
+    100 TB: the df pass is one count-agg; the pruning itself is a
+    broadcast-able semi-join (keep-set ≪ vocabulary); the pair join's
+    worst bucket is bounded by the limit, making the join's skew profile
+    a CHOICE instead of a data property.
+    """
+    d = fan_out(table(spark, sf_dir, "documents")).filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    sh = d.select(F.col("doc_id").alias("_id"), word_shingles(F.col("text"), 3).alias("_sh"))
+    posting = sh.select("_id", F.explode("_sh").alias("g"))
+    keep = posting.groupBy("g").agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") <= 4)
+    pruned = posting.join(F.broadcast(keep.select("g")), "g", "left_semi")
+    sizes = pruned.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    l, r = pruned.alias("l"), pruned.alias("r")
+    common = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa._n") + F.col("sb._n") - F.col("c"))
+    return (
+        common.join(sa, common.id_a == F.col("sa._id"))
+        .join(sb, common.id_b == F.col("sb._id"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
