@@ -124,21 +124,96 @@ def _to_pdf(out: list[dict[str, Any]]) -> pd.DataFrame:
     return pd.DataFrame(arr, columns=_OUT_COLS)
 
 
-def make_session_func(timeout_ms: int = 0):
-    """Build the applyInPandasWithState function (ST1-ST5 fold).
+def rows_from_frames(frames: list[pd.DataFrame]) -> list[tuple]:
+    """Per-group pandas frames → plain tuples in arrival order.
 
     Hot-path shape: the per-group overhead is what bounds sessions/sec at
-    scale (one Python call per query id), so the fold avoids the pandas
-    row machinery entirely — numpy column pulls + zip into plain tuples +
-    a Python sort (groups are a handful of lines; stable, NULL ts last)
-    — measured ~6× over sort_values + itertuples + DataFrame-of-dicts.
+    scale (one Python call per query id), so this avoids the pandas row
+    machinery entirely — numpy column pulls + zip into plain tuples + a
+    Python sort (groups are a handful of lines; stable, NULL ts last) —
+    measured ~6× over sort_values + itertuples + DataFrame-of-dicts.
     """
+    if not frames:
+        return []
+    ev_df = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+    # µs since epoch directly; NaT becomes int64 min (sorts via flag)
+    ts_us_arr = ev_df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+    rows = list(zip(ts_us_arr, *(ev_df[c].to_numpy() for c in _EV_COLS)))
+    if len(rows) > 1:
+        # arrival-order proxy: (ts, raw_line), NULL ts last; stable.
+        rows.sort(key=lambda r: (r[0] == _NAT, r[0], r[15] or ""))
+    return rows
+
+
+def fold_events(
+    qid: str, rows: list[tuple], sess: tuple | None
+) -> tuple[list[dict[str, Any]], tuple | None]:
+    """The ST1-ST5 state machine, pure: (events, session) → (emitted rows,
+    new session). Shared verbatim by the applyInPandasWithState and the
+    transformWithStateInPandas renderings, so the two APIs cannot drift."""
+    out: list[dict[str, Any]] = []
+    for (tus, kind, conv, host, port, pid, query, stmt, ev_rows, ev_bytes,
+         ev_rps, ev_speed, ev_mem, ev_code, ev_msg, _raw) in rows:
+        ts_us = None if tus == _NAT else int(tus)
+        if kind == "initial":
+            if sess is not None:
+                out.append(_blank("err", qid) | {"err_type": "duplicated_initial_query"})
+            elif conv:
+                out.append(_blank("err", qid) | {"err_type": "convert"})
+            else:
+                # numpy scalars → Python ints so the state tuple matches
+                # the bigint state schema.
+                sess = (
+                    host, int(port), int(pid), query,
+                    stmt, ts_us, None, None, None, None, None, None,
+                    False, None, None,
+                )
+                out.append(_blank("obs_initial", qid) | {"obs_label": stmt})
+        elif kind == "stats":
+            if sess is None:
+                out.append(_blank("err", qid) | {"err_type": "not_found_query"})
+            elif conv or pd.isna(ev_bytes) or pd.isna(ev_speed):
+                out.append(_blank("err", qid) | {"err_type": "convert"})
+            else:
+                sess = sess[:6] + (int(ev_rows), int(ev_bytes), int(ev_rps), int(ev_speed)) + sess[10:]
+                d = _blank("obs_stats", qid)
+                d.update(rows_read=int(ev_rows), bytes_read=int(ev_bytes),
+                         rps=int(ev_rps), speed=int(ev_speed))
+                out.append(d)
+        elif kind == "memory":
+            if sess is None:
+                out.append(_blank("err", qid) | {"err_type": "not_found_query"})
+            elif conv or pd.isna(ev_mem):
+                out.append(_blank("err", qid) | {"err_type": "convert"})
+            else:
+                sess = sess[:10] + (int(ev_mem), ts_us) + sess[12:]
+                elapsed = (ts_us - sess[5]) / 1e6
+                out.append(_blank("obs_time", qid) | {"obs_label": sess[4], "elapsed": elapsed})
+                if sess[4] != "insert":  # FullInfo ⇒ evict (main.go:125-129)
+                    out.append(_session_row("session", qid, sess, True))
+                    sess = None
+        elif kind == "error":
+            if sess is None:
+                out.append(_blank("err", qid) | {"err_type": "not_found_query"})
+            elif conv:
+                out.append(_blank("err", qid) | {"err_type": "convert"})
+            else:
+                sess = sess[:12] + (True, int(ev_code), ev_msg)
+                out.append(
+                    _blank("obs_error", qid)
+                    | {"obs_label": sess[4], "error_code": int(ev_code)}
+                )
+    return out, sess
+
+
+def make_session_func(timeout_ms: int = 0):
+    """Build the applyInPandasWithState function (ST1-ST5 fold)."""
 
     def func(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         qid = key[0]
-        out: list[dict[str, Any]] = []
 
         if state.hasTimedOut:
+            out: list[dict[str, Any]] = []
             if state.exists:
                 out.append(_session_row("timeout_evict", qid, tuple(state.get), False))
                 state.remove()
@@ -146,70 +221,9 @@ def make_session_func(timeout_ms: int = 0):
                 yield _to_pdf(out)
             return
 
-        frames = [p for p in pdfs if len(p)]
-        rows: list[tuple] = []
-        if frames:
-            ev_df = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
-            # µs since epoch directly; NaT becomes int64 min (sorts via flag)
-            ts_us_arr = ev_df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
-            rows = list(zip(ts_us_arr, *(ev_df[c].to_numpy() for c in _EV_COLS)))
-            if len(rows) > 1:
-                # arrival-order proxy: (ts, raw_line), NULL ts last; stable.
-                rows.sort(key=lambda r: (r[0] == _NAT, r[0], r[15] or ""))
-
+        rows = rows_from_frames([p for p in pdfs if len(p)])
         sess: tuple | None = tuple(state.get) if state.exists else None
-
-        for (tus, kind, conv, host, port, pid, query, stmt, ev_rows, ev_bytes,
-             ev_rps, ev_speed, ev_mem, ev_code, ev_msg, _raw) in rows:
-            ts_us = None if tus == _NAT else int(tus)
-            if kind == "initial":
-                if sess is not None:
-                    out.append(_blank("err", qid) | {"err_type": "duplicated_initial_query"})
-                elif conv:
-                    out.append(_blank("err", qid) | {"err_type": "convert"})
-                else:
-                    # numpy scalars → Python ints so the state tuple matches
-                    # the bigint state schema.
-                    sess = (
-                        host, int(port), int(pid), query,
-                        stmt, ts_us, None, None, None, None, None, None,
-                        False, None, None,
-                    )
-                    out.append(_blank("obs_initial", qid) | {"obs_label": stmt})
-            elif kind == "stats":
-                if sess is None:
-                    out.append(_blank("err", qid) | {"err_type": "not_found_query"})
-                elif conv or pd.isna(ev_bytes) or pd.isna(ev_speed):
-                    out.append(_blank("err", qid) | {"err_type": "convert"})
-                else:
-                    sess = sess[:6] + (int(ev_rows), int(ev_bytes), int(ev_rps), int(ev_speed)) + sess[10:]
-                    d = _blank("obs_stats", qid)
-                    d.update(rows_read=int(ev_rows), bytes_read=int(ev_bytes),
-                             rps=int(ev_rps), speed=int(ev_speed))
-                    out.append(d)
-            elif kind == "memory":
-                if sess is None:
-                    out.append(_blank("err", qid) | {"err_type": "not_found_query"})
-                elif conv or pd.isna(ev_mem):
-                    out.append(_blank("err", qid) | {"err_type": "convert"})
-                else:
-                    sess = sess[:10] + (int(ev_mem), ts_us) + sess[12:]
-                    elapsed = (ts_us - sess[5]) / 1e6
-                    out.append(_blank("obs_time", qid) | {"obs_label": sess[4], "elapsed": elapsed})
-                    if sess[4] != "insert":  # FullInfo ⇒ evict (main.go:125-129)
-                        out.append(_session_row("session", qid, sess, True))
-                        sess = None
-            elif kind == "error":
-                if sess is None:
-                    out.append(_blank("err", qid) | {"err_type": "not_found_query"})
-                elif conv:
-                    out.append(_blank("err", qid) | {"err_type": "convert"})
-                else:
-                    sess = sess[:12] + (True, int(ev_code), ev_msg)
-                    out.append(
-                        _blank("obs_error", qid)
-                        | {"obs_label": sess[4], "error_code": int(ev_code)}
-                    )
+        out, sess = fold_events(qid, rows, sess)
 
         if sess is not None:
             state.update(sess)
