@@ -329,6 +329,35 @@ def json_events_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_sliding_events",
+    oracle="""
+    SELECT CAST(to_timestamp(CAST((floor(epoch(ts) / 43200) - k) * 43200 AS BIGINT)) AS TIMESTAMP)
+             AS window_start,
+           event_type,
+           count(*) AS n
+    FROM events CROSS JOIN (VALUES (0), (1)) t(k)
+    GROUP BY 1, 2
+    """,
+)
+def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (1 day long, sliding every 12 h): each
+    event lands in exactly duration/slide = 2 windows. Same grouping
+    expression Structured Streaming uses; the oracle derives the two
+    epoch-aligned window starts arithmetically. 100 TB: the Expand that
+    multiplies rows by windows-per-event happens BEFORE the shuffle, so
+    the exchange carries partial aggregates, not duplicated events.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 day", "12 hours").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "json_variant_extract",
     oracle="""
     SELECT event_type,
