@@ -338,6 +338,83 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
+def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the adversarial-graph twin of ``connected_components``: converges in
+    O(log² n) rounds regardless of graph diameter, where hash-to-min
+    needs O(diameter) rounds (a 10⁶-long chain = 10⁶ rounds vs ~40).
+
+    large-star: every node points its LARGER neighbors at the minimum of
+    its neighborhood (incl. itself); small-star: every node and its
+    smaller neighbors collapse onto that minimum. Each round is a
+    groupBy-min + join on the current edge list — same shuffle skeleton
+    as one hash-to-min round; lineage truncated per round. Converged when
+    the edge list is a fixed point (star graph: every node → its
+    component min); output matches ``connected_components`` exactly.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = _sym(e)
+        mins = sym.groupBy("u").agg(F.min("v").alias("m0")).select(
+            "u", F.least("m0", "u").alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient each edge from the larger endpoint
+        le = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = le.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            le.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return moved
+
+    def _checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),  # order-free, no ANSI overflow
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # fixed point is a star: every non-root points at its component min
+    nodes = _sym(edges).select("u").distinct()
+    roots = nodes.join(edges, "u", "left_anti").select(
+        F.col("u").alias("id"), F.col("u").alias("comp")
+    )
+    members = edges.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    return members.unionAll(roots)
+
+
 def embedding_cosine_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9
 ) -> DataFrame:

@@ -7,7 +7,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from prometheus_clickhouselog_exporter_spark.operators.dedup import connected_components
+from prometheus_clickhouselog_exporter_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
+)
 from prometheus_clickhouselog_exporter_spark.operators.sampling import (
     deterministic_sample,
     hash_bucket,
@@ -50,6 +53,29 @@ def test_cc_long_chain_needs_iterations(spark):
     edges = [(i, i + 1) for i in range(1, n)]
     labels = connected_components(_pairs(spark, edges))
     assert labels.filter(F.col("comp") == 1).count() == n
+
+
+def test_cc_star_matches_hash_to_min(spark):
+    # chain + clique + singletons-pair mix; both algorithms must agree.
+    edges = (
+        [(i, i + 1) for i in range(1, 20)]           # 19-chain
+        + [(100, 101), (101, 102), (100, 102)]        # triangle
+        + [(200, 201)]
+        + [(i, i + 1) for i in range(300, 364)]       # 64-chain
+    )
+    a = {
+        (r["id"], r["comp"]) for r in connected_components(_pairs(spark, edges), max_iter=100).collect()
+    }
+    b = {(r["id"], r["comp"]) for r in connected_components_star(_pairs(spark, edges)).collect()}
+    assert a == b
+    assert (300, 300) in b and (363, 300) in b  # long chain fully collapsed
+
+
+def test_cc_star_round_count_logarithmic(spark):
+    # The 64-chain must converge in far fewer star rounds than its
+    # diameter — exercised implicitly (max_iter=30 default < 63 hops).
+    labels = connected_components_star(_pairs(spark, [(i, i + 1) for i in range(1, 65)]))
+    assert labels.filter(F.col("comp") == 1).count() == 65  # nodes 1..65
 
 
 def test_sample_partition_independent(spark, docs_sf001):
