@@ -29,6 +29,20 @@ def test_csv_json_roundtrip(spark, tmp_path):
     assert got_json.orderBy("o_orderkey").collect() == want
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    src = table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orc_dir = str(tmp_path / "orc")
+    src.write.mode("overwrite").orc(orc_dir)
+    got = read_any(spark, orc_dir, "orc")
+    assert got.orderBy("o_orderkey").collect() == src.orderBy("o_orderkey").collect()
+    # predicate pushdown reaches the ORC reader too
+    filtered = read_any(spark, orc_dir, "orc").filter(F.col("o_orderkey") == 1)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]" in plan
+
+
 def test_text_scan(spark, fixture_log):
     df = read_any(spark, fixture_log, "text")
     assert df.columns == ["value"]
