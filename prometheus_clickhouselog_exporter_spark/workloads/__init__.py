@@ -9,6 +9,7 @@ all modules must be imported for their registrations to run.
 from .core import ORACLE, QUERIES, query  # noqa: F401
 from . import relational  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
+from . import relational3  # noqa: F401,E402
 from . import logpipe  # noqa: F401,E402
 from . import llmdata  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402

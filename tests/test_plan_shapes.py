@@ -43,6 +43,29 @@ def test_filter_pushdown_and_column_pruning(spark):
     assert "l_comment" not in scan
 
 
+def test_q7_dual_dims_broadcast_single_fact_shuffle(spark):
+    """Q7's supplier-side and customer-side nation enrichments both
+    broadcast; the only sort-merge/shuffled join permitted is
+    lineitem⋈orders on orderkey."""
+    plan = _final_plan(QUERIES["q7_nation_volume"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # at most the single fact-fact join is non-broadcast
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q14_part_broadcast_and_single_row_agg(spark):
+    plan = _final_plan(QUERIES["q14_promo_effect"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q10_topk_is_take_ordered(spark):
+    """The final ORDER BY + LIMIT 20 must plan as TakeOrderedAndProject
+    (per-partition heaps), never a global Sort."""
+    plan = _final_plan(QUERIES["q10_returned_items"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_topk_window_uses_group_limit(spark):
     """Top-K per group runs below the shuffle (WindowGroupLimit), so only
     K rows per group per mapper move."""
