@@ -12,6 +12,7 @@ from . import relational2  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
 from . import logpipe  # noqa: F401,E402
 from . import llmdata  # noqa: F401,E402
+from . import llmdata2  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE", "query"]

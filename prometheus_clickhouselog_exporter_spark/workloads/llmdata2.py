@@ -1,0 +1,351 @@
+"""LLM-data pipeline operators II (SURVEY §2.3 extensions): PII scrubbing,
+chunk-level (paragraph) dedup, HLL sketch cardinality, time-series
+gap-fill + forward-fill, and funnel analysis.
+
+The reference has none of this surface (it is a log→metrics exporter,
+SURVEY §0); these are the corpus-curation and product-analytics operators
+a 100 TB training-data pipeline runs daily, each expressed as pure
+Catalyst-planned expressions (no Python UDFs anywhere in this module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .core import fan_out, fround, query, table
+
+# Deterministic PII synthesis: the driver's documents are word-soup with no
+# real PII, so the workload plants it — an email on every doc_id % 3 != 0,
+# a phone on every even doc_id — making detection counts verifiable and
+# nonzero. Both engines build the identical enriched string.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@query(
+    "pii_detect_scrub",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id, lang,
+             text
+             || CASE WHEN doc_id % 3 <> 0
+                     THEN ' contact user' || doc_id || '@mail-' || lang || '.example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             AS n_emails,
+           len(regexp_extract_all(t, '\\+1-555-[0-9]{4}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS scrub_hash
+    FROM enriched
+    """,
+)
+def pii_detect_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count emails/phones per document and
+    emit the hash of the scrubbed text (hash, not the text, keeps the
+    compared payload small while still proving byte-identical redaction).
+
+    Patterns avoid backreferences/lookaround so Java regex (Spark) and
+    RE2 (DuckDB) agree; Spark's regexp_replace is replace-all by default,
+    DuckDB needs the 'g' flag — the oracle carries it.
+
+    100 TB: scan-stage map, no shuffle, whole-stage codegen; the regexes
+    run once per doc. This is the shape every real scrub pass has —
+    detection counts feed the audit table, the redacted column feeds the
+    next pipeline stage.
+    """
+    d = fan_out(table(spark, sf_dir, "documents"))
+    email_part = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail-"),
+            F.col("lang"),
+            F.lit(".example.com"),
+        ),
+    ).otherwise("")
+    phone_part = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit(" call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    t = F.concat(F.col("text"), email_part, phone_part)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+@query(
+    "dedup_chunk_paragraph",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE len(string_split(text, ' ')) >= 8
+    ),
+    ch AS (
+      SELECT doc_id, array_to_string(tk[(i*8+1):(i*8+8)], ' ') AS chunk
+      FROM t, unnest(range(0, CAST(floor(len(tk) / 8) AS BIGINT))) AS u(i)
+    ),
+    win AS (
+      SELECT doc_id, chunk, min(doc_id) OVER (PARTITION BY chunk) AS owner
+      FROM ch
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS n_kept,
+           floor(CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS keep_ratio
+    FROM win GROUP BY doc_id
+    """,
+)
+def dedup_chunk_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (paragraph) dedup, C4-style: split each document into
+    aligned 8-token chunks, dedup chunks CORPUS-WIDE with first-doc-wins
+    (min doc_id owns the chunk), report per-doc retention. This is the
+    sub-document twin of ``dedup_exact_documents`` — boilerplate shared
+    across near-dup docs is removed even when no whole document matches.
+
+    Chunking is explode(sequence) + slice — per-row codegen'd expressions,
+    not an array HOF lambda (those run interpreted, see SCALE.md).
+
+    100 TB: one explode (rows × ~len/8), one shuffle on the chunk string
+    for the min-owner window (an agg-join in disguise; Spark plans the
+    window over the hash partitioning), one shuffle back on doc_id. The
+    chunk shuffle key is content-addressed so it load-balances; the
+    heavy-hitter chunk (empty/boilerplate) is exactly what the op
+    removes.
+    """
+    d = fan_out(table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    d = d.select("doc_id", toks.alias("tk")).filter(F.size("tk") >= 8)
+    n_chunks = F.floor(F.size("tk") / 8).cast("int")
+    ch = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        "tk",
+    ).select(
+        "doc_id",
+        F.array_join(F.slice("tk", F.col("i") * 8 + 1, F.lit(8)), " ").alias("chunk"),
+    )
+    owner = F.min("doc_id").over(Window.partitionBy("chunk"))
+    win = ch.select("doc_id", "chunk", owner.alias("owner"))
+    kept = F.sum(F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0))
+    out = win.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"), kept.alias("n_kept")
+    )
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        fround(F.col("n_kept").cast("double") / F.col("n_chunks"), 4).alias("keep_ratio"),
+    )
+
+
+@query("sketch_hll_distinct_users")
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch cardinality (Apache DataSketches via Spark 3.5+
+    ``hll_sketch_agg``): per-event-type approximate distinct users next to
+    the exact count, plus a ``__merged__`` row whose estimate comes from
+    ``hll_union_agg`` over the per-type sketches.
+
+    The merged row is the point: sketches built independently (per
+    partition, per day, per type) union WITHOUT rescanning — the property
+    that makes distinct-count dashboards O(sketch bytes) instead of
+    O(data) at 100 TB. Rows-only driver check (DuckDB's HLL is a
+    different implementation; tests/test_llmdata2.py asserts ≤5% error
+    and union-consistency instead).
+    """
+    e = table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "exact_users",
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum(F.lit(0)).alias("_z"),
+    ).select(
+        F.lit("__merged__").alias("event_type"),
+        "approx_users",
+        F.lit(None).cast("long").alias("exact_users"),
+    )
+    global_exact = e.agg(
+        F.lit("__all_exact__").alias("event_type"),
+        F.count_distinct("user_id").cast("long").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return typed.unionByName(merged).unionByName(global_exact)
+
+
+@query(
+    "timeseries_gapfill_daily",
+    oracle="""
+    WITH b AS (SELECT CAST(min(ts) AS DATE) lo, CAST(max(ts) AS DATE) hi FROM events),
+    days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+             floor(sum(value) * 100 + 0.5) / 100 AS total
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    grid AS (SELECT u.user_id, d.day FROM users u CROSS JOIN days d)
+    SELECT g.user_id, CAST(g.day AS VARCHAR) AS day,
+           coalesce(n, 0) AS n_purchases,
+           coalesce(total, 0.0) AS total_value,
+           last_value(total IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_total
+    FROM grid g LEFT JOIN daily d2 ON g.user_id = d2.user_id AND g.day = d2.day
+    """,
+)
+def timeseries_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user daily purchase totals on a
+    COMPLETE calendar grid — missing days materialized (zero-filled
+    counts) and forward-filled (last observed total carries over gaps),
+    the standard prep before any sequence model / trend computation.
+
+    Grid = distinct users × sequence(min_day, max_day) — the calendar is
+    generated, never scanned. Forward fill is ``last(ignorenulls)`` over
+    the per-user date order.
+
+    100 TB: the calendar array is a few KB broadcast; the grid explode is
+    |users|×|days| rows but only key columns wide; the left join and the
+    ffill window share the user_id partitioning (one shuffle). Per-user
+    window state is |days| rows — bounded, no skew (every user has the
+    same calendar).
+    """
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("_lo"), F.max(F.to_date("ts")).alias("_hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("_lo", "_hi", F.expr("interval 1 day"))).alias("day")
+    )
+    users = e.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), fround(F.sum("value"), 2).alias("total"))
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n_purchases"),
+        F.coalesce("total", F.lit(0.0)).alias("total_value"),
+        F.last("total", ignorenulls=True).over(w).alias("ffill_total"),
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS v_ts
+      FROM events
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+                  OVER (PARTITION BY user_id) AS c_ts
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END)
+                  OVER (PARTITION BY user_id) AS p_ts
+      FROM s2
+    ),
+    u AS (SELECT user_id, min(v_ts) v_ts, min(c_ts) c_ts, min(p_ts) p_ts
+          FROM s3 GROUP BY 1)
+    SELECT count(*) AS n_users,
+           count(v_ts) AS n_viewed,
+           count(c_ts) AS n_clicked,
+           count(p_ts) AS n_purchased,
+           floor(CAST(sum(CASE WHEN p_ts IS NOT NULL
+                               THEN epoch_us(p_ts) - epoch_us(v_ts) END) AS DOUBLE)
+                 / count(p_ts) / 3600000000.0 * 1000 + 0.5) / 1000
+             AS avg_hours_to_convert
+    FROM u
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → click-after-view → purchase-after-click per
+    user, with stage counts and mean view→purchase latency for
+    completers. Each stage anchor is a conditional-min WINDOW over the
+    previous anchor — strictly ordered progression, not mere co-presence
+    of the three event types.
+
+    The three window passes share one user_id partitioning, so Catalyst
+    plans a single shuffle with three Window operators stacked on it.
+    Latency sums in exact integer microseconds; only the final mean
+    divides (then floor-rounds) — cross-engine deterministic.
+
+    100 TB: one shuffle on user_id; per-user state is that user's events
+    (bounded by per-user activity, salting if a bot user dominates);
+    final agg is a scalar.
+    """
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    s1 = e.withColumn(
+        "v_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "c_ts",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")), F.col("ts"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")), F.col("ts")
+            )
+        ).over(w),
+    )
+    u = s3.groupBy("user_id").agg(
+        F.min("v_ts").alias("v_ts"), F.min("c_ts").alias("c_ts"), F.min("p_ts").alias("p_ts")
+    )
+    lat_us = F.sum(
+        F.when(
+            F.col("p_ts").isNotNull(),
+            F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts")),
+        )
+    )
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("v_ts").alias("n_viewed"),
+        F.count("c_ts").alias("n_clicked"),
+        F.count("p_ts").alias("n_purchased"),
+        fround(
+            lat_us.cast("double") / F.count("p_ts") / F.lit(3_600_000_000.0), 3
+        ).alias("avg_hours_to_convert"),
+    )

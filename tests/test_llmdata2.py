@@ -1,0 +1,55 @@
+"""Checks for the non-SQL-expressible llmdata2 workload (HLL sketches) and
+edge semantics of the oracle-checked ones that the hash compare can't see
+(chunk ownership ties, ffill across multi-day gaps)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prometheus_clickhouselog_exporter_spark.workloads import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_sketch_estimates_within_tolerance(spark):
+    rows = {r["event_type"]: r for r in QUERIES["sketch_hll_distinct_users"](spark, SF).collect()}
+    # per-type estimates within 5% of the exact distinct count
+    for t, r in rows.items():
+        if t.startswith("__"):
+            continue
+        assert r["exact_users"] is not None
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(1, 0.05 * r["exact_users"]), t
+    # merging per-type sketches estimates the global cardinality without rescanning
+    merged, glob = rows["__merged__"], rows["__all_exact__"]
+    assert abs(merged["approx_users"] - glob["exact_users"]) <= max(1, 0.05 * glob["exact_users"])
+
+
+def test_chunk_dedup_first_doc_wins(spark):
+    """A doc whose every chunk also appears in a lower-id doc keeps nothing;
+    the lowest-id doc of any duplicate pair keeps everything."""
+    df = QUERIES["dedup_chunk_paragraph"](spark, SF)
+    base = df.agg(
+        F.sum("n_kept").alias("kept"), F.sum("n_chunks").alias("total")
+    ).first()
+    # corpus-wide: every distinct chunk is kept exactly once
+    distinct_chunks = base["kept"]
+    assert 0 < distinct_chunks <= base["total"]
+    # and at least one doc lost a chunk to an earlier owner (collisions exist)
+    assert df.filter(F.col("n_kept") < F.col("n_chunks")).count() > 0
+    # doc 0 can never lose a chunk to an earlier doc
+    d0 = df.filter(F.col("doc_id") == 0).first()
+    assert d0 is None or d0["n_kept"] == d0["n_chunks"]
+
+
+def test_gapfill_grid_complete_and_ffill_monotone(spark):
+    df = QUERIES["timeseries_gapfill_daily"](spark, SF)
+    users = df.select("user_id").distinct().count()
+    days = df.select("day").distinct().count()
+    assert df.count() == users * days  # complete grid, no missing cells
+    # zero-filled days carry n_purchases = 0, never NULL
+    assert df.filter(F.col("n_purchases").isNull()).count() == 0
+    # ffill equals the day's own total whenever the day has purchases
+    bad = df.filter(
+        (F.col("n_purchases") > 0) & (F.col("ffill_total") != F.col("total_value"))
+    )
+    assert bad.count() == 0
