@@ -349,3 +349,126 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             lat_us.cast("double") / F.count("p_ts") / F.lit(3_600_000_000.0), 3
         ).alias("avg_hours_to_convert"),
     )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, pos,
+           floor(avg(v) * 1000000 + 0.5) / 1000000 AS centroid_val,
+           count(*) AS n_vecs
+    FROM (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the 64-dim embedding column — the training
+    step of an IVF index (cluster representatives) and the building block
+    of embedding-space dedup/diversity audits.
+
+    Element-wise mean via posexplode + (label, pos) hash aggregate — the
+    vector never leaves the JVM and the agg is codegen'd; the HOF
+    alternative (``aggregate`` over a zipped struct array) runs
+    interpreted per element (SCALE.md). float32 inputs widen to double
+    exactly, so cross-engine agreement is pure reduction-order — absorbed
+    by fround(6).
+
+    100 TB: the explode is 64× rows but 3 narrow columns; the shuffle
+    carries one partial (sum, count) per (label, pos, partition) — map-
+    side combine makes wire bytes O(labels × dim × partitions), not
+    O(rows). This is the canonical "train k-means on a sample, assign
+    full corpus" first half.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    return (
+        ex.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            fround(F.avg("v"), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+@query(
+    "curation_pipeline_report",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS tk,
+             min(doc_id) OVER (PARTITION BY text) AS first_doc
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, lang, n_chars, first_doc,
+             CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS distinct_ratio,
+             CAST(list_max(list_transform(list_distinct(tk),
+                    d -> len(list_filter(tk, x -> x = d)))) AS DOUBLE)
+               / len(tk) AS top_ratio
+      FROM toks
+    ),
+    verdicts AS (
+      SELECT lang, n_chars,
+             CASE WHEN first_doc <> doc_id THEN 'exact_dup'
+                  WHEN n_chars < 120 THEN 'too_short'
+                  WHEN NOT (distinct_ratio >= 0.3 AND top_ratio <= 0.2)
+                    THEN 'repetitive'
+                  ELSE 'keep' END AS verdict
+      FROM stats
+    )
+    SELECT lang, verdict, count(*) AS n_docs,
+           floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars
+    FROM verdicts GROUP BY lang, verdict
+    """,
+)
+def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel with attrition accounting: exact-dup
+    removal (first-doc-wins), minimum-length gate, Gopher repetition gate,
+    in precedence order; the report is kept/rejected doc counts per
+    (lang, verdict) — the table a data-quality review actually reads.
+
+    Composes three already-certified operators in ONE plan: the dup check
+    is a min-over-text window, the repetition ratios are the explode+agg
+    from ``text_repetition_filter`` joined back on doc_id, the verdict is
+    a single CASE. Catalyst fuses the gates into the join's output
+    projection.
+
+    100 TB: two shuffles (text-hash window; doc_id join — the explode agg
+    reuses the doc_id partitioning for its second agg). Verdict
+    precedence means cheap gates short-circuit expensive ones in the
+    CASE; at scale you'd ALSO filter before the repetition agg, but the
+    report needs every doc's verdict, so all gates run over all docs.
+    """
+    d = fan_out(table(spark, sf_dir, "documents"))
+    first_doc = F.min("doc_id").over(Window.partitionBy("text"))
+    base = d.select("doc_id", "lang", "n_chars", "text", first_doc.alias("first_doc"))
+    per_tok = (
+        d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ratios = per_tok.groupBy("doc_id").agg(
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("distinct_ratio"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_ratio"),
+    )
+    j = base.join(ratios, "doc_id")
+    verdict = (
+        F.when(F.col("first_doc") != F.col("doc_id"), "exact_dup")
+        .when(F.col("n_chars") < 120, "too_short")
+        .when(
+            ~((F.col("distinct_ratio") >= 0.3) & (F.col("top_ratio") <= 0.2)),
+            "repetitive",
+        )
+        .otherwise("keep")
+    )
+    return (
+        j.select("lang", "n_chars", verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fround(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )

@@ -71,3 +71,24 @@ def test_topk_window_uses_group_limit(spark):
     K rows per group per mapper move."""
     plan = _final_plan(QUERIES["window_topk_orders_per_segment"](spark, SF))
     assert "WindowGroupLimit" in plan
+
+
+def test_partition_pruning_on_date_layout(spark, tmp_path):
+    """A hive-partitioned layout (the 100 TB norm: partition by ingest
+    date) must prune at planning time: a one-month predicate on the
+    partition column reads that month's directories only."""
+    src = table(spark, SF, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_by_month")
+    src.write.partitionBy("o_month").parquet(path)
+
+    df = spark.read.parquet(path).filter(F.col("o_month") == "1997-03")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    # the partition predicate is applied to the directory listing...
+    assert "PartitionFilters: [isnotnull(o_month" in scan
+    # ...and the matching row count equals a full-scan filter's
+    full = spark.read.parquet(path).where(F.col("o_month") == "1997-03").count()
+    base = src.where(F.col("o_month") == "1997-03").count()
+    assert full == base > 0
