@@ -472,3 +472,63 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.avg("n_chars"), 2).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, tk[i] AS a, tk[i+1] AS b
+      FROM toks, unnest(range(1, len(tk))) AS u(i)
+      WHERE len(tk) >= 2
+    ),
+    model AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2),
+    prefix AS (SELECT a, sum(cab) AS ca FROM model GROUP BY 1)
+    SELECT doc_id, count(*) AS n_bigrams,
+           floor(avg(CAST(cab AS DOUBLE) / ca) * 10000 + 0.5) / 10000
+             AS avg_bigram_prob
+    FROM bg JOIN model USING (a, b) JOIN prefix USING (a)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring with a corpus-trained bigram LM: train
+    (bigram + prefix counts over the whole corpus) and score (per-doc mean
+    transition probability) in ONE plan — the train/score join pattern
+    every statistical quality filter (KenLM-style) uses, minus the log
+    space (plain probabilities keep the oracle's arithmetic exact-int
+    ratios instead of cross-engine `ln`).
+
+    Low-probability docs are "surprising" under the corpus model —
+    gibberish or off-distribution — and get filtered or downweighted.
+
+    100 TB: bigram extraction is explode (rows × len); the model agg and
+    the score join share the (a, b) shuffle key, so Catalyst reuses one
+    exchange; the prefix table is vocabulary-sized — broadcast it while it
+    fits, else it joins on the same `a` hash. In production the model
+    trains on a deterministic sample (``sample_hash_bernoulli``) and
+    broadcasts to score the full corpus — composition this registry
+    already certifies piecewise.
+    """
+    d = fan_out(table(spark, sf_dir, "documents"))
+    tk = F.split(F.lower(F.col("text")), " ")
+    docs = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 2)
+    bg = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i"), "tk"
+    ).select(
+        "doc_id",
+        F.element_at("tk", F.col("i")).alias("a"),
+        F.element_at("tk", F.col("i") + 1).alias("b"),
+    )
+    model = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    prefix = model.groupBy("a").agg(F.sum("cab").alias("ca"))
+    scored = bg.join(model, ["a", "b"]).join(F.broadcast(prefix), ["a"])
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        fround(F.avg(F.col("cab").cast("double") / F.col("ca")), 4).alias(
+            "avg_bigram_prob"
+        ),
+    )
