@@ -117,20 +117,27 @@ def lsh_bucketed_topk(
     """
     c_buckets = _sign_buckets_udf(dim, n_planes, n_tables, seed)
     q_buckets = _sign_buckets_udf(dim, n_planes, n_tables, seed, n_probe=n_probe)
-    c = (
-        corpus.select(F.col(id_col).alias("nbr_id"), normalize(F.col(vec_col)).alias("_cv"))
-        .withColumn("_bucket", F.explode(c_buckets(F.col("_cv"))))
+    c_base = corpus.select(F.col(id_col).alias("nbr_id"), normalize(F.col(vec_col)).alias("_cv"))
+    q_base = queries.select(
+        F.col(query_id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qv")
     )
-    q = (
-        queries.select(F.col(query_id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qv"))
-        .withColumn("_bucket", F.explode(q_buckets(F.col("_qv"))))
+    # Bucket join + dedup carry ONLY ids — the float vectors never ride the
+    # candidate-dedup shuffle (at 100 TB the exploded candidate stream is
+    # L×(1+probe)× the corpus; shipping 64 doubles per row there dominates).
+    # Vectors rejoin once per *distinct* candidate pair afterwards.
+    c_ids = c_base.withColumn("_bucket", F.explode(c_buckets(F.col("_cv")))).select(
+        "nbr_id", "_bucket"
     )
-    cands = (
-        c.join(q, ["_bucket"])
+    q_ids = q_base.withColumn("_bucket", F.explode(q_buckets(F.col("_qv")))).select(
+        "query_id", "_bucket"
+    )
+    pairs = (
+        c_ids.join(q_ids, ["_bucket"])
         .filter(F.col("query_id") != F.col("nbr_id"))
-        .select("query_id", "nbr_id", "_qv", "_cv")
+        .select("query_id", "nbr_id")
         .dropDuplicates(["query_id", "nbr_id"])
     )
+    cands = pairs.join(c_base, "nbr_id").join(q_base, "query_id")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
     return (
         cands.withColumn("cosine", dot(F.col("_qv"), F.col("_cv")))
@@ -165,7 +172,18 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     c_norm = corpus.select(F.col(id_col).alias("nbr_id"), normalize(F.col(vec_col)).alias("_cv"))
-    train = c_norm.select(array_to_vector(F.col("_cv")).alias("features"))
+    # Quantizer trains on a bounded sample, never the full corpus: one cheap
+    # count, then a seeded Bernoulli sample capped at ~256 vectors/centroid
+    # (the FAISS guideline). At 100 TB the KMeans job sees ≤max_train rows
+    # regardless of corpus size.
+    max_train = max(2048, 256 * n_centroids)
+    n_corpus = c_norm.count()
+    frac = min(1.0, (max_train * 1.2) / max(n_corpus, 1))
+    train = (
+        c_norm.sample(withReplacement=False, fraction=frac, seed=seed)
+        .limit(max_train)
+        .select(array_to_vector(F.col("_cv")).alias("features"))
+    )
     model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
     centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])  # (C, dim)
 

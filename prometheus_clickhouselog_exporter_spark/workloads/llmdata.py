@@ -61,7 +61,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*)                                             AS n_docs,
-           sum(len(string_split(text, ' ')))                    AS total_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)    AS total_tokens,
            floor(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
                  / count(*) * 10000 + 0.5) / 10000              AS avg_tokens,
            floor(CAST(sum(n_chars) AS DOUBLE)
@@ -297,8 +297,8 @@ _LANG_LISTS = {
              {_hits(_LANG_LISTS["es"])} AS h_es,
              {_hits(_LANG_LISTS["zh"])} AS h_zh,
              len({_Q}) AS n_tokens,
-             list_sum(list_transform({_Q},
-               w -> 1 + CAST(floor(greatest(len(w) - 1, 0) / 4) AS INTEGER))) AS bpe_tokens,
+             CAST(list_sum(list_transform({_Q},
+               w -> 1 + CAST(floor(greatest(len(w) - 1, 0) / 4) AS INTEGER))) AS BIGINT) AS bpe_tokens,
              length(text) AS n_chars,
              length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
              length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_symbols
@@ -377,8 +377,8 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(doc_id % 64 + 16 AS INTEGER)     AS width,
            CAST((doc_id * 7) % 64 + 16 AS INTEGER) AS height,
            8 + length(CAST(doc_id AS VARCHAR))   AS payload_bytes,
-           list_sum(list_transform(string_split('payload-' || CAST(doc_id AS VARCHAR), ''),
-                                   c -> ascii(c))) % 65536 AS checksum
+           CAST(list_sum(list_transform(string_split('payload-' || CAST(doc_id AS VARCHAR), ''),
+                                   c -> ascii(c))) % 65536 AS BIGINT) AS checksum
     FROM documents
     """,
 )

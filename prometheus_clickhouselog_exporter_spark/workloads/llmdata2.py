@@ -109,7 +109,7 @@ def pii_detect_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            count(*) AS n_chunks,
-           sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            floor(CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
                  / count(*) * 10000 + 0.5) / 10000 AS keep_ratio
     FROM win GROUP BY doc_id
@@ -211,7 +211,7 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     grid AS (SELECT u.user_id, d.day FROM users u CROSS JOIN days d)
     SELECT g.user_id, CAST(g.day AS VARCHAR) AS day,
-           coalesce(n, 0) AS n_purchases,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_purchases,
            coalesce(total, 0.0) AS total_value,
            last_value(total IGNORE NULLS) OVER (
              PARTITION BY g.user_id ORDER BY g.day

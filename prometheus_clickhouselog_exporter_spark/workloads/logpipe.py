@@ -74,10 +74,10 @@ def logpipe_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "logpipe_value_histogram",
     oracle="""
     SELECT event_type,
-           sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END)   AS le_10,
-           sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END)   AS le_50,
-           sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END)  AS le_100,
-           sum(CASE WHEN value <= 500 THEN 1 ELSE 0 END)  AS le_500,
+           CAST(sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS BIGINT)   AS le_10,
+           CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT)   AS le_50,
+           CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT)  AS le_100,
+           CAST(sum(CASE WHEN value <= 500 THEN 1 ELSE 0 END) AS BIGINT)  AS le_500,
            count(value)                                   AS le_inf,
            count(value)                                   AS bucket_count,
            floor(sum(value) * 100 + 0.5) / 100            AS bucket_sum
@@ -331,9 +331,9 @@ def logpipe_correlate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE value IS NOT NULL AND value >= 0 AND event_id % 3 <> 0
     )
     SELECT type,
-           sum(CASE WHEN elapsed <= 1 THEN 1 ELSE 0 END)   AS le_1,
-           sum(CASE WHEN elapsed <= 5 THEN 1 ELSE 0 END)   AS le_5,
-           sum(CASE WHEN elapsed <= 10 THEN 1 ELSE 0 END)  AS le_10,
+           CAST(sum(CASE WHEN elapsed <= 1 THEN 1 ELSE 0 END) AS BIGINT)   AS le_1,
+           CAST(sum(CASE WHEN elapsed <= 5 THEN 1 ELSE 0 END) AS BIGINT)   AS le_5,
+           CAST(sum(CASE WHEN elapsed <= 10 THEN 1 ELSE 0 END) AS BIGINT)  AS le_10,
            count(*)                                        AS bucket_count,
            floor(sum(elapsed) * 100 + 0.5) / 100           AS bucket_sum
     FROM base GROUP BY type

@@ -66,7 +66,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_hash_bernoulli",
     oracle="""
     SELECT doc_id, lang,
-           CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 10000 AS bucket
+           CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 10000 AS BIGINT) AS bucket
     FROM documents
     WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 10000 < 2000
     """,
@@ -114,7 +114,7 @@ def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
     FROM events
     WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 < 1500
     GROUP BY user_id

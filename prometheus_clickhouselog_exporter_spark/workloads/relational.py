@@ -362,7 +362,7 @@ def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_valid,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))   AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)   AS sum_k,
            count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
     FROM events
     GROUP BY event_type

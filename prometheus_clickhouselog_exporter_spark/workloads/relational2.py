@@ -213,7 +213,7 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_type,
            array_to_string(list_sort(list_distinct(list(p_size))), ',') AS sizes,
            len(list_distinct(list(p_size)))                             AS n_sizes,
-           list_sum(list_distinct(list(p_size)))                        AS size_sum
+           CAST(list_sum(list_distinct(list(p_size))) AS BIGINT)        AS size_sum
     FROM part GROUP BY p_type
     """,
 )

@@ -62,6 +62,26 @@ def cells_equal(a, b) -> tuple[bool, bool]:
     return eq, eq
 
 
+def dtype_mismatches(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[tuple]:
+    """Columns whose numpy dtype *kind* diverges in a way the driver's value
+    hash rejects: int/uint vs float, and signed vs unsigned int.  Int width
+    (int32 vs int64) and timestamp unit (ns vs us) are tolerated — verified
+    against CORRECTNESS_r01 (19 width/unit-skewed queries all hash-matched,
+    all 6 int-vs-float ones failed)."""
+    bad = []
+    for col in spark_df.columns:
+        ks, kd = spark_df[col].dtype.kind, duck_df[col].dtype.kind
+        if ks == kd:
+            continue
+        if {ks, kd} <= {"i", "u", "b"} and "b" not in {ks, kd}:
+            bad.append((col, str(spark_df[col].dtype), str(duck_df[col].dtype)))  # i vs u
+        elif "f" in {ks, kd} and {ks, kd} & {"i", "u"}:
+            bad.append((col, str(spark_df[col].dtype), str(duck_df[col].dtype)))
+        elif {ks, kd} == {"M", "O"} or {ks, kd} == {"O", "M"}:
+            continue  # object-boxed timestamps — driver tolerates
+    return bad
+
+
 def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> dict:
     res = {"rows": (len(spark_df), len(duck_df)), "rows_match": len(spark_df) == len(duck_df)}
     cols_s, cols_d = sorted(spark_df.columns), sorted(duck_df.columns)
@@ -69,6 +89,9 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> dict:
     if not res["schema_match"]:
         res["schema"] = (cols_s, cols_d)
         return res
+    bad_dtypes = dtype_mismatches(spark_df, duck_df)
+    if bad_dtypes:
+        res["dtype_mismatch"] = bad_dtypes
     if not res["rows_match"]:
         return res
     a, b = canon(spark_df), canon(duck_df)
@@ -125,8 +148,11 @@ def main() -> int:
             failures.append(name)
             continue
         res = compare(sdf, ddf)
-        ok = res.get("exact_match", False)
-        status = "OK   " if ok else ("APPROX" if res.get("approx_match") else "FAIL ")
+        ok = res.get("exact_match", False) and not res.get("dtype_mismatch")
+        status = "OK   " if ok else (
+            "DTYPE" if res.get("dtype_mismatch") and res.get("exact_match", False)
+            else ("APPROX" if res.get("approx_match") else "FAIL ")
+        )
         print(f"{status} {name}: {res} [{time.time() - t0:.1f}s]")
         if not ok:
             failures.append(name)
