@@ -85,6 +85,22 @@ def main() -> None:
         )
     )
 
+    # Regression guard: exit nonzero if this run is >2× the recorded r1
+    # floor at the same sf — r2+ work must not silently regress throughput.
+    # (The JSON line above is already printed, so the driver still records
+    # the measurement either way.)
+    floor_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOOR.json")
+    if os.path.exists(floor_file):
+        with open(floor_file) as f:
+            floors = json.load(f)
+        floor = floors.get(str(sf))
+        if floor is not None and total > 2.0 * floor:
+            print(
+                f"# REGRESSION: total {total}s > 2x recorded floor {floor}s at sf={sf}",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+
 
 if __name__ == "__main__":
     main()

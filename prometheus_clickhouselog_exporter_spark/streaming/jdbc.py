@@ -1,10 +1,12 @@
 """ClickHouse/JDBC session sink (K1's production target per BASELINE).
 
-No JDBC driver jar ships in this container, so the writer degrades to a
-parquet staging directory with the SAME schema and append semantics; in a
-deployment, putting `clickhouse-jdbc` on the classpath and passing the URL
-makes `foreach_batch_writer` land batches in ClickHouse directly — the
-plumbing (per-epoch append, idempotent-by-epoch layout) is identical.
+The real JDBC branch is exercised in CI against Derby embedded (ships in
+pyspark's own jars/ — tests/test_jdbc_sink.py does a write→read-back
+round-trip plus epoch stamping). In a deployment, putting `clickhouse-jdbc`
+on the classpath and passing its URL lands batches in ClickHouse directly;
+when no driver can reach the URL the writer degrades to a parquet staging
+directory with the SAME schema and append semantics (per-epoch append,
+idempotent-by-epoch layout identical).
 """
 
 from __future__ import annotations
@@ -34,7 +36,12 @@ def write_sessions_jdbc(
         return "parquet"
 
 
-def foreach_batch_writer(url: str, table: str, fallback_parquet: str | None = None):
+def foreach_batch_writer(
+    url: str,
+    table: str,
+    fallback_parquet: str | None = None,
+    properties: dict[str, str] | None = None,
+):
     """foreachBatch adapter: epoch id is recorded as a column so replays
     of a failed epoch stay identifiable downstream (ClickHouse
     ReplacingMergeTree on (id, epoch) gives exactly-once semantics)."""
@@ -42,7 +49,8 @@ def foreach_batch_writer(url: str, table: str, fallback_parquet: str | None = No
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         write_sessions_jdbc(
-            batch_df.withColumn("_epoch", F.lit(epoch_id)), url, table, fallback_parquet
+            batch_df.withColumn("_epoch", F.lit(epoch_id)), url, table, fallback_parquet,
+            properties,
         )
 
     return write
