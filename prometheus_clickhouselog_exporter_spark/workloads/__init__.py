@@ -10,6 +10,7 @@ from .core import ORACLE, QUERIES, query  # noqa: F401
 from . import relational  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
+from . import relational4  # noqa: F401,E402
 from . import logpipe  # noqa: F401,E402
 from . import llmdata  # noqa: F401,E402
 from . import llmdata2  # noqa: F401,E402

@@ -92,3 +92,38 @@ def test_partition_pruning_on_date_layout(spark, tmp_path):
     full = spark.read.parquet(path).where(F.col("o_month") == "1997-03").count()
     base = src.where(F.col("o_month") == "1997-03").count()
     assert full == base > 0
+
+
+def test_q6_pure_scan_agg_no_join_no_wide_shuffle(spark):
+    """Q6 is the pushdown benchmark: no join anywhere, and the only
+    exchange is the single-group partial+final aggregate."""
+    plan = _final_plan(QUERIES["q6_forecast_revenue"](spark, SF))
+    assert "Join" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    # date window reached parquet (PushedFilters list may be truncated in
+    # the rendered plan, so match the prefix)
+    assert "GreaterThanOrEqual(l_shipda" in scan.split("PushedFilters")[1]
+
+
+def test_q2_correlated_min_is_single_window_not_subplan(spark):
+    """Q2's correlated MIN decorrelates to ONE window over partkey —
+    no nested subquery execution, supplier/nation/region broadcast."""
+    plan = _final_plan(QUERIES["q2_min_cost_supplier"](spark, SF))
+    assert plan.count("Window") >= 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q19_disjunction_prunes_both_scans(spark):
+    """Q19's OR-branches: the quantity envelope pushes to the lineitem
+    scan and the brand/size union to the part scan."""
+    plan = _final_plan(QUERIES["q19_disjunctive_revenue"](spark, SF))
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    li = next(s for s in scans if "l_quantity" in s)
+    assert "PushedFilters" in li and "l_quantity" in li.split("PushedFilters")[1]
+    assert "SortMergeJoin" not in plan  # part broadcasts
+
+
+def test_q21_topk_is_take_ordered_and_dims_broadcast(spark):
+    plan = _final_plan(QUERIES["q21_waiting_supplier"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
