@@ -35,6 +35,12 @@ HEADLINE = [
     "similarity_cosine_topk",
     "session_window_events",
     "window_running_revenue",
+    # r2 additions: scan-agg pushdown, heaviest decorrelated TPC-H shape,
+    # broadcast decontamination, window-prefix-sum packing
+    "q6_forecast_revenue",
+    "q21_waiting_supplier",
+    "decontam_ngram_overlap",
+    "pack_sequences_blocks",
 ]
 
 
