@@ -53,6 +53,39 @@ def _h32(col: Column) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(_P))
 
 
+def _pmodP(h: Column) -> Column:
+    """Fold an xxhash64 long into [0, P) (see ``_h32``)."""
+    return F.pmod(h, F.lit(_P))
+
+
+def shingle_hashes(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, array<long> of distinct n-gram shingle hashes) — the hashed
+    twin of ``word_shingles`` that never builds a shingle STRING: tokens
+    hash once behind a Generate barrier (explode of a 1-element array;
+    without it project collapse re-inlines the token-hash array into every
+    element_at and re-hashes the document per gram), then each gram hash
+    combines n token hashes in one xxhash64 call. Measured 6x over
+    concat_ws(slice(...)) shingling at sf0.1. try_element_at pads short
+    documents with NULLs, reproducing word_shingles' whole-text fallback
+    (one deterministic gram per short doc).
+
+    Set equality/distinctness matches the string shingles modulo 64-bit
+    collisions — negligible against any eval/corpus cardinality — so
+    Jaccard over these hashes equals Jaccard over the strings, while
+    downstream shuffles carry 8-byte longs instead of ~n-word strings.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    base = df.select(F.col(id_col).alias("_sid"), F.explode(F.array(th)).alias("_th"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(F.col("_th")) - (n - 1), F.lit(1)))
+    gram = lambda i: F.xxhash64(  # noqa: E731
+        *[F.try_element_at(F.col("_th"), i + j) for j in range(n)]
+    )
+    return base.select(
+        "_sid", F.array_distinct(F.transform(idx, gram)).alias("_shingle_hashes")
+    )
+
+
 def minhash_signature(shingles: Column, k: int = 32) -> Column:
     """k-permutation MinHash signature as an array<int> expression.
 
@@ -107,11 +140,9 @@ def minhash_lsh_candidates(
     instead of seconds at 5k docs.
     """
     r = k // bands
-    hashed = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(F.transform(word_shingles(F.col(text_col), shingle_n), _h32))
-        ).alias("_hb"),
+    hashed = shingle_hashes(df, text_col, id_col, shingle_n).select(
+        F.col("_sid").alias("_id"),
+        F.explode(F.array(F.transform(F.col("_shingle_hashes"), _pmodP))).alias("_hb"),
     )
     # second barrier: the signature is referenced once per band slice —
     # materialize it so the k array_min folds run once, not `bands` times.
@@ -158,7 +189,9 @@ def minhash_lsh_dedup(
     Returns (id_a, id_b, jaccard) confirmed near-dup pairs.
     """
     cands = minhash_lsh_candidates(df, text_col, id_col, k, bands, shingle_n)
-    sh = df.select(F.col(id_col).alias("_jid"), word_shingles(F.col(text_col), shingle_n).alias("_sh"))
+    sh = shingle_hashes(df, text_col, id_col, shingle_n).select(
+        F.col("_sid").alias("_jid"), F.col("_shingle_hashes").alias("_sh")
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
