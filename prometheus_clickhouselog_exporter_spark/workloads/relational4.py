@@ -605,10 +605,17 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     order date, standing in for receipt>commit).
 
     Decorrelation: EXISTS + NOT-EXISTS against the same fact collapse to
-    ONE per-order aggregate — n_suppliers and n_late_suppliers as
-    count-distincts — joined back to the late lines; the conditions
-    become row-local (n_suppliers > 1 AND n_late_suppliers == 1). Two
-    orderkey shuffles total (agg + join), vs the naive four self-joins.
+    ONE per-order aggregate — n_suppliers and n_late_suppliers — joined
+    back to the late lines; the conditions become row-local
+    (n_suppliers > 1 AND n_late_suppliers == 1). Two orderkey shuffles
+    total (agg + join), vs the naive four self-joins.
+
+    The two distinct counts run as a two-level aggregate — first
+    (orderkey, suppkey) with max(late), then plain counts per orderkey —
+    instead of multi-column count_distincts, which would plan an Expand
+    (2x every input row before the exchange). The second level reuses the
+    first's partitioning: orderkey is a prefix of (orderkey, suppkey), so
+    no extra exchange appears.
 
     100 TB: both shuffles are on orderkey so AQE can coalesce them; the
     supplier/nation dims broadcast; top-20 is TakeOrderedAndProject.
@@ -622,11 +629,14 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
         "_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("_n_supp"),
-        F.count_distinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late"),
+    per_pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("_late").alias("_any_late")
     )
-    late_lines = lo.filter(F.col("_late")).select("l_orderkey", "l_suppkey").dropDuplicates()
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.count(F.when(F.col("_any_late"), 1)).alias("_n_late"),
+    )
+    late_lines = per_pair.filter(F.col("_any_late")).select("l_orderkey", "l_suppkey")
     sole_late = (
         late_lines.join(per_order, "l_orderkey")
         .filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
