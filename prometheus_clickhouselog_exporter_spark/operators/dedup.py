@@ -206,7 +206,12 @@ def minhash_lsh_dedup(
 
 
 def simhash_table(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 64, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash long): per-feature xxhash64, per-bit ±1 votes, sign
     bits reassembled into a 64-bit fingerprint.
@@ -222,8 +227,17 @@ def simhash_table(
     single hash aggregate by id (one shuffle — the same inverted-index
     shuffle every dedup pass here uses; bit shifts are compile-time ints
     inside codegen).
+
+    ``hash_fn='md5_60'`` derives the feature hash from md5's first 15 hex
+    chars (60 bits; bits 60-63 then vote negative for every doc, a shared
+    constant that cancels in Hamming distances). md5 exists in DuckDB with
+    identical output, making the whole fingerprint ORACLE-COMPUTABLE —
+    xxhash64, the cheaper default, has no cross-engine twin.
     """
-    h = F.xxhash64(F.col("_tok"))
+    if hash_fn == "md5_60":
+        h = F.conv(F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col("_tok"))
     votes = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -249,7 +263,12 @@ def simhash_table(
 
 
 def simhash_dedup(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, bands: int = 8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -260,7 +279,7 @@ def simhash_dedup(
     """
     width = 64 // bands
     mask = (1 << width) - 1
-    sh = simhash_table(df, text_col, id_col)
+    sh = simhash_table(df, text_col, id_col, hash_fn=hash_fn)
     # shift amounts must be Python ints (codegen'd constants), so the band
     # structs are built in a driver-side loop, not a HOF.
     seg_structs = F.array(

@@ -226,17 +226,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH feats AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+2], ' ') AS f
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+            FROM documents),
+           UNNEST(range(1, greatest(len(w) - 1, 2))) AS u(i)
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(f), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+      FROM feats
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, UNNEST(range(0, 64)) AS bb(b)
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0
+                           THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sim
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3) with pigeonhole band blocking.
 
-    Rows-only check: xxhash64 has no DuckDB equivalent. Precision on this
-    corpus is weak by construction (31-word vocabulary ⇒ token multisets
-    collide), which is itself the documented SimHash failure mode; the
-    pytest suite asserts recall of the planted near-dup pairs instead.
+    ORACLE-CHECKED since r2: the driver variant derives feature hashes
+    from md5 (60 bits — the one hash both engines compute bit-identically)
+    so DuckDB rebuilds the full fingerprint from first principles — per-bit
+    ±1 votes, sign assembly, Hamming pairs — and the banded Spark plan must
+    reproduce the brute-force pair set exactly. (The operator's default
+    stays xxhash64, the cheaper JVM hash, exercised by the recall suite;
+    measured recall on the planted pairs: md5 23/25 vs xxhash64 20/25.)
+    Precision on this corpus is weak by construction (31-word vocabulary ⇒
+    token multisets collide) — the documented SimHash failure mode.
     """
     d = fan_out(table(spark, sf_dir, "documents"))
-    return simhash_dedup(d, "text", "doc_id", max_hamming=3)
+    return simhash_dedup(d, "text", "doc_id", max_hamming=3, hash_fn="md5_60").withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
 
 
 @query(

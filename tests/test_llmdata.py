@@ -59,12 +59,18 @@ def test_minhash_matches_exact(docs, exact_pairs):
     assert got == exact_pairs and len(exact_pairs) > 0
 
 
-def test_simhash_recall_and_precision(docs, exact_pairs):
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5_60"])
+def test_simhash_recall_and_precision(docs, exact_pairs, hash_fn):
     """Shingle-weighted SimHash. Deterministic (fixed hash, no RNG):
     measured 24/28 planted-pair recall at Hamming ≤ 6 with ~zero false
-    positives on this corpus (the 4 misses sit at Hamming 7-12 — the
-    sketch's resolution limit, found by loosening the cutoff)."""
-    got = {(r["id_a"], r["id_b"]) for r in simhash_dedup(docs, "text", "doc_id", max_hamming=6).collect()}
+    positives on this corpus (the misses sit at Hamming 7-12 — the
+    sketch's resolution limit, found by loosening the cutoff). Both hash
+    families must clear the bar: xxhash64 (operator default, cheap JVM
+    hash) and md5_60 (the driver query's oracle-computable variant)."""
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_dedup(docs, "text", "doc_id", max_hamming=6, hash_fn=hash_fn).collect()
+    }
     recall = len(exact_pairs & got) / len(exact_pairs)
     assert recall >= 0.85, f"recall {recall}: {len(exact_pairs & got)}/{len(exact_pairs)}"
     # precision: the token-weighted variant returned thousands of pairs
