@@ -1,0 +1,130 @@
+"""Streaming funnel fidelity: the stateful stream must reproduce the
+batch funnel's (oracle-checked) completion semantics on the same events,
+and evict never-converting users via timeout."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from prometheus_clickhouselog_exporter_spark.streaming.funnel import funnel_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+T = datetime(2024, 6, 1, 8, 0, 0)
+
+
+def _run_stream(spark, df, tmp_path, name):
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _batch_completions(spark, events):
+    """The batch twin's conditional-min anchors (llmdata2 funnel oracle)."""
+    w = F.window  # noqa: F841  (documentation only)
+    from pyspark.sql.window import Window
+
+    u = Window.partitionBy("user_id")
+    s = events.withColumn(
+        "v_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(u)
+    )
+    s = s.withColumn(
+        "c_ts",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")), F.col("ts"))
+        ).over(u),
+    )
+    s = s.withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")), F.col("ts")
+            )
+        ).over(u),
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(F.min("v_ts").alias("v"), F.min("c_ts").alias("c"), F.min("p_ts").alias("p"))
+        .filter(F.col("p").isNotNull())
+    )
+
+
+def test_streaming_funnel_matches_batch_anchors(spark, tmp_path):
+    from prometheus_clickhouselog_exporter_spark.sources.tables import read_parquet_nanos_safe
+
+    events = read_parquet_nanos_safe(spark, f"{SF_DIR}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    )
+    staged = str(tmp_path / "events_stream")
+    events.coalesce(1).write.parquet(staged)  # one file -> one micro-batch, in-order fold
+
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+    got = _run_stream(spark, funnel_stream(stream), tmp_path, "funnel_stream")
+
+    want = {
+        (r["user_id"], r["v"], r["c"], r["p"])
+        for r in _batch_completions(spark, events).collect()
+    }
+    got_set = {
+        (r["user_id"], r["view_ts"], r["click_ts"], r["purchase_ts"]) for r in got.collect()
+    }
+    assert len(want) > 0
+    assert got_set == want
+    # latency column agrees with the anchor arithmetic
+    for r in got.collect():
+        assert abs(
+            r["hours_to_convert"]
+            - (r["purchase_ts"] - r["view_ts"]).total_seconds() / 3600.0
+        ) < 1e-9
+
+
+def test_streaming_funnel_timeout_evicts_stalled_user(spark, tmp_path):
+    log_dir = tmp_path / "ev"
+    log_dir.mkdir()
+    df = spark.createDataFrame(
+        [(1, T, "view"), (1, T + timedelta(seconds=1), "click")],
+        "user_id bigint, ts timestamp, event_type string",
+    )
+    df.coalesce(1).write.parquet(str(log_dir / "b0"))
+    stream = spark.readStream.schema(df.schema).parquet(str(log_dir / "*"))
+    q = (
+        funnel_stream(stream, timeout_ms=1000)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_timeout")
+        .option("checkpointLocation", str(tmp_path / "ckpt_t"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # drive micro-batches past the deadline; the stalled user's state
+        # must be evicted (no completion row ever emitted)
+        deadline = time.time() + 30
+        evicted = False
+        i = 0
+        while time.time() < deadline and not evicted:
+            time.sleep(1.0)
+            i += 1
+            spark.createDataFrame(
+                [(99 + i, T + timedelta(minutes=i), "view")], df.schema
+            ).coalesce(1).write.parquet(str(log_dir / f"b{i}"))
+            q.processAllAvailable()
+            prog = q.lastProgress
+            ops = (prog or {}).get("stateOperators") or []
+            if ops and ops[0].get("numRowsRemoved", 0) > 0:
+                evicted = True
+        assert evicted, "timeout never evicted the stalled user's state"
+        assert spark.sql("SELECT * FROM funnel_timeout").count() == 0
+    finally:
+        q.stop()
