@@ -16,5 +16,6 @@ from . import llmdata  # noqa: F401,E402
 from . import llmdata2  # noqa: F401,E402
 from . import llmdata3  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
+from . import pipeline_ops2  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE", "query"]

@@ -337,7 +337,8 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat_us = F.sum(
         F.when(
             F.col("p_ts").isNotNull(),
-            F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts")),
+            F.unix_micros(F.col("p_ts").cast("timestamp"))
+            - F.unix_micros(F.col("v_ts").cast("timestamp")),
         )
     )
     return u.agg(
