@@ -5,9 +5,9 @@ This is the manual twin of Spark's injected runtime bloom filter
 (``spark.sql.optimizer.runtime.bloomFilter.enabled``): build a fixed-size
 bitset over a key column with ONE tiny shuffle (``m_bits/64`` groups),
 hold the bitmap on the driver (16–512 KiB — same order as Spark's own
-InSubquery / bloom runtime-filter results), then embed it as an
-array<long> literal so the probe side evaluates entirely in the scan
-stage — no shuffle of the probe table at all.
+InSubquery / bloom runtime-filter results), then embed it as a literal so
+the probe side evaluates entirely in the scan stage — no shuffle of the
+probe table at all.
 
 Use case (reference semantics analog: the exporter's dup-session check,
 query.go:91-95, generalized to corpus scale): incremental dedup /
@@ -15,10 +15,14 @@ contamination checks where a huge new batch is tested against an existing
 corpus. The bloom answers "definitely new" scan-side; only the small
 candidate set pays an exact verification join.
 
-Everything is codegen-friendly built-in expressions — xxhash64, pmod,
-shiftleft/shiftright, bit_or aggregate, element_at on a folded array
-literal. No UDFs, no driver-side row loops (the only collect is the
-``m_bits/64``-row bitmap, bounded by the filter size, not the data).
+Representation matters: the bitmap crosses into the plan as ONE flat hex
+STRING literal, not an array<long> literal — py4j converts Python lists
+element-by-element (a 16 K-element ``F.lit(list)`` costs ~12 s to build
+and seconds more every time the optimizer copies the tree), while a
+256 KiB string is a single transfer and a single reference in generated
+code. The probe reads a byte with ``substring``+``conv`` and tests the
+bit with shifts — all constant-foldable around the two data-dependent
+positions, all inside whole-stage codegen.
 
 ANSI-safe: hashes are folded into 40 bits before the double-hash affine
 combine, so ``h1 + i*h2`` stays far below 2^63 (Spark 4 runs ANSI mode ON
@@ -27,6 +31,7 @@ and would raise on long overflow).
 
 from __future__ import annotations
 
+import struct
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -44,15 +49,15 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
 
 
-def bloom_build(df: DataFrame, key: Column, m_bits: int = 1 << 20, k: int = 3) -> list[int]:
-    """Aggregate a Bloom bitset over ``key`` and return it as a Python list
-    of ``m_bits/64`` longs (index = bit position // 64).
+def bloom_build(df: DataFrame, key: Column, m_bits: int = 1 << 20, k: int = 3) -> bytes:
+    """Aggregate a Bloom bitset over ``key`` and return it as ``m_bits/8``
+    bytes (bit i = byte ``i>>3``, LSB-first — i.e. little-endian 64-bit
+    words, so word and byte addressing agree).
 
     Plan shape: project k positions → explode → groupBy(word) bit_or —
     partial aggregation makes the shuffle ≤ m_bits/64 rows per partition
     regardless of input size. The collect is the bitmap, not the data.
     """
-    words = m_bits // 64
     pos = F.explode(F.array(*_positions(key, m_bits, k))).alias("pos")
     agg = (
         df.select(pos)
@@ -66,22 +71,23 @@ def bloom_build(df: DataFrame, key: Column, m_bits: int = 1 << 20, k: int = 3) -
         .agg(F.bit_or("bit").alias("bits"))
         .collect()
     )
-    bitmap = [0] * words
+    words = [0] * (m_bits // 64)
     for row in agg:
-        bitmap[row["word"]] = row["bits"]
-    return bitmap
+        words[row["word"]] = row["bits"]
+    return b"".join(struct.pack("<q", w) for w in words)
 
 
-def bloom_might_contain(key: Column, bitmap: list[int], m_bits: int, k: int = 3) -> Column:
-    """Membership test against a built bitmap, as a pure expression over a
-    folded array<long> literal: false ⇒ definitely absent, true ⇒ candidate
-    (verify exactly downstream). element_at on the constant-folded literal
-    is O(1); the whole predicate runs inside whole-stage codegen in the
-    probe table's scan stage."""
-    bm = F.lit(bitmap)
+def bloom_might_contain(key: Column, bitmap: bytes, m_bits: int, k: int = 3) -> Column:
+    """Membership test against a built bitmap, as a pure expression over
+    the hex-encoded bitmap literal: false ⇒ definitely absent, true ⇒
+    candidate (verify exactly downstream). Byte lookup is substring on the
+    constant string + conv(·,16,10); the whole predicate runs inside
+    whole-stage codegen in the probe table's scan stage."""
+    hx = F.lit(bitmap.hex())
     checks = []
     for p in _positions(key, m_bits, k):
-        word = F.element_at(bm, F.shiftright(p, 6).cast("int") + F.lit(1))
-        shifted = F.call_function("shiftright", word, F.pmod(p, F.lit(64)).cast("int"))
+        start = (F.shiftright(p, 3) * 2 + 1).cast("int")
+        byte = F.conv(F.call_function("substring", hx, start, F.lit(2)), 16, 10).cast("long")
+        shifted = F.call_function("shiftright", byte, F.pmod(p, F.lit(8)).cast("int"))
         checks.append(shifted.bitwiseAND(F.lit(1)) == F.lit(1))
     return reduce(lambda a, b: a & b, checks)

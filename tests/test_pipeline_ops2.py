@@ -25,7 +25,7 @@ def _strings(spark, prefix, n):
 def test_bloom_no_false_negatives(spark):
     keys = _strings(spark, "key", 3000)
     bm = bloom_build(keys, F.col("s"), m_bits=M, k=K)
-    assert len(bm) == M // 64
+    assert len(bm) == M // 8
     survivors = keys.filter(bloom_might_contain(F.col("s"), bm, M, K))
     assert survivors.count() == 3000
 
@@ -57,7 +57,7 @@ def test_bloom_probe_is_scan_side(spark):
 def test_bloom_empty_build_rejects_everything(spark):
     empty = _strings(spark, "key", 10).filter(F.lit(False))
     bm = bloom_build(empty, F.col("s"), m_bits=M, k=K)
-    assert all(w == 0 for w in bm)
+    assert bm == bytes(M // 8)
     assert _strings(spark, "key", 50).filter(
         bloom_might_contain(F.col("s"), bm, M, K)
     ).count() == 0
