@@ -140,6 +140,27 @@ def test_source_quota_deterministic_under_partitioning(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_substring_spans_plan_shape(spark):
+    """One exchange per logical need and no more: round-robin fan-out,
+    ONE hash exchange on the gram hash (count window), ONE on doc_id —
+    under which Catalyst stacks the lag window, the running-sum window
+    AND both aggregations — and a broadcast (never sort-merge) join for
+    the per-doc token counts."""
+    import re
+
+    import prometheus_clickhouselog_exporter_spark.workloads.pipeline_ops2 as po
+
+    plan = (
+        po.dedup_substring_spans(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    keys = [m.group(1) for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)]
+    assert sorted(keys) == ["doc_id", "gh"], keys
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_source_quota_plan_uses_window_group_limit(spark):
     import prometheus_clickhouselog_exporter_spark.workloads.pipeline_ops2 as po
 
