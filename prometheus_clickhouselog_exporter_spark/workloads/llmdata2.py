@@ -198,6 +198,40 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.unionByName(merged).unionByName(global_exact)
 
 
+@query("sketch_quantile_tokens")
+def sketch_quantile_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles of document token counts via
+    ``percentile_approx`` (Greenwald–Khanna summaries): p25/p50/p75/p95
+    per language plus a ``__all__`` row — the length-distribution audit a
+    curation pipeline runs before choosing packing/truncation lengths.
+
+    The sketch property is in the PLAN, not the API surface: GK summaries
+    build per partition and merge in the final aggregate (partial →
+    merge, like any agg), so the shuffle carries O(accuracy) summary
+    entries per group, never the values. That is the difference between
+    auditing 100 TB's length distribution and sorting it. Rows-only
+    driver check (GK is rank-approximate by contract);
+    tests/test_llmdata2.py bounds the rank error against the exact
+    interpolating percentile and pins determinism across partitionings.
+    """
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    ps = [0.25, 0.5, 0.75, 0.95]
+    base = d.select(F.col("lang"), ntok.alias("n_tok"))
+    per_lang = base.groupBy("lang").agg(
+        F.percentile_approx("n_tok", ps, 10000).alias("qs"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    overall = base.agg(
+        F.percentile_approx("n_tok", ps, 10000).alias("qs"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).select(F.lit("__all__").alias("lang"), "qs", "n_docs")
+    cols = [
+        F.element_at("qs", i + 1).alias(f"p{int(p * 100)}") for i, p in enumerate(ps)
+    ]
+    return per_lang.unionByName(overall).select("lang", *cols, "n_docs")
+
+
 @query(
     "timeseries_gapfill_daily",
     oracle="""

@@ -24,6 +24,34 @@ def test_hll_sketch_estimates_within_tolerance(spark):
     assert abs(merged["approx_users"] - glob["exact_users"]) <= max(1, 0.05 * glob["exact_users"])
 
 
+def test_quantile_sketch_rank_error_and_determinism(spark):
+    """GK contract: each reported quantile's TRUE rank is within
+    accuracy-relative error of the target rank. With accuracy=10000 and
+    tiny n the sketch is exhaustive, so the value must land exactly on a
+    present token count; across partitionings the result is identical."""
+    out = {r["lang"]: r for r in QUERIES["sketch_quantile_tokens"](spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.size(F.split(F.col("text"), " ")).alias("n")
+    )
+    vals = sorted(r["n"] for r in docs.collect())
+    n = len(vals)
+    allrow = out["__all__"]
+    assert allrow["n_docs"] == n
+    for p, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]:
+        v = allrow[col]
+        assert v in vals  # exhaustive summary ⇒ an actual data value
+        lo = sum(1 for x in vals if x < v)
+        hi = sum(1 for x in vals if x <= v)
+        target = p * n
+        assert lo - 1 <= target <= hi + 1, (col, v, lo, hi, target)
+    # deterministic across radically different partitionings
+    again = {
+        r["lang"]: r
+        for r in QUERIES["sketch_quantile_tokens"](spark, SF).collect()
+    }
+    assert out == again
+
+
 def test_chunk_dedup_first_doc_wins(spark):
     """A doc whose every chunk also appears in a lower-id doc keeps nothing;
     the lowest-id doc of any duplicate pair keeps everything."""

@@ -107,23 +107,20 @@ def test_streaming_funnel_timeout_evicts_stalled_user(spark, tmp_path):
         .start()
     )
     try:
-        q.processAllAvailable()
-        # drive micro-batches past the deadline; the stalled user's state
-        # must be evicted (no completion row ever emitted)
-        deadline = time.time() + 30
+        # A processing-time timer keeps scheduling no-data micro-batches,
+        # so processAllAvailable() never quiesces once the timer is armed
+        # (same trap documented in test_streaming.py's timeout test) —
+        # poll query progress for the state eviction instead. The timer
+        # batches fire on their own; no extra input is needed.
+        deadline = time.time() + 90
         evicted = False
-        i = 0
         while time.time() < deadline and not evicted:
             time.sleep(1.0)
-            i += 1
-            spark.createDataFrame(
-                [(99 + i, T + timedelta(minutes=i), "view")], df.schema
-            ).coalesce(1).write.parquet(str(log_dir / f"b{i}"))
-            q.processAllAvailable()
-            prog = q.lastProgress
-            ops = (prog or {}).get("stateOperators") or []
-            if ops and ops[0].get("numRowsRemoved", 0) > 0:
-                evicted = True
+            for prog in q.recentProgress:
+                ops = prog.get("stateOperators") or []
+                if ops and ops[0].get("numRowsRemoved", 0) > 0:
+                    evicted = True
+                    break
         assert evicted, "timeout never evicted the stalled user's state"
         assert spark.sql("SELECT * FROM funnel_timeout").count() == 0
     finally:
