@@ -72,6 +72,24 @@ def join_initial_to_close(
     )
 
 
+def enrich_stream_static(stream: DataFrame, dim: DataFrame, key: str, how: str = "left") -> DataFrame:
+    """Stream-static join: enrich an unbounded stream with a bounded
+    dimension table (the metrics pipeline's analog: tagging each parsed
+    line with host metadata before aggregation).
+
+    Unlike stream-stream joins this needs NO watermark and NO join state:
+    every micro-batch plans a fresh batch join against the static side —
+    Spark broadcasts the dimension when it fits
+    (``autoBroadcastJoinThreshold``), so the stream side never shuffles.
+    The static plan is re-resolved per batch, which is what makes
+    slowly-refreshed dimension snapshots (e.g. a reloaded parquet dir)
+    pick up on the next trigger. 100 TB: broadcast dims are the only
+    sane shape — a shuffled stream-side join would re-partition every
+    micro-batch.
+    """
+    return stream.join(F.broadcast(dim), key, how)
+
+
 def dedup_initial_stream(parsed: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """First initial line per query id wins; repeats within the watermark
     horizon are dropped (``dropDuplicatesWithinWatermark`` — state expires

@@ -208,6 +208,78 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_range_rolling_revenue",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_orderpriority
+                       ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate)
+                       RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS roll_spend,
+           count(*) OVER (PARTITION BY o_orderpriority
+                          ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate)
+                          RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+             AS roll_orders
+    FROM orders
+    """,
+)
+def window_range_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per-priority
+    30-day rolling revenue and order count, ordered by order date. RANGE
+    frames differ from ROWS under ties — every same-date peer is in every
+    peer's frame — so the result is deterministic with NO tiebreak
+    column, which is exactly why rolling-time metrics use them. Date
+    keys become day ordinals (datediff from an epoch) so the frame bound
+    is a plain integer offset in both engines.
+
+    100 TB: one shuffle on the partition key; the running frame is a
+    single sort + sliding aggregate per partition (Spark's bounded-frame
+    WindowExec keeps only the 30-day buffer, not the partition)."""
+    o = table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = Window.partitionBy("o_orderpriority").orderBy(days.alias("d")).rangeBetween(-29, 0)
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.sum(money(F.col("o_totalprice"))).over(w), 2)
+        .cast("double")
+        .alias("roll_spend"),
+        F.count(F.lit(1)).over(w).alias("roll_orders"),
+    )
+
+
+@query(
+    "window_rank_family",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           ntile(4) OVER w                                            AS quartile,
+           dense_rank() OVER w                                        AS drk,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000     AS prk,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000        AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family battery: ntile quartiles, dense_rank, percent_rank and
+    cume_dist over one (partition, order) spec — all four evaluate in a
+    single Window node (one exchange + one sort). c_custkey breaks
+    acctbal ties because ntile, unlike the rank functions, depends on
+    the physical order WITHIN ties; the ratios floor-round at 1e-6 (the
+    fround discipline) since (rank−1)/(n−1) is the only float here."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).alias("drk"),
+        fround(F.percent_rank().over(w), 6).alias("prk"),
+        fround(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
     "array_functions_part",
     oracle="""
     SELECT p_type,

@@ -17,6 +17,7 @@ from prometheus_clickhouselog_exporter_spark.sources.fixtures import (
 )
 from prometheus_clickhouselog_exporter_spark.streaming.joins import (
     dedup_initial_stream,
+    enrich_stream_static,
     join_initial_to_close,
 )
 
@@ -125,3 +126,40 @@ def test_join_batch_mode_same_operator(spark, tmp_path):
     parsed = parse_log_lines(spark.read.text(str(p)))
     rows = join_initial_to_close(parsed).collect()
     assert len(rows) == 1 and rows[0]["elapsed"] == 3.0
+
+
+def test_stream_static_join_enriches_and_broadcasts(spark, tmp_path):
+    """Stream-static: each micro-batch joins the static dim (no watermark,
+    no join state); the dim side must broadcast, and rows with no dim
+    match survive a left join with NULLs."""
+    log_dir = tmp_path / "ss"
+    log_dir.mkdir()
+    FixtureLog(
+        [
+            initial_line(T, 1, "q-a", "10.0.0.1", 9000, "SELECT 1"),
+            initial_line(T + timedelta(seconds=1), 2, "q-b", "10.0.0.2", 9000, "INSERT INTO t VALUES (1)"),
+        ]
+    ).write(str(log_dir / "a.log"))
+    dim = spark.createDataFrame(
+        [("10.0.0.1", "rack-1")], "host string, rack string"
+    )
+    enriched = enrich_stream_static(_stream(spark, log_dir), dim, "host")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["id"]: r["rack"] for r in spark.sql("SELECT id, rack FROM ss_join").collect()}
+    assert rows == {"q-a": "rack-1", "q-b": None}
+    # batch form of the same operator plans a broadcast join
+    batch = enrich_stream_static(
+        parse_log_lines(spark.read.text(str(log_dir / "a.log"))), dim, "host"
+    )
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan and "SortMergeJoin" not in plan
