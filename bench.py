@@ -41,6 +41,11 @@ HEADLINE = [
     "q21_waiting_supplier",
     "decontam_ngram_overlap",
     "pack_sequences_blocks",
+    # r2 session 2: exact-substring span dedup (gram-hash shuffle + one
+    # doc_id exchange), bloom-prefiltered incremental dedup (bitmap build
+    # job + scan-side probe)
+    "dedup_substring_spans",
+    "dedup_incremental_bloom",
 ]
 
 
