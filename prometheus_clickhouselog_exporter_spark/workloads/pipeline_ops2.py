@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.bloom import bloom_build, bloom_might_contain
+from ..operators.sampling import stratified_sample
 from .core import fan_out, fround, query, table
 
 _K = 8  # span/chunk width in tokens
@@ -211,6 +212,81 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunks",
         F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
         (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("is_dup"),
+    )
+
+
+@query(
+    "curation_manifest_end2end",
+    oracle="""
+    WITH gated AS (
+      SELECT doc_id, lang, source, text,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents WHERE n_chars >= 120
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT g.*, min(doc_id) OVER (PARTITION BY text) AS first_doc FROM gated g
+      ) WHERE doc_id = first_doc
+    ),
+    quotaed AS (
+      SELECT * FROM (
+        SELECT d.*, row_number() OVER (PARTITION BY source
+                                       ORDER BY md5(text), doc_id) AS rk
+        FROM deduped d
+      ) WHERE rk <= 15
+    ),
+    sampled AS (
+      SELECT * FROM quotaed
+      WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 10000
+            < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 7500 ELSE 10000 END
+    )
+    SELECT lang,
+           count(*)                        AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)      AS total_tokens,
+           CAST(floor(sum(n_tok) / 512) AS BIGINT) AS n_blocks,
+           CAST(sum(doc_id) AS BIGINT)     AS id_checksum
+    FROM sampled GROUP BY lang
+    """,
+)
+def curation_manifest_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as ONE Catalyst plan: length gate →
+    exact dedup (first-doc-wins over full text) → per-source quota
+    (md5-rank ≤ 15) → per-language mixture downsample (content-addressed,
+    en 50% / zh 75% / rest kept) → per-language packing manifest stats
+    (docs, tokens, full 512-token blocks, id checksum).
+
+    The point is composition: each stage is the already-certified
+    operator (``dedup_exact``'s window, ``sample_source_quota``'s
+    WindowGroupLimit rank, ``deterministic_sample``'s scan predicate),
+    and chaining them costs exactly the union of their shuffles — the
+    gate and the sample are scan-stage predicates that Catalyst pushes
+    below/between the two windows, so the plan is: scan → text window →
+    source window → final agg. Every stage is deterministic
+    (content-addressed), so the oracle reproduces the exact same kept
+    set and checksum cross-engine — the property that makes a 100 TB
+    curation run auditable and resumable.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 120)
+    d = d.select(
+        "doc_id", "lang", "source", "text",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    first_doc = F.min("doc_id").over(Window.partitionBy("text"))
+    deduped = d.select("*", first_doc.alias("first_doc")).filter(
+        F.col("doc_id") == F.col("first_doc")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.md5(F.col("text")), F.col("doc_id"))
+    )
+    quotaed = deduped.select("*", rk.alias("rk")).filter(F.col("rk") <= 15)
+    sampled = stratified_sample(
+        quotaed, F.col("text"), "lang", {"en": 0.5, "zh": 0.75}, default_fraction=1.0
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.floor(F.sum("n_tok") / 512).alias("n_blocks"),
+        F.sum("doc_id").alias("id_checksum"),
     )
 
 

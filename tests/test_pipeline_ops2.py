@@ -161,6 +161,29 @@ def test_substring_spans_plan_shape(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
+def test_curation_end2end_plan_shape(spark):
+    """The composed pipeline costs exactly the union of its stages'
+    shuffles: text-window exchange (exact dedup), source-window exchange
+    (quota, with WindowGroupLimit pushdown), lang agg exchange. The gate
+    and the mixture sample are scan-stage predicates — no exchange of
+    their own."""
+    import re
+
+    import prometheus_clickhouselog_exporter_spark.workloads.pipeline_ops2 as po
+
+    plan = (
+        po.curation_manifest_end2end(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    keys = sorted(
+        m.group(1) for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)
+    )
+    assert keys == ["lang", "source", "text"], keys
+    assert "WindowGroupLimit" in plan
+
+
 def test_source_quota_plan_uses_window_group_limit(spark):
     import prometheus_clickhouselog_exporter_spark.workloads.pipeline_ops2 as po
 
