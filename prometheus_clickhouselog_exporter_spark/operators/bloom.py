@@ -15,14 +15,16 @@ contamination checks where a huge new batch is tested against an existing
 corpus. The bloom answers "definitely new" scan-side; only the small
 candidate set pays an exact verification join.
 
-Representation matters: the bitmap crosses into the plan as ONE flat hex
-STRING literal, not an array<long> literal — py4j converts Python lists
-element-by-element (a 16 K-element ``F.lit(list)`` costs ~12 s to build
-and seconds more every time the optimizer copies the tree), while a
-256 KiB string is a single transfer and a single reference in generated
-code. The probe reads a byte with ``substring``+``conv`` and tests the
-bit with shifts — all constant-foldable around the two data-dependent
-positions, all inside whole-stage codegen.
+Representation matters twice over: the bitmap crosses into the plan as
+ONE flat BINARY literal. Not an array<long> literal — py4j converts
+Python lists element-by-element (a 16 K-element ``F.lit(list)`` costs
+~12 s to build and seconds more every time the optimizer copies the
+tree). And not a hex STRING literal — string ``substring`` scans bytes
+up to the offset on every call (UTF8 variable-width handling), making
+each probe O(bitmap size); binary slicing is a direct byte-offset copy.
+The probe reads a byte with binary substring + ``hex`` + ``conv`` and
+tests the bit with shifts — all constant-foldable around the two
+data-dependent positions, all inside whole-stage codegen.
 
 ANSI-safe: hashes are folded into 40 bits before the double-hash affine
 combine, so ``h1 + i*h2`` stays far below 2^63 (Spark 4 runs ANSI mode ON
@@ -79,15 +81,19 @@ def bloom_build(df: DataFrame, key: Column, m_bits: int = 1 << 20, k: int = 3) -
 
 def bloom_might_contain(key: Column, bitmap: bytes, m_bits: int, k: int = 3) -> Column:
     """Membership test against a built bitmap, as a pure expression over
-    the hex-encoded bitmap literal: false ⇒ definitely absent, true ⇒
-    candidate (verify exactly downstream). Byte lookup is substring on the
-    constant string + conv(·,16,10); the whole predicate runs inside
-    whole-stage codegen in the probe table's scan stage."""
-    hx = F.lit(bitmap.hex())
+    the BINARY bitmap literal: false ⇒ definitely absent, true ⇒
+    candidate (verify exactly downstream). Byte lookup is a binary
+    substring (O(1) byte-offset slice — a hex STRING literal would scan
+    to the offset on every row, see operators/lookup.py) + hex + conv;
+    the whole predicate runs inside whole-stage codegen in the probe
+    table's scan stage."""
+    packed = F.lit(bitmap)
     checks = []
     for p in _positions(key, m_bits, k):
-        start = (F.shiftright(p, 3) * 2 + 1).cast("int")
-        byte = F.conv(F.call_function("substring", hx, start, F.lit(2)), 16, 10).cast("long")
+        start = (F.shiftright(p, 3) + 1).cast("int")
+        byte = F.conv(
+            F.hex(F.call_function("substring", packed, start, F.lit(1))), 16, 10
+        ).cast("long")
         shifted = F.call_function("shiftright", byte, F.pmod(p, F.lit(8)).cast("int"))
         checks.append(shifted.bitwiseAND(F.lit(1)) == F.lit(1))
     return reduce(lambda a, b: a & b, checks)

@@ -63,6 +63,20 @@ def test_bloom_empty_build_rejects_everything(spark):
     ).count() == 0
 
 
+def test_packed_lookup_roundtrip(spark):
+    """packed_lookup(values, idx) == values[idx] for every index, on a
+    table crossing byte-boundary-significant values (0, 1, 2^31, 2^62)."""
+    from prometheus_clickhouselog_exporter_spark.operators.lookup import packed_lookup
+
+    vals = [0, 1, 255, 256, 2**31, 2**62, 7, 0, 123456789]
+    df = spark.range(len(vals)).select(F.col("id").cast("int").alias("i"))
+    got = {
+        r["i"]: r["v"]
+        for r in df.select("i", packed_lookup(vals, F.col("i")).alias("v")).collect()
+    }
+    assert got == {i: v for i, v in enumerate(vals)}
+
+
 @pytest.fixture(scope="module")
 def span_docs(spark):
     shared = " ".join(f"s{i}" for i in range(12))  # 12-token shared span
