@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.dedup import (
-    embedding_cosine_pairs,
+    embedding_cosine_pairs_blocked,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
     simhash_dedup,
@@ -302,7 +302,9 @@ def dedup_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     global brute force is only run at validation scale.
     """
     emb = table(spark, sf_dir, "embeddings")
-    pairs = embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=-1.0)
+    pairs = embedding_cosine_pairs_blocked(
+        emb, "embedding", "vec_id", threshold=-1.0, per_blockpair_topk=20
+    )
     return (
         pairs.orderBy(F.col("cosine").desc(), "id_a", "id_b")
         .limit(20)

@@ -134,3 +134,31 @@ def test_ivf_similarity_recall_vs_bruteforce(emb):
     # probing 4 of 16 cells touches ~25% of the corpus; near neighbors
     # concentrate in the probed cells, so recall must beat that baseline.
     assert recall >= 0.4, f"recall {recall}"
+
+
+def test_blocked_gemm_pairs_match_expression_form(spark, emb):
+    """The blocked-GEMM kernel must reproduce the expression-form pair set
+    exactly (same pairs; cosines equal to ~1e-12 — BLAS reduction order
+    differs from the sequential fold)."""
+    from prometheus_clickhouselog_exporter_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_blocked,
+    )
+
+    thr = 0.35
+    want = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(emb, "embedding", "vec_id", thr).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs_blocked(
+            emb, "embedding", "vec_id", thr, n_blocks=5
+        ).collect()
+    }
+    # Pair sets may differ only for cosines within float-reduction slack
+    # of the threshold; none exist at this threshold on this corpus.
+    assert set(got) == set(want)
+    assert len(got) > 0
+    for k, v in got.items():
+        assert abs(v - want[k]) < 1e-9, k
