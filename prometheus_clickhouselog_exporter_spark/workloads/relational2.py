@@ -271,6 +271,62 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "map_functions_events",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id % 5 AS dec, count(*) AS n
+      FROM events GROUP BY event_type, user_id % 5
+    )
+    SELECT event_type,
+           coalesce(string_agg(CASE WHEN (n + dec) % 3 = 0
+                                    THEN dec || ':' || (n + dec) END,
+                               ';' ORDER BY dec) || ';', '')
+             || '9:' || CAST(sum(n) AS BIGINT)           AS map_str,
+           CAST(count(*) FILTER (WHERE (n + dec) % 3 = 0) + 1 AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT)                         AS total
+    FROM c GROUP BY event_type
+    """,
+)
+def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function battery: map_from_entries (order-preserving),
+    transform_values, map_filter, map_concat, map_entries — per event
+    type, a user-decile→count map is built from sorted entries,
+    transformed (v+k), filtered ((v+k)%3==0), merged with a sentinel
+    total entry, and serialized deterministically (entry order = sorted
+    build order, which map_entries preserves) so the DuckDB oracle can
+    reproduce the exact string without a MAP type.
+
+    100 TB: maps here are per-GROUP aggregates (5 entries), so the map
+    HOFs — which evaluate interpreted, see SCALE.md — run once per
+    group, not per row; the heavy lifting stays in the hash aggregate
+    below them."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", (F.col("user_id") % 5).alias("dec")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_type = c.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("dec", "n")))
+        ).alias("m"),
+        F.sum("n").alias("total"),
+    )
+    m2 = F.map_filter(
+        F.transform_values(F.col("m"), lambda k, v: v + k), lambda k, v: v % 3 == 0
+    )
+    merged = F.map_concat(m2, F.create_map(F.lit(9).cast("long"), F.col("total")))
+    entries = F.transform(
+        F.map_entries(merged),
+        lambda kv: F.concat(kv["key"].cast("string"), F.lit(":"), kv["value"].cast("string")),
+    )
+    return per_type.select(
+        "event_type",
+        F.array_join(entries, ";").alias("map_str"),
+        F.size(F.map_entries(merged)).cast("long").alias("n_keys"),
+        F.col("total").cast("long").alias("total"),
+    )
+
+
+@query(
     "window_range_rolling_revenue",
     oracle="""
     SELECT o_orderpriority, o_orderkey,
