@@ -33,6 +33,42 @@ from ..functions.histogram import (
 from .correlate import annotate_events
 
 
+def observed_line_counters(parsed: DataFrame):
+    """A1/A2-style counters as ``observe()`` metrics riding the SAME scan:
+    attach accumulator-style sums to the parse pipeline so line totals and
+    per-kind counts materialize as a side effect of whatever action runs
+    next — ZERO extra jobs, no second pass over the source.
+
+    This is the closest Spark analog to the reference's ``.Inc()`` call
+    sites (main.go:119, query.go:127): counters updated in the stream of
+    processing, not by a separate aggregation. ``metric_snapshot`` remains
+    the authoritative grouped form (it can histogram and label); observe()
+    is the free-of-charge health-counter tier a 100 TB batch job wants on
+    every run — the scan is the expensive part, the counters are not.
+
+    Returns (df, observation): run ANY action on df, then read
+    ``observation.get`` — a dict with ``parsed_lines`` plus one counter
+    per event kind (unparseable lines never leave ``parse_log_lines``,
+    so the source-line total A1 stays with the raw-side counter).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+
+    def _n(kind: str):
+        return F.sum(F.when(F.col("event_kind") == kind, 1).otherwise(0)).alias(kind)
+
+    observed = parsed.observe(
+        obs,
+        F.count(F.lit(1)).alias("parsed_lines"),
+        _n("initial"),
+        _n("stats"),
+        _n("memory"),
+        _n("error"),
+    )
+    return observed, obs
+
+
 def metric_snapshot(raw_lines: DataFrame, parsed: DataFrame) -> dict[str, DataFrame]:
     """Compute all 9 collectors. ``raw_lines`` is the unfiltered source
     (for A1); ``parsed`` is ``parse_log_lines`` output."""

@@ -123,3 +123,17 @@ def test_metric_snapshot(raw, parsed):
     rr = m["clickhouse_select_query_rows_read"].collect()[0]
     assert rr["bucket_count"] == 12  # 7 sqls + 5 units; orphan + badstats skipped
     assert rr["le_1e06"] == 6  # 1M (q-sel) + five 100-row unit lines
+
+
+def test_observed_line_counters_ride_the_scan(parsed):
+    """observe() counters materialize as a side effect of the next action
+    — no second scan — and match the golden per-kind counts."""
+    from prometheus_clickhouselog_exporter_spark.operators.metrics import (
+        observed_line_counters,
+    )
+
+    observed, obs = observed_line_counters(parsed)
+    n = observed.count()  # any action
+    got = obs.get
+    assert got["parsed_lines"] == n == 49
+    assert (got["initial"], got["stats"], got["memory"], got["error"]) == (17, 14, 15, 3)
