@@ -271,6 +271,51 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "groupingsets_priority_status",
+    oracle="""
+    SELECT coalesce(o_orderpriority, '*') AS priority,
+           coalesce(o_orderstatus, '*')   AS status,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT)
+             AS gid,
+           count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+)
+def groupingsets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (Spark 4 DataFrame.groupingSets) — the
+    asymmetric form rollup/cube can't express: (priority, status),
+    (priority), and grand total, but NOT (status) alone. grouping_id
+    disambiguates a real NULL group key from a rolled-up one — the only
+    correct way to consume these results.
+
+    100 TB: Catalyst plans one Expand (3×) + one hash aggregate — the
+    same single-shuffle shape as rollup; the set list controls the
+    expansion factor, so pruning unneeded sets is a direct scan-cost
+    lever."""
+    o = table(spark, sf_dir, "orders")
+    gs = o.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(money(F.col("o_totalprice"))), 2).cast("double").alias("revenue"),
+    )
+    return gs.select(
+        F.coalesce(F.col("o_orderpriority"), F.lit("*")).alias("priority"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("*")).alias("status"),
+        F.col("gid").cast("long").alias("gid"),
+        "n",
+        "revenue",
+    )
+
+
+@query(
     "map_functions_events",
     oracle="""
     WITH c AS (
