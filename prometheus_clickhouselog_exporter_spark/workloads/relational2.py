@@ -511,30 +511,57 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS approx_customers_ok,
+           TRUE AS approx_median_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) + percentile_approx per order
-    status. Rows-only driver check (sketches are engine-specific by
-    nature); the pytest suite asserts the estimates land within tolerance
-    of the exact answers.
+    status, emitted as ERROR-BOUND VALIDATIONS so the driver can value-hash
+    the result: raw sketch values are engine-specific, but the claims
+    "HLL estimate within 3·rsd of the exact distinct count" and "GK median
+    within the exact p45..p55 band" are deterministic booleans DuckDB can
+    assert as literal TRUE. The pytest suite still checks the raw sketch
+    values against tolerance (tests/test_sources.py).
 
-    The sketch branch and the exact-distinct branch aggregate SEPARATELY
-    and join on the 3-row status key: mixing count(DISTINCT) with object
+    The sketch branch and the exact branch aggregate SEPARATELY and join
+    on the 3-row status key: mixing count(DISTINCT) with object
     aggregates triggers Catalyst's distinct-rewrite, which re-keys the
     whole aggregate by (status, custkey) and drags a 10k-entry percentile
     buffer through a per-customer shuffle — measured 16.5s → 0.6s at
     sf0.1 from this split. The sketches' partial states merge map-side;
-    the distinct branch carries only a count."""
+    the exact branch carries a count and two interpolated percentiles."""
     o = table(spark, sf_dir, "orders")
     sk = o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
         F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
     )
     ex = o.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("exact_customers")
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.expr("percentile(o_totalprice, 0.45)").alias("_p45"),
+        F.expr("percentile(o_totalprice, 0.55)").alias("_p55"),
     )
+    # HLL++ default rsd = 0.05; 3 sigma = 15% relative error, floor of 1.
+    # percentile_approx default accuracy 10000 → rank error 1e-4, far inside
+    # the p45..p55 band.
     return sk.join(ex, "o_orderstatus").select(
-        "o_orderstatus", "approx_customers", "exact_customers", "approx_median_price"
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            <= F.greatest(F.lit(1.0), 0.15 * F.col("exact_customers"))
+        ).alias("approx_customers_ok"),
+        (
+            (F.col("approx_median_price") >= F.col("_p45"))
+            & (F.col("approx_median_price") <= F.col("_p55"))
+        ).alias("approx_median_ok"),
     )
 
 

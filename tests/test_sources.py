@@ -55,6 +55,6 @@ def test_approx_distinct_tolerance(spark):
     rows = agg_approx_distinct(spark, SF_DIR).collect()
     assert len(rows) == 3
     for r in rows:
-        rel_err = abs(r["approx_customers"] - r["exact_customers"]) / max(r["exact_customers"], 1)
-        assert rel_err <= 0.05, f"{r['o_orderstatus']}: {rel_err}"
-        assert r["approx_median_price"] > 0
+        assert r["exact_customers"] > 0
+        assert r["approx_customers_ok"] is True, r["o_orderstatus"]
+        assert r["approx_median_ok"] is True, r["o_orderstatus"]
