@@ -1,11 +1,21 @@
 from __future__ import annotations
 
+import importlib.util
 import os
 import sys
 
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The tws integration suite needs the real protobuf runtime for Spark's
+# state-server wire protocol (ADR in SCALE.md). Where protobuf is absent the
+# suite can never run, so gate it at COLLECTION time rather than reporting
+# perpetual skips; the in-process harness (test_session_tws_harness.py)
+# executes the same processor glue everywhere.
+collect_ignore: list[str] = []
+if importlib.util.find_spec("google") is None or importlib.util.find_spec("google.protobuf") is None:
+    collect_ignore.append("test_session_tws.py")
 
 from prometheus_clickhouselog_exporter_spark.session import get_spark
 
