@@ -472,8 +472,10 @@ def embedding_cosine_pairs_blocked(
     vec_col: str,
     id_col: str,
     threshold: float = 0.9,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     per_blockpair_topk: int | None = None,
+    target_block_bytes: int = 16 << 20,
+    max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Exact cosine pairs via blocked GEMM: hash vectors into n_blocks
     groups, join the B(B+1)/2 block pairs, and compute each block pair's
@@ -494,14 +496,40 @@ def embedding_cosine_pairs_blocked(
     while the UDF emits B(B+1)/2 × k rows instead of all pairs.
 
     100 TB: block size must fit executor memory and B² block pairs grow
-    quadratically — this is the validation/re-rank kernel; the LSH path
-    (operators/similarity.py) prunes candidates first at corpus scale.
+    quadratically — this is the validation/re-rank kernel, and it ENFORCES
+    that contract: inputs over ``max_rows`` raise with a pointer to the
+    LSH/IVF scale path (operators/similarity.py), and when ``n_blocks`` is
+    not given it derives from ``target_block_bytes`` so a block's
+    collect_list row stays ~16 MB regardless of corpus size (the one
+    count() + size() probe this costs is fine for a capped kernel).
     Float caveat: BLAS sums in a different order than the sequential
     fold, so cosines can differ from an engine's sequential dot by
     ~1e-15 — downstream consumers round (fround ≥4 digits) before
-    comparing cross-engine.
+    comparing cross-engine. Under ``per_blockpair_topk`` ties at the
+    local cut break deterministically by (cosine desc, id_a, id_b), so
+    the local top-k is a superset of the global deterministic top-k.
     """
     import pandas as pd
+
+    n_rows = df.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"embedding_cosine_pairs_blocked is the exact validation/re-rank "
+            f"kernel, capped at {max_rows} rows (got {n_rows}); use "
+            f"operators.similarity.lsh_bucketed_topk or ivf_topk for "
+            f"corpus-scale near-neighbor search"
+        )
+    if n_blocks is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"]) if first and first["d"] is not None else 64
+        # 8 bytes/component + struct/id overhead per row inside collect_list
+        row_bytes = dim * 8 + 32
+        by_bytes = -(-(n_rows * row_bytes) // target_block_bytes)
+        # Also want ≥defaultParallelism block pairs (B(B+1)/2 ≥ P) so the
+        # matmuls fill the cluster even when the corpus fits one block.
+        p = df.sparkSession.sparkContext.defaultParallelism
+        by_par = int((-1 + (1 + 8 * p) ** 0.5) / 2 + 0.9999)
+        n_blocks = max(1, by_bytes, by_par)
 
     as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda s, x: s + x * x))
@@ -544,11 +572,14 @@ def embedding_cosine_pairs_blocked(
                 else:
                     mask = cos >= threshold
                 r, c = np.nonzero(mask)
-                if per_blockpair_topk is not None and len(r) > per_blockpair_topk:
-                    keep = np.argsort(-cos[r, c], kind="stable")[:per_blockpair_topk]
-                    r, c = r[keep], c[keep]
                 lo = np.minimum(ids_a[r], ids_b[c])
                 hi = np.maximum(ids_a[r], ids_b[c])
+                if per_blockpair_topk is not None and len(r) > per_blockpair_topk:
+                    # lexsort: last key is primary → (cosine desc, lo, hi).
+                    # Deterministic tie-break keeps the local cut a superset
+                    # of any global deterministic top-k under cosine ties.
+                    keep = np.lexsort((hi, lo, -cos[r, c]))[:per_blockpair_topk]
+                    r, c, lo, hi = r[keep], c[keep], lo[keep], hi[keep]
                 out.append(pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[r, c]}))
             yield pd.concat(out) if out else pd.DataFrame(
                 {"id_a": [], "id_b": [], "cosine": []}

@@ -55,9 +55,17 @@ def fan_out(df: DataFrame, min_factor: int = 2) -> DataFrame:
     a no-op (partitions already ≥ parallelism/min_factor); locally it
     trades a tiny shuffle of the raw rows for full-width execution of the
     expensive expressions above.
+
+    The width signal is ``inputFiles()`` — plan metadata, not
+    ``df.rdd.getNumPartitions()``, which would materialize the Python RDD
+    wrapper (and its whole conversion path) on the driver per query build.
+    File count lower-bounds the scan's split count, and the case this
+    helper exists for IS the few-files case; non-file inputs (empty list)
+    conservatively fan out.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * min_factor >= target:
+    n_files = len(df.inputFiles())
+    if n_files and n_files * min_factor >= target:
         return df
     return df.repartition(target)
 

@@ -93,9 +93,10 @@ def test_lsh_similarity_recall_vs_bruteforce(emb):
     exact_set = {(r["query_id"], r["nbr_id"]) for r in exact}
     approx_set = {(r["query_id"], r["nbr_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    # 16 tables × 6 planes × 2 probes, deterministic seed: measured 91.2%
+    # 24 tables × 6 planes × 3 probes, deterministic seed: measured 98.8%
     # top-10 recall on this corpus (62.5% without multi-probe; 2% random).
-    assert recall >= 0.85, f"recall {recall}"
+    # ≥0.9 pins the recall-biased defaults.
+    assert recall >= 0.9, f"recall {recall}"
     assert all(r["rk"] <= 10 for r in approx)
 
 
@@ -162,3 +163,52 @@ def test_blocked_gemm_pairs_match_expression_form(spark, emb):
     assert len(got) > 0
     for k, v in got.items():
         assert abs(v - want[k]) < 1e-9, k
+
+
+def test_blocked_gemm_rejects_oversized_corpus(spark, emb):
+    """The exact kernel enforces its validation-scale contract: inputs over
+    max_rows raise with a pointer to the LSH/IVF scale path instead of
+    silently building B² quadratic block pairs."""
+    from prometheus_clickhouselog_exporter_spark.operators.dedup import (
+        embedding_cosine_pairs_blocked,
+    )
+
+    with pytest.raises(ValueError, match="lsh_bucketed_topk"):
+        embedding_cosine_pairs_blocked(emb, "embedding", "vec_id", max_rows=5)
+
+
+def test_blocked_gemm_derives_blocks_and_matches_explicit(spark, emb):
+    """n_blocks=None derives block count from target bytes + parallelism and
+    still reproduces the explicit-n_blocks pair set."""
+    from prometheus_clickhouselog_exporter_spark.operators.dedup import (
+        embedding_cosine_pairs_blocked,
+    )
+
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs_blocked(
+            emb, "embedding", "vec_id", 0.35, n_blocks=5
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs_blocked(emb, "embedding", "vec_id", 0.35).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ivf_topk_builds_without_count_job(spark, emb, monkeypatch):
+    """The quantizer's training sample must not run a count() prerequisite
+    over the corpus (at 100 TB that is an extra full scan before the query);
+    the hash-ordered TakeOrdered sample needs no cardinality."""
+    from pyspark.sql import DataFrame
+
+    from prometheus_clickhouselog_exporter_spark.operators.similarity import ivf_topk
+
+    def boom(self):
+        raise AssertionError("ivf_topk must not call DataFrame.count()")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    queries = emb.filter(F.col("vec_id") < 4)
+    out = ivf_topk(emb, queries, "embedding", "vec_id", "vec_id", k=5)
+    assert len(out.collect()) > 0
