@@ -45,9 +45,14 @@ _MASK40 = (1 << 40) - 1
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     """k bit positions for a key via double hashing (Kirsch–Mitzenmacher):
     pos_i = (h1 + i*h2) mod m. Both hashes are xxhash64 (distinct seeds via
-    an extra literal column) folded to 40 bits for overflow headroom."""
-    h1 = F.pmod(F.xxhash64(key), F.lit(_MASK40))
-    h2 = F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)), F.lit(_MASK40))
+    an extra literal column) folded to 40 bits (pmod by 2^40, a power of
+    two, so no residue bias) for overflow headroom. h2 is forced ODD
+    (2x+1): h2 ≡ 0 mod m would collapse all k probes onto h1, and for the
+    power-of-two m_bits defaults odd h2 is coprime with m, guaranteeing k
+    distinct positions. Worst case h1 + (k-1)*h2 ≈ k*2^41 ≪ 2^63, safe
+    under ANSI overflow checking."""
+    h1 = F.pmod(F.xxhash64(key), F.lit(_MASK40 + 1))
+    h2 = F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)), F.lit(_MASK40 + 1)) * 2 + 1
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
 
 

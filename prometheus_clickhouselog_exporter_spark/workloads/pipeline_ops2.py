@@ -94,6 +94,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate gram) is exactly what gets counted, and the count window
     is an agg-join in disguise with partial aggregation. No stage holds a
     document's text after the scan.
+
+    Precision bound: gram identity is the 64-bit combined xxhash64, so two
+    DISTINCT grams collide with probability ~n²/2^64 (≈10⁻⁴ expected false
+    dup-grams at 10⁹ grams; material only past ~10^11 grams, where the
+    shuffle-the-strings alternative stops being linear). This is the
+    deliberate trade for an 8-byte gram shuffle; the oracle compares gram
+    STRINGS and agrees at every tested SF.
     """
     d = fan_out(table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
@@ -165,15 +172,20 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime bloom filters), embed it as a plan literal, and filter batch
     chunks IN THE SCAN STAGE — chunks the bloom rejects are definitely
     new and never shuffle. Only bloom candidates pay the exact
-    verification semi-join (on 8-byte chunk hashes, not strings), so the
-    result is EXACT: false positives are eliminated downstream, and a
-    Bloom filter has no false negatives.
+    verification semi-join, and that join compares the chunk STRINGS —
+    not their 64-bit hashes, which at 10^12-chunk scale would admit
+    ~n²/2^64 false overlaps — so the result is EXACT: a Bloom filter has
+    no false negatives and string equality eliminates false positives.
+    The verify shuffle stays narrow via a SECOND bloom, built over the
+    (small) candidate set and applied to the corpus scan, so the corpus
+    contributes only ~overlap-sized strings to the verify join rather
+    than every chunk.
 
     This is the reference's dup-session membership check (query.go:91-95)
     generalized to corpus scale — and the standard shape for "dedup
-    today's crawl against 100 TB of yesterday": the corpus pays one
-    scan to build a KB–MB bitmap; the batch pays a scan plus a join
-    sized by the TRUE overlap, not by the batch.
+    today's crawl against 100 TB of yesterday": the corpus pays two
+    scans (bitmap build + bloom-pruned verify); the batch pays a scan
+    plus a join sized by the TRUE overlap, not by the batch.
     """
     docs = table(spark, sf_dir, "documents")
 
@@ -199,11 +211,11 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch_chunks = chunks(docs.filter(F.col("source") == "src0"))
     cand = batch_chunks.filter(bloom_might_contain(F.col("chunk"), bitmap, m_bits, k))
-    hits = cand.select("doc_id", F.xxhash64("chunk").alias("ch")).join(
-        corpus_chunks.select(F.xxhash64("chunk").alias("ch")),
-        "ch",
-        "left_semi",
+    cand_bitmap = bloom_build(cand.select("chunk"), F.col("chunk"), m_bits=m_bits, k=k)
+    corpus_verify = corpus_chunks.select("chunk").filter(
+        bloom_might_contain(F.col("chunk"), cand_bitmap, m_bits, k)
     )
+    hits = cand.select("doc_id", "chunk").join(corpus_verify, "chunk", "left_semi")
     overlap = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap"))
     per_doc = batch_chunks.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("n_chunks"))
     return per_doc.join(overlap, "doc_id", "left").select(

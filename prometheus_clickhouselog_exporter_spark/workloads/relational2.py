@@ -60,6 +60,19 @@ def range_join_value_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     min_bk = rows[0][0] if rows else 0
     nb = (rows[-1][0] - min_bk + 1) if rows else 0
+    # The dense table is bounded by the VALUE RANGE — but the range is
+    # observed from data, so a single outlier (value ±1e6 at bw=0.01 → a
+    # ~1.6 GB plan literal) must fail loudly here, not OOM the driver.
+    # Past the cap, widen bw or use the distributed two-level prefix sum
+    # noted in the docstring.
+    if nb > 4_000_000:
+        raise ValueError(
+            f"range_join_value_neighbors: dense CDF would need {nb} buckets "
+            f"(> 4e6 cap) for observed value range "
+            f"[{min_bk * bw:.2f}, {(min_bk + nb) * bw:.2f}] at bucket width "
+            f"{bw}; widen the bucket width or switch to a distributed "
+            f"prefix sum for unbounded value domains"
+        )
     dense = [0] * nb
     for b, n in rows:
         dense[b - min_bk] = n
