@@ -68,3 +68,71 @@ def test_fallback_branch_still_works(spark, tmp_path):
     )
     assert took == "parquet"
     assert spark.read.parquet(out).count() == 2
+
+
+def test_clickhouse_ddl_covers_every_session_record_type(spark):
+    """Dialect golden: the full session-record schema (every Spark type a
+    session row uses — string/bigint/double/boolean/timestamp) plus the
+    epoch column maps onto exact ClickHouse DDL: Nullable() wrapping for
+    nullable fields, bare types for the ReplacingMergeTree ORDER BY keys,
+    (id, _epoch) replace key = foreachBatch replay idempotence."""
+    from pyspark.sql.types import LongType, StructField, StructType, _parse_datatype_string
+
+    from prometheus_clickhouselog_exporter_spark.streaming.jdbc import (
+        clickhouse_ddl,
+        clickhouse_insert,
+    )
+    from prometheus_clickhouselog_exporter_spark.streaming.session_state import (
+        SESSION_OUTPUT_SCHEMA,
+    )
+
+    schema = StructType(
+        list(_parse_datatype_string(SESSION_OUTPUT_SCHEMA))
+        + [StructField("_epoch", LongType(), False)]
+    )
+    want = """CREATE TABLE IF NOT EXISTS sessions (
+  `row_type` Nullable(String),
+  `id` String,
+  `host` Nullable(String),
+  `port` Nullable(Int64),
+  `pid` Nullable(Int64),
+  `query` Nullable(String),
+  `stmt_type` Nullable(String),
+  `start_time` Nullable(DateTime64(6)),
+  `end_time` Nullable(DateTime64(6)),
+  `rows_read` Nullable(Int64),
+  `bytes_read` Nullable(Int64),
+  `rps` Nullable(Int64),
+  `speed` Nullable(Int64),
+  `memory` Nullable(Int64),
+  `elapsed` Nullable(Float64),
+  `error` Nullable(Bool),
+  `error_code` Nullable(Int64),
+  `error_message` Nullable(String),
+  `full_info` Nullable(Bool),
+  `err_type` Nullable(String),
+  `obs_label` Nullable(String),
+  `_epoch` Int64
+)
+ENGINE = ReplacingMergeTree
+ORDER BY (`id`, `_epoch`)"""
+    assert clickhouse_ddl(schema, "sessions") == want
+
+    ins = clickhouse_insert(schema, "sessions")
+    assert ins.startswith("INSERT INTO sessions (`row_type`, `id`, ")
+    assert ins.count("?") == len(schema.fields)
+
+
+def test_clickhouse_type_mapping_edges():
+    from pyspark.sql import types as T
+
+    import pytest as _pytest
+
+    from prometheus_clickhouselog_exporter_spark.streaming.jdbc import clickhouse_type
+
+    assert clickhouse_type(T.DecimalType(18, 2)) == "Decimal(18, 2)"
+    assert clickhouse_type(T.ArrayType(T.DoubleType())) == "Array(Float64)"
+    assert clickhouse_type(T.DateType(), nullable=True) == "Nullable(Date32)"
+    assert clickhouse_type(T.IntegerType()) == "Int32"
+    with _pytest.raises(ValueError, match="no ClickHouse mapping"):
+        clickhouse_type(T.MapType(T.StringType(), T.StringType()))
