@@ -81,10 +81,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def read_any(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options) -> DataFrame:
-    """Format-generic scan (parquet/csv/json/text/orc).
+    """Format-generic scan (parquet/csv/json/text/orc/xml).
 
-    Always pass an explicit schema for csv/json in production paths —
-    inference triggers an extra full scan.
+    XML is Spark-4 built-in (the merged spark-xml): pass
+    ``fmt="xml", rowTag="row"``. Always pass an explicit schema for
+    csv/json/xml in production paths — inference triggers an extra full
+    scan.
     """
     reader = spark.read.format(fmt)
     if schema is not None:

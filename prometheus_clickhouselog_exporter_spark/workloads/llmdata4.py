@@ -1,0 +1,246 @@
+"""Training-data pipeline operators, round 3 batch 2: entity-resolution
+blocking join, k-anonymity suppression, per-cohort anomaly scoring,
+closed-form EWMA, and embedding scalar quantization.
+
+All five are standard curation/analytics moves re-expressed as single
+Catalyst plans: the ER pattern is the blocking-join shape every record
+linkage system uses (block key → in-block verify, never all-pairs); the
+EWMA shows how a sequential recurrence becomes ONE aggregation via its
+algebraic closed form; quantization is the int8 compression step an ANN
+serving tier runs before indexing (4x memory cut for float32 vectors).
+
+Reference analog: these generalize the exporter's enrich-and-aggregate
+loop (query.go:180-268) from log sessions to corpus records; none have a
+direct single-node counterpart because they only matter at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import fround, money, query, table
+
+
+@query(
+    "er_blocked_name_match",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, string_split(p_name, ' ')[2] AS blk FROM part
+    )
+    SELECT a.p_partkey,
+           count(*)                         AS n_candidates,
+           CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) <= 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+           CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_lev
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
+    GROUP BY a.p_partkey
+    """,
+)
+def er_blocked_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocking join: parts sharing a block key (the
+    name's noun — in real linkage a phonetic/sorted-neighborhood key) are
+    candidate pairs; edit distance ≤ 2 inside the block confirms a match.
+    Per record: candidate count, match count, closest distance.
+
+    100 TB: the block key turns an O(n²) all-pairs verify into
+    Σ_blocks |b|² — the join shuffles on the block key only, Levenshtein
+    (JVM codegen, no UDF) runs post-join inside the stage, and the
+    aggregation reuses the same clustering. Skewed blocks are the known
+    failure mode (a "smith" block); AQE skew-join splitting plus a
+    df-style block-size cap (as in dedup_ngram_jaccard's posting prune)
+    bound the worst block.
+    """
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.split("p_name", " ").getItem(1).alias("blk")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_partkey") != F.col("b.p_partkey")))
+        .select(F.col("a.p_partkey").alias("p_partkey"), lev.alias("lev"))
+        .groupBy("p_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.when(F.col("lev") <= 2, 1).otherwise(0)).alias("n_matches"),
+            F.min("lev").cast("long").alias("min_lev"),
+        )
+    )
+
+
+@query(
+    "kanon_group_suppression",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING count(*) >= 12
+    """,
+)
+def kanon_group_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate: aggregate by quasi-identifier columns and
+    SUPPRESS groups smaller than k=12 — the PII-hygiene step before
+    publishing per-cohort statistics from training data (rare combinations
+    identify individuals). Sums stay in exact DECIMAL (cross-engine float
+    discipline, workloads/core.py).
+
+    100 TB: one partial+final aggregation; the HAVING filter is evaluated
+    post-agg on group-count rows, so suppressed groups never materialize
+    output. No extra pass over the data for the gate.
+    """
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(money(F.col("c_acctbal"))).cast("double").alias("total_acctbal"),
+        )
+        .filter(F.col("n_customers") >= 12)
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           floor((e.value - s.m) / s.sd * 10000 + 0.5) / 10000 AS zscore
+    FROM events e JOIN s USING (event_type)
+    WHERE e.value IS NOT NULL AND abs(e.value - s.m) / s.sd > 3
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort anomaly flagging: events whose value sits more than 3
+    population standard deviations from their event-type mean. The
+    data-quality outlier gate a curation pipeline runs on numeric
+    telemetry before aggregating it.
+
+    100 TB: the stats side is a 5-row aggregate — broadcast back onto the
+    scan, so the detector is ONE full pass + a map-side join; no shuffle
+    of the event stream. (A windowed variant would shuffle by type; the
+    broadcast form is strictly better for global-per-cohort stats.)
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_pop("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", fround(z, 4).alias("zscore"))
+    )
+
+
+@query(
+    "ewma_user_value",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*)    OVER (PARTITION BY user_id) AS n
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+           floor(sum(CASE WHEN rn = 1 THEN value * pow(0.8, n - 1)
+                          ELSE 0.2 * value * pow(0.8, n - rn) END) * 10000 + 0.5)
+             / 10000 AS ewma
+    FROM ordered GROUP BY user_id
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event values
+    (final smoothed level, α = 0.2) — the classic "sequential recurrence"
+    that looks like it needs an ordered loop:
+
+        s_i = α·v_i + (1−α)·s_{i−1},  s_1 = v_1
+
+    computed instead from the closed form
+    s_n = Σ_{i≥2} α(1−α)^{n−i} v_i + (1−α)^{n−1} v_1 — ONE window (rank +
+    per-user count ride the same (user_id, ts) sort) and ONE aggregation.
+
+    100 TB: no iterative driver loop, no applyInPandas; the recurrence
+    becomes algebra and Catalyst sees a plain shuffle-once window + agg.
+    The weights (1−α)^(n−i) underflow to 0.0 identically in any IEEE
+    engine for ancient events, which is also the semantics you want.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    t = e.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    term = F.when(
+        F.col("rn") == 1, F.col("value") * F.pow(F.lit(0.8), F.col("n") - 1)
+    ).otherwise(0.2 * F.col("value") * F.pow(F.lit(0.8), F.col("n") - F.col("rn")))
+    return t.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        fround(F.sum(term), 4).alias("ewma"),
+    )
+
+
+@query(
+    "embedding_scalar_quantization",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    stats AS (
+      SELECT dim, min(v) AS mn, max(v) AS mx FROM dims GROUP BY dim
+    ),
+    coded AS (
+      SELECT d.vec_id, d.label, d.v,
+             d.mn + floor((d.v - d.mn) / (d.mx - d.mn) * 255 + 0.5)
+                    * (d.mx - d.mn) / 255 AS deq
+      FROM (SELECT dims.*, stats.mn, stats.mx FROM dims JOIN stats USING (dim)) d
+    ),
+    per_vec AS (
+      SELECT vec_id, label, avg((v - deq) * (v - deq)) AS mse
+      FROM coded GROUP BY vec_id, label
+    )
+    SELECT label, count(*) AS n_vecs,
+           floor(avg(mse) * 1e9 * 10000 + 0.5) / 10000 AS mse_x1e9
+    FROM per_vec GROUP BY label
+    """,
+)
+def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-dimension min-max) int8 quantization of the embedding
+    table with reconstruction-error audit: codes q = round((v−mn)/(mx−mn)
+    ·255), dequantized v' = mn + q·(mx−mn)/255, per-label mean squared
+    reconstruction error (×1e9 for legible rounding). The compression
+    step before ANN indexing — 4× memory cut for float32 vectors, and
+    the audit says what it costs in fidelity per label.
+
+    100 TB: dimension stats are a 64-row aggregate over the posexploded
+    scan (partial agg makes the shuffle 64 rows/partition); they broadcast
+    back, so quantize+audit is scan-stage arithmetic. The same plan shape
+    writes the actual int8 codes (select q instead of the error) — the
+    audit and the export share one pass.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("dim", "vf")
+    ).select("vec_id", "label", "dim", F.col("vf").cast("double").alias("v"))
+    stats = dims.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    scale = (F.col("mx") - F.col("mn")) / 255
+    q = F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255 + F.lit(0.5))
+    deq = F.col("mn") + q * scale
+    err = (F.col("v") - deq) * (F.col("v") - deq)
+    per_vec = (
+        dims.join(F.broadcast(stats), "dim")
+        .groupBy("vec_id", "label")
+        .agg(F.avg(err).alias("mse"))
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        fround(F.avg("mse") * 1e9, 4).alias("mse_x1e9"),
+    )

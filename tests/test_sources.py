@@ -43,6 +43,20 @@ def test_orc_roundtrip(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]" in plan
 
 
+def test_xml_roundtrip(spark, tmp_path):
+    """XML via the Spark-4 built-in source (merged spark-xml): write with
+    rowTag, read back with an explicit schema through the same generic
+    reader every other format uses."""
+    src = table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    xml_dir = str(tmp_path / "xml")
+    src.write.mode("overwrite").format("xml").option("rowTag", "order").save(xml_dir)
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    got = read_any(spark, xml_dir, "xml", schema=schema, rowTag="order")
+    assert got.orderBy("o_orderkey").collect() == src.orderBy("o_orderkey").collect()
+
+
 def test_text_scan(spark, fixture_log):
     df = read_any(spark, fixture_log, "text")
     assert df.columns == ["value"]
