@@ -46,6 +46,12 @@ HEADLINE = [
     # job + scan-side probe)
     "dedup_substring_spans",
     "dedup_incremental_bloom",
+    # r3: blocking-join ER (skew-prone block key), closed-form EWMA
+    # (window+agg over the event stream), quantization audit (posexplode
+    # fan-out + 64-row broadcast)
+    "er_blocked_name_match",
+    "ewma_user_value",
+    "embedding_scalar_quantization",
 ]
 
 

@@ -211,9 +211,12 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch_chunks = chunks(docs.filter(F.col("source") == "src0"))
     cand = batch_chunks.filter(bloom_might_contain(F.col("chunk"), bitmap, m_bits, k))
-    cand_bitmap = bloom_build(cand.select("chunk"), F.col("chunk"), m_bits=m_bits, k=k)
+    # The candidate set is ~overlap-sized, so its bloom can be 8x smaller
+    # (16 KiB literal) while keeping FP negligible for the corpus prune.
+    cm_bits = 1 << 17
+    cand_bitmap = bloom_build(cand.select("chunk"), F.col("chunk"), m_bits=cm_bits, k=k)
     corpus_verify = corpus_chunks.select("chunk").filter(
-        bloom_might_contain(F.col("chunk"), cand_bitmap, m_bits, k)
+        bloom_might_contain(F.col("chunk"), cand_bitmap, cm_bits, k)
     )
     hits = cand.select("doc_id", "chunk").join(corpus_verify, "chunk", "left_semi")
     overlap = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap"))
