@@ -127,3 +127,42 @@ def test_q21_topk_is_take_ordered_and_dims_broadcast(spark):
     plan = _final_plan(QUERIES["q21_waiting_supplier"](spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_er_distinct_first_broadcasts_back_to_records(spark):
+    """er_blocked_name_match's record table must NOT ride a shuffle: pair
+    work happens on the distinct-name table and per-name stats broadcast
+    back (SCALE.md distinct-first note). The only exchanges allowed are
+    the tiny distinct-name aggregations."""
+    plan = _final_plan(QUERIES["er_blocked_name_match"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the record-level join must not be a shuffled join
+    assert "SortMergeJoin" not in plan
+
+
+def test_zscore_stats_broadcast_no_event_shuffle(spark):
+    """events_anomaly_zscore: the 5-row per-type stats join back onto the
+    event scan as a broadcast — the event stream itself never shuffles."""
+    plan = _final_plan(QUERIES["events_anomaly_zscore"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantization_dim_stats_broadcast(spark):
+    """embedding_scalar_quantization: the 64-row dimension stats broadcast
+    back onto the posexploded scan; no shuffled join of the dim stream."""
+    plan = _final_plan(QUERIES["embedding_scalar_quantization"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ewma_single_window_exchange(spark):
+    """ewma_user_value: rank + per-user count + the final aggregation all
+    reuse ONE hash partitioning on user_id — exactly one exchange beyond
+    the scan (plus AQE reads), no second user_id shuffle."""
+    plan = _final_plan(QUERIES["ewma_user_value"](spark, SF))
+    # AQE prints the final plan followed by "== Initial Plan ==" — count
+    # exchanges only in the final section.
+    final = plan.split("== Initial Plan ==")[0]
+    n_exchanges = final.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 hash exchange, plan has {n_exchanges}"
