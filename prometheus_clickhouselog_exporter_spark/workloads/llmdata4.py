@@ -268,3 +268,136 @@ def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_vecs"),
         fround(F.avg("mse") * 1e9, 4).alias("mse_x1e9"),
     )
+
+
+def _jl_signs(dim: int, k: int):
+    """±1 Achlioptas projection signs derived from md5 — the SAME value is
+    computable in any engine with an md5 function, so the projection needs
+    no RNG state and the oracle can rebuild the matrix bit-for-bit:
+    sign(i,j) = +1 iff the first hex digit of md5("jl:i:j") is even."""
+    import hashlib
+
+    import numpy as np
+
+    m = np.empty((dim, k), dtype=np.float64)
+    for i in range(dim):
+        for j in range(k):
+            h = hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()
+            m[i, j] = 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+    return m
+
+
+@query(
+    "embedding_random_projection",
+    oracle="""
+    WITH sgn AS (
+      SELECT j, i,
+             CASE WHEN CAST(('0x' || substr(md5('jl:' || i || ':' || j), 1, 1)) AS INT)
+                       % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(i)
+    )
+    SELECT e.vec_id, s.j AS out_dim,
+           floor(sum(CAST(e.embedding[s.i + 1] AS DOUBLE) * s.s) / sqrt(16)
+                 * 10000 + 0.5) / 10000 AS y
+    FROM embeddings e, sgn s
+    GROUP BY e.vec_id, s.j
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction 64 → 16 with a ±1
+    (Achlioptas) projection whose signs derive from md5, not an RNG — so
+    every task, every retry, and the DuckDB oracle rebuild the identical
+    matrix from nothing but (i, j). The projection itself is one numpy
+    matmul per Arrow batch (matrix multiply has no vectorized expression
+    form — the same "Pandas UDF where expressions can't" rule as the
+    blocked-GEMM kernel).
+
+    100 TB: embarrassingly parallel scan-stage map, no shuffle at all;
+    the 64×16 matrix is rebuilt per task from the closed form (nothing
+    broadcast). JL guarantees pairwise-distance preservation at
+    k = O(ln n / ε²) — the standard pre-step before ANN indexing when
+    vectors arrive wider than the index wants.
+    """
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    dim, k = 64, 16
+    m = _jl_signs(dim, k) / (k**0.5)
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            v = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            y = v @ m
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "out_dim": np.tile(np.arange(k, dtype=np.int64), n),
+                    "y": y.reshape(-1),
+                }
+            )
+
+    out = emb.select("vec_id", "embedding").mapInPandas(
+        gen, "vec_id bigint, out_dim bigint, y double"
+    )
+    return out.select("vec_id", "out_dim", fround(F.col("y"), 4).alias("y"))
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * (n.n_docs + 1) / (df.df + 1) AS score
+      FROM tf JOIN df USING (tok), n
+    ),
+    ranked AS (
+      SELECT doc_id, tok, floor(score * 10000 + 0.5) / 10000 AS score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, tok) AS rk
+      FROM scored
+    )
+    SELECT doc_id, tok, score, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf, with the
+    LOG-FREE idf variant idf = (N+1)/(df+1): the ratio of exact integers
+    under one IEEE division is bit-identical in every engine, whereas
+    ln() is libm-specific and a 1-ulp divergence could flip a rank
+    boundary. (Monotone in df like the log form; documented trade.)
+
+    100 TB: tf is one (doc, token) aggregation; df rides the SAME
+    tokenization as a second aggregation keyed by token; N is a 1-row
+    broadcast. The per-doc top-3 plans as WindowGroupLimit — map-side
+    top-N below the doc shuffle, the sample_source_quota trick.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df_, "tok").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "tok",
+        fround(
+            F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + 1), 4
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "score", "rk")
+    )
