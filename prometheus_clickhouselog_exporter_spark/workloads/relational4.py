@@ -629,16 +629,23 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
         "_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
+    # _late_lines (not just any_late): Q21's numwait counts every
+    # qualifying late LINE l1, so a supplier with two late lines on one
+    # order contributes 2 — deduping to one per (order, supplier) diverges
+    # once the data has multi-late-line pairs (first seen at sf0.1).
     per_pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("_late").alias("_any_late")
+        F.max("_late").alias("_any_late"),
+        F.count(F.when(F.col("_late"), 1)).alias("_late_lines"),
     )
     per_order = per_pair.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("_n_supp"),
         F.count(F.when(F.col("_any_late"), 1)).alias("_n_late"),
     )
-    late_lines = per_pair.filter(F.col("_any_late")).select("l_orderkey", "l_suppkey")
+    late_pairs = per_pair.filter(F.col("_any_late")).select(
+        "l_orderkey", "l_suppkey", "_late_lines"
+    )
     sole_late = (
-        late_lines.join(per_order, "l_orderkey")
+        late_pairs.join(per_order, "l_orderkey")
         .filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
     )
     nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
@@ -647,7 +654,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sole_late.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_late_lines").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
