@@ -180,3 +180,163 @@ def keyskew_gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           floor(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
+                 * 10000 + 0.5) / 10000 AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: yesterday's corpus statistics
+    (base = every source but src0) MERGED with today's delta batch (src0)
+    must equal a full recompute — which is exactly what the oracle checks.
+    Only algebraic partials cross the merge: (count, sum, sum); the
+    derived mean is computed AFTER merging, never averaged-of-averages.
+
+    100 TB: this is why the nightly stats job costs O(delta), not
+    O(corpus) — the base aggregate is a materialized table and each
+    increment folds in with a union + re-aggregation of partial rows
+    (per-lang cardinality, not data). The plan here scans both halves
+    (nothing persists between driver queries) but has the production
+    merge SHAPE: two independent partial aggs → union → final agg.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+
+    base = partial(d.filter(F.col("source") != "src0"))
+    delta = partial(d.filter(F.col("source") == "src0"))
+    merged = base.unionByName(delta).groupBy("lang").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.sum("total_chars").alias("total_chars"),
+    )
+    return merged.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        fround(F.col("total_tokens").cast("double") / F.col("n_docs"), 4).alias("avg_tokens"),
+    )
+
+
+@query(
+    "graph_pagerank_names",
+    oracle="""
+    WITH nm AS (
+      SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS blk FROM part
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nm),
+    e AS (
+      SELECT a.p_name AS src, b.p_name AS dst
+      FROM nm a JOIN nm b
+        ON a.blk = b.blk AND a.p_name <> b.p_name
+       AND levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
+    p0 AS (SELECT p_name, 1.0 / (SELECT c FROM nn) AS p FROM nm),
+    p1 AS (
+      SELECT nm.p_name,
+             0.15 / (SELECT c FROM nn)
+             + 0.85 * coalesce(sum(pp.p / deg.d), 0.0) AS p
+      FROM nm
+      LEFT JOIN e ON e.dst = nm.p_name
+      LEFT JOIN deg ON deg.src = e.src
+      LEFT JOIN p0 pp ON pp.p_name = e.src
+      GROUP BY nm.p_name
+    ),
+    p2 AS (
+      SELECT nm.p_name,
+             0.15 / (SELECT c FROM nn)
+             + 0.85 * coalesce(sum(pp.p / deg.d), 0.0) AS p
+      FROM nm
+      LEFT JOIN e ON e.dst = nm.p_name
+      LEFT JOIN deg ON deg.src = e.src
+      LEFT JOIN p1 pp ON pp.p_name = e.src
+      GROUP BY nm.p_name
+    ),
+    p3 AS (
+      SELECT nm.p_name,
+             0.15 / (SELECT c FROM nn)
+             + 0.85 * coalesce(sum(pp.p / deg.d), 0.0) AS p
+      FROM nm
+      LEFT JOIN e ON e.dst = nm.p_name
+      LEFT JOIN deg ON deg.src = e.src
+      LEFT JOIN p2 pp ON pp.p_name = e.src
+      GROUP BY nm.p_name
+    )
+    SELECT nm.p_name,
+           coalesce(deg.d, 0.0) AS degree,
+           floor(p3.p * 1000000 * 10000 + 0.5) / 10000 AS pr_x1e6
+    FROM nm JOIN p3 USING (p_name) LEFT JOIN deg ON deg.src = nm.p_name
+    """,
+)
+def graph_pagerank_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, d = 0.85, simple variant without
+    dangling-mass redistribution) over the name-similarity graph — nodes
+    are DISTINCT part names, edges are Levenshtein ≤ 2 within a block.
+    The iterative-algorithm pattern next to connected components
+    (operators/dedup.py): rank loop in the driver, each step one
+    contribution join + aggregation.
+
+    100 TB: nodes/edges here derive distinct-first (the ER trick) so the
+    graph is vocabulary-sized; on a billion-node graph each iteration is
+    one shuffle of contributions keyed by dst, the rank vector gets
+    `localCheckpoint` every few steps to cut lineage (the CC pattern,
+    dedup.py:330-467), and fixed iteration count keeps the job graph
+    static. Deterministic: fixed iterations, no RNG; ±1-ulp sum-order
+    slack is absorbed by fround after scaling to per-million units.
+    """
+    p = table(spark, sf_dir, "part").select(
+        "p_name", F.split("p_name", " ").getItem(1).alias("blk")
+    )
+    nm = p.select("p_name", "blk").distinct()
+    a = nm.select(F.col("p_name").alias("src"), "blk")
+    b = nm.select(F.col("p_name").alias("dst"), "blk")
+    e = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("src") != F.col("dst"))
+            & (F.levenshtein(F.col("src"), F.col("dst")) <= 2)
+        )
+        .select("src", "dst")
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    n_nodes = nm.count()  # vocabulary-sized by construction (distinct-first)
+    ranks = nm.select("p_name", F.lit(1.0 / n_nodes).alias("p"))
+    contrib_base = e.join(deg, "src")
+    for _ in range(3):
+        contribs = (
+            contrib_base.join(ranks, ranks["p_name"] == contrib_base["src"])
+            .select("dst", (F.col("p") / F.col("d")).alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("mass"))
+        )
+        ranks = nm.join(contribs, nm["p_name"] == contribs["dst"], "left").select(
+            "p_name",
+            (0.15 / n_nodes + 0.85 * F.coalesce(F.col("mass"), F.lit(0.0))).alias("p"),
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return (
+        nm.join(ranks, "p_name")
+        .join(deg, nm["p_name"] == deg["src"], "left")
+        .select(
+            "p_name",
+            F.coalesce(F.col("d"), F.lit(0.0)).alias("degree"),
+            fround(F.col("p") * 1_000_000, 4).alias("pr_x1e6"),
+        )
+    )
