@@ -136,3 +136,93 @@ def test_log_grammar_roundtrip_property(spark, cases):
     ).collect()
     assert not bad, bad[:3]
     assert parsed.count() == len(rows)  # every generated line matched its shape
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_ewma_closed_form_matches_recurrence(cases):
+    """The ewma_user_value closed form
+    s_n = Σ_{i≥2} α(1−α)^{n−i} v_i + (1−α)^{n−1} v_1
+    must equal the sequential recurrence s_i = α·v_i + (1−α)·s_{i−1} for
+    any value sequence (pure-Python check — the algebra is what the Spark
+    plan encodes, so a mismatch here is a wrong plan, not a flaky test)."""
+    alpha = 0.2
+    vals = list(cases)
+    s = vals[0]
+    for v in vals[1:]:
+        s = alpha * v + (1 - alpha) * s
+    n = len(vals)
+    closed = vals[0] * (1 - alpha) ** (n - 1) + sum(
+        alpha * vals[i] * (1 - alpha) ** (n - 1 - i) for i in range(1, n)
+    )
+    assert math.isclose(s, closed, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_gini_bounds_and_uniform_zero(spark):
+    """Gini of a perfectly uniform key distribution is 0; the profile
+    always lands in [0, 1)."""
+    from prometheus_clickhouselog_exporter_spark.workloads.diagnostics import (
+        keyskew_gini_customers,
+    )
+
+    row = keyskew_gini_customers(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0.0 <= row["gini"] < 1.0
+    assert row["n_rows"] >= row["n_keys"] >= 1
+    assert row["max_key_rows"] >= row["n_rows"] // row["n_keys"]
+
+    import pandas as pd
+
+    uniform = spark.createDataFrame(
+        pd.DataFrame({"o_custkey": list(range(50)) * 4, "pad": 0})
+    )
+    uniform.createOrReplaceTempView("uniform_orders")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    k = uniform.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    ranked = k.select(
+        "n",
+        F.row_number().over(Window.orderBy("n", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nk"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    g = ranked.agg(
+        (
+            2.0 * F.sum(F.col("i").cast("double") * F.col("n"))
+            / (F.max("nk") * F.max("tot"))
+            - (F.max("nk") + 1).cast("double") / F.max("nk")
+        ).alias("gini")
+    ).collect()[0]["gini"]
+    assert abs(g) < 1e-12
+
+
+def test_scalar_quantization_error_bound(spark):
+    """Per-dimension min-max int8 reconstruction error is bounded by
+    (step/2)² with step = range/255 — the audit query's MSE must respect
+    the worst-case bound on every label."""
+    from pyspark.sql import functions as F
+
+    from prometheus_clickhouselog_exporter_spark.workloads.core import table
+    from prometheus_clickhouselog_exporter_spark.workloads.llmdata4 import (
+        embedding_scalar_quantization,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("dim", "vf")).select(
+        "dim", F.col("vf").cast("double").alias("v")
+    )
+    worst = (
+        dims.groupBy("dim")
+        .agg(((F.max("v") - F.min("v")) / 255 / 2).alias("half_step"))
+        .agg(F.max(F.col("half_step") * F.col("half_step")).alias("bound"))
+        .collect()[0]["bound"]
+    )
+    for r in embedding_scalar_quantization(spark, sf).collect():
+        assert r["mse_x1e9"] / 1e9 <= worst + 1e-12, r
