@@ -2,13 +2,20 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` operators.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container): ``FAKE1`` media blobs carry a deterministic synthetic payload
-the stub "decodes"; any other format raises ``NotImplementedError`` with
-the library that a real deployment would plug in. Everything around the
-stub — the schema, the Arrow batch shape, the partitioning, the UDF
-signatures — is real and tested, so swapping in PIL/ffmpeg is a local
-change inside one function.
+AUDIO decode is REAL: ``synth_wav``/``decode_wav_features`` write and
+parse actual RIFF/WAVE PCM16 containers and extract DSP features (RMS,
+peak, zero-crossing rate, dominant frequency via rfft) with pure numpy —
+no external codec library involved, certified end-to-end by the
+``multimodal_audio_features`` driver query whose oracle predicts the
+dominant-frequency bin arithmetically.
+
+IMAGE/VIDEO decode remains STUBBED (no PIL/ffmpeg in this container):
+``FAKE1`` media blobs carry a deterministic synthetic payload the stub
+"decodes"; any other format raises ``NotImplementedError`` naming the
+library a real deployment would plug in. Everything around the stub —
+the schema, the Arrow batch shape, the partitioning, the UDF signatures —
+is real and tested, so swapping in PIL/ffmpeg is a local change inside
+one function.
 
 Scale: media rows are wide (MBs per row); the operators keep binary
 columns out of shuffles (derive features first, then drop/aggregate) and
@@ -132,5 +139,114 @@ def frame_sample_stub(df: DataFrame, media_col: str, every_n: int = 10) -> DataF
                          "width": meta["width"], "height": meta["height"]}
                     )
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "width", "height"])
+
+    return df.mapInPandas(op, out_schema)
+
+
+# --- real audio: RIFF/WAVE PCM16 encode + decode + DSP features ------------
+
+_WAV_SR = 8000
+_WAV_N = 2000  # 0.25 s
+
+
+def synth_wav(df: DataFrame, id_col: str, amp: float = 0.5) -> DataFrame:
+    """Synthesize a REAL mono PCM16 WAV blob per row: a pure sine whose
+    frequency derives from the id as f = 100 + (id % 25)·8 Hz — an exact
+    FFT bin at N=2000/sr=8000 (bin width 4 Hz), so the dominant-frequency
+    feature is arithmetically predictable downstream. The container is a
+    spec-correct RIFF/WAVE file any audio tool can open."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        t = np.arange(_WAV_N, dtype=np.float64) / _WAV_SR
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                f = 100.0 + (int(i) % 25) * 8.0
+                pcm = (amp * np.sin(2 * np.pi * f * t) * 32767.0).astype("<i2").tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(pcm))
+                    + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_SR, _WAV_SR * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(pcm))
+                )
+                blobs.append(hdr + pcm)
+            pdf = pdf.copy()
+            pdf["media"] = blobs
+            yield pdf
+
+    # build the schema string without StructType.add — .add MUTATES the
+    # DataFrame's cached schema object, desyncing df.columns from the plan
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ", media binary"
+    )
+    return df.mapInPandas(op, out_schema)
+
+
+def decode_wav_features(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL audio decode: parse the RIFF/WAVE header (PCM16 mono only —
+    anything else raises with the codec a deployment would add), then
+    numpy DSP over the samples: RMS, peak, zero-crossing rate, dominant
+    frequency via rfft. Blobs are dropped before the return so downstream
+    shuffles never carry audio bytes (the wide-row rule in the module
+    docstring)."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != media_col
+    ) + (
+        ", sample_rate int, n_samples int, rms double, peak double,"
+        " zero_cross_rate double, dominant_freq_hz double"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for blob in pdf[media_col]:
+                b = bytes(blob)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires soundfile/pyav, "
+                        "not present in this environment"
+                    )
+                (fmt_size, fmt, ch, sr, _br, _ba, bits) = struct.unpack(
+                    "<IHHIIHH", b[16:36]
+                )
+                if fmt != 1 or ch != 1 or bits != 16:
+                    raise NotImplementedError("only PCM16 mono WAV is decoded here")
+                data_off = 20 + fmt_size
+                while b[data_off : data_off + 4] != b"data":
+                    sz = struct.unpack("<I", b[data_off + 4 : data_off + 8])[0]
+                    data_off += 8 + sz
+                n_bytes = struct.unpack("<I", b[data_off + 4 : data_off + 8])[0]
+                x = np.frombuffer(
+                    b[data_off + 8 : data_off + 8 + n_bytes], dtype="<i2"
+                ).astype(np.float64) / 32768.0
+                spec = np.abs(np.fft.rfft(x))
+                spec[0] = 0.0  # ignore DC
+                k = int(np.argmax(spec))
+                feats.append(
+                    {
+                        "sample_rate": sr,
+                        "n_samples": len(x),
+                        "rms": float(np.sqrt(np.mean(x * x))),
+                        "peak": float(np.max(np.abs(x))),
+                        "zero_cross_rate": float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))),
+                        "dominant_freq_hz": float(k * sr / len(x)),
+                    }
+                )
+            pdf = pdf.drop(columns=[media_col]).copy()
+            for key in (
+                "sample_rate", "n_samples", "rms", "peak", "zero_cross_rate",
+                "dominant_freq_hz",
+            ):
+                pdf[key] = [f[key] for f in feats]
+            yield pdf
 
     return df.mapInPandas(op, out_schema)

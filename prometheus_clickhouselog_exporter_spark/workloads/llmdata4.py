@@ -401,3 +401,35 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "tok", "score", "rk")
     )
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(2000 AS INT) AS n_samples,
+           CAST(100 + (doc_id % 25) * 8 AS DOUBLE) AS dominant_freq_hz
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio pipeline end-to-end: synthesize spec-correct RIFF/WAVE
+    PCM16 blobs (sine at 100 + (id%25)·8 Hz — an exact FFT bin), decode
+    them back with the pure-numpy WAV parser, and extract the dominant
+    frequency via rfft. The oracle PREDICTS the DSP result
+    arithmetically: if header parsing, PCM decoding, or the FFT feature
+    were wrong anywhere, the hash would diverge. This is the certified
+    (non-stub) lane of the multimodal story; image/video remain gated on
+    codec libraries.
+
+    100 TB: encode and decode are scan-stage mapInPandas (no shuffle);
+    blobs are dropped inside the decode operator so only the slim feature
+    columns ever reach an exchange — the wide-row rule for media columns.
+    """
+    from ..operators.multimodal import decode_wav_features, synth_wav
+
+    d = table(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    wav = synth_wav(d, "doc_id")
+    feats = decode_wav_features(wav)
+    return feats.select("doc_id", "sample_rate", "n_samples", "dominant_freq_hz")

@@ -212,3 +212,34 @@ def test_ivf_topk_builds_without_count_job(spark, emb, monkeypatch):
     queries = emb.filter(F.col("vec_id") < 4)
     out = ivf_topk(emb, queries, "embedding", "vec_id", "vec_id", k=5)
     assert len(out.collect()) > 0
+
+
+def test_wav_roundtrip_dsp_features(spark):
+    """Real RIFF/WAVE PCM16 round-trip: synthesized sines decode to the
+    expected DSP features — RMS ≈ amp/√2, peak ≈ amp, zero-crossing rate
+    ≈ 2f/sr, dominant frequency exactly on its FFT bin."""
+    from prometheus_clickhouselog_exporter_spark.operators.multimodal import (
+        decode_wav_features,
+        synth_wav,
+    )
+
+    ids = spark.range(0, 30).selectExpr("id AS doc_id")
+    feats = {r["doc_id"]: r for r in decode_wav_features(synth_wav(ids, "doc_id")).collect()}
+    assert len(feats) == 30
+    for doc_id, r in feats.items():
+        f = 100.0 + (doc_id % 25) * 8.0
+        assert r["sample_rate"] == 8000 and r["n_samples"] == 2000
+        assert r["dominant_freq_hz"] == f
+        assert abs(r["rms"] - 0.5 / 2**0.5) < 0.005, (doc_id, r["rms"])
+        assert abs(r["peak"] - 0.5) < 0.005
+        assert abs(r["zero_cross_rate"] - 2 * f / 8000) < 0.002, (doc_id, r["zero_cross_rate"])
+
+
+def test_wav_decode_rejects_non_wav(spark):
+    from prometheus_clickhouselog_exporter_spark.operators.multimodal import (
+        decode_wav_features,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b"ID3notawav" * 5))], "doc_id long, media binary")
+    with pytest.raises(Exception, match="NotImplementedError|soundfile"):
+        decode_wav_features(df).collect()
