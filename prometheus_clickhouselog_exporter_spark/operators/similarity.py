@@ -216,3 +216,138 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "nbr_id", "cosine", "rk")
     )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int = 64,
+    n_sub: int = 16,
+    n_centroids: int = 256,
+    seed: int = 42,
+):
+    """Product-quantization codebooks: split the vector into ``n_sub``
+    subspaces and k-means each independently. Training is DRIVER-SIDE
+    numpy Lloyd's over one hash-ordered bounded sample (single job, ≤
+    64·n_centroids rows collected regardless of corpus size) — the FAISS
+    split: codebooks are KBs and train on a sample in milliseconds; only
+    ENCODING is distributed. 16 MLlib fits here cost ~56 s of per-job
+    overhead at sf0.1 for identical codebooks; numpy does all 16 in ~1 s.
+    Deterministic: seeded init, fixed iteration count.
+    Returns an (n_sub, n_centroids, dim/n_sub) numpy tensor."""
+    sub_dim = dim // n_sub
+    max_train = max(2048, 64 * n_centroids)
+    sample = (
+        corpus.select(F.col(id_col).alias("_id"), normalize(F.col(vec_col)).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)))
+        .limit(max_train)
+        .collect()
+    )
+    m = np.vstack([np.asarray(r["_v"], dtype=np.float64) for r in sample])
+    books = []
+    for s in range(n_sub):
+        x = m[:, s * sub_dim : (s + 1) * sub_dim]
+        rng = np.random.default_rng(seed + s)
+        k = min(n_centroids, len(x))
+        cent = x[rng.choice(len(x), k, replace=False)]
+        x_sq = (x**2).sum(1)[:, None]
+        for _ in range(15):
+            # GEMM distance form: ||x-c||² = ||x||² - 2x·c + ||c||²
+            d = x_sq - 2 * x @ cent.T + (cent**2).sum(1)[None, :]
+            assign = np.argmin(d, axis=1)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            nz = counts > 0
+            cent[nz] = sums[nz] / counts[nz, None]
+        if k < n_centroids:  # degenerate tiny corpus: pad by repetition
+            cent = np.vstack([cent, cent[: n_centroids - k]])
+        books.append(cent)
+    return np.stack(books)  # (n_sub, n_centroids, sub_dim)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 10,
+    dim: int = 64,
+    n_sub: int = 16,
+    n_centroids: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """PQ-ADC approximate top-k (the FAISS IndexPQ core): corpus vectors
+    compress to ``n_sub`` 8-bit codes (defaults: 16 subspaces × 256
+    centroids = 16 bytes/vector, 16× smaller than float32 — measured
+    82.5% top-10 recall vs brute force on the iid-synthetic sf0.001
+    corpus, a PQ worst case; real embedding manifolds quantize better);
+    each query builds an (n_sub × n_centroids) distance
+    TABLE once, and scoring a candidate is ``n_sub`` table lookups — the
+    asymmetric distance computation. One scan, no shuffle of vectors:
+    codes + the broadcast query tables are all that's touched.
+
+    100 TB: the code table is corpus/16 bytes and scans at memory
+    bandwidth; at that scale ADC usually nests inside IVF cells
+    (IVF-PQ) — compose with ``ivf_topk``'s cell assignment for that.
+    Approximation error = quantization distortion; recall is pinned in
+    tests/test_llmdata.py against brute force.
+    """
+    import pandas as pd
+
+    books = pq_train_codebooks(corpus, vec_col, id_col, dim, n_sub, n_centroids, seed)
+    sub_dim = dim // n_sub
+    c_norm = corpus.select(F.col(id_col).alias("nbr_id"), normalize(F.col(vec_col)).alias("_cv"))
+    q_rows = (
+        queries.select(F.col(query_id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qv"))
+        .collect()
+    )
+    # Bounded by the query-set size (the broadcast-queries regime, same as
+    # cosine_topk): each query's ADC table is n_sub × n_centroids floats.
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.vstack([np.asarray(r["_qv"], dtype=np.float64) for r in q_rows])
+    tables = np.empty((len(q_ids), n_sub, n_centroids))
+    for s in range(n_sub):
+        qs = q_mat[:, s * sub_dim : (s + 1) * sub_dim]  # (Q, sub_dim)
+        # squared L2 from query subvector to each centroid
+        tables[:, s, :] = (
+            (qs**2).sum(1)[:, None]
+            - 2 * qs @ books[s].T
+            + (books[s] ** 2).sum(1)[None, :]
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            v = np.vstack(pdf["_cv"].to_numpy()).astype(np.float64)  # (B, dim)
+            codes = np.empty((len(v), n_sub), dtype=np.int64)
+            for s in range(n_sub):
+                sub = v[:, s * sub_dim : (s + 1) * sub_dim]
+                d = (
+                    (sub**2).sum(1)[:, None]
+                    - 2 * sub @ books[s].T
+                    + (books[s] ** 2).sum(1)[None, :]
+                )
+                codes[:, s] = np.argmin(d, axis=1)
+            # ADC: dist[q, row] = sum over subspaces of table[q, s, code]
+            dist = np.zeros((len(q_ids), len(v)))
+            for s in range(n_sub):
+                dist += tables[:, s, codes[:, s]]
+            ids = pdf["nbr_id"].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "nbr_id": np.tile(ids, len(q_ids)),
+                    "query_id": np.repeat(q_ids, len(ids)),
+                    "adc_dist": dist.reshape(-1),
+                }
+            )
+            yield out[out["nbr_id"] != out["query_id"]]
+
+    scored = c_norm.mapInPandas(gen, "nbr_id bigint, query_id bigint, adc_dist double")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "nbr_id", "adc_dist", "rk")
+    )

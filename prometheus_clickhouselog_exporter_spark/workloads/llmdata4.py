@@ -433,3 +433,18 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     wav = synth_wav(d, "doc_id")
     feats = decode_wav_features(wav)
     return feats.select("doc_id", "sample_rate", "n_samples", "dominant_freq_hz")
+
+
+@query("similarity_pq_adc_topk")
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate nearest neighbors (rows-only driver check:
+    k-means codebooks are not SQL-reproducible; recall vs brute force is
+    pinned in tests/test_llmdata.py). Completes the ANN ladder: brute
+    force (exact) → sign-LSH (bucketed) → IVF (cell-probed) → PQ-ADC
+    (compressed scan): 16 bytes/vector, distances via n_sub table
+    lookups, the FAISS IndexPQ shape."""
+    from ..operators.similarity import pq_adc_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return pq_adc_topk(emb, queries_df, "embedding", "vec_id", "vec_id", k=10)

@@ -243,3 +243,21 @@ def test_wav_decode_rejects_non_wav(spark):
     df = spark.createDataFrame([(1, bytearray(b"ID3notawav" * 5))], "doc_id long, media binary")
     with pytest.raises(Exception, match="NotImplementedError|soundfile"):
         decode_wav_features(df).collect()
+
+
+def test_pq_adc_recall_vs_bruteforce(emb):
+    """PQ-ADC at the default 16 subspaces x 256 centroids (16 bytes per
+    vector, 16x compression of float32): measured 82.5% top-10 recall on
+    this corpus — iid-synthetic vectors are PQ's worst case (no manifold
+    to exploit), so the pin leaves margin but must sit far above the ~2%
+    random overlap."""
+    from prometheus_clickhouselog_exporter_spark.operators.similarity import pq_adc_topk
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, "embedding", "vec_id", "vec_id", k=10).collect()
+    approx = pq_adc_topk(emb, queries, "embedding", "vec_id", "vec_id", k=10).collect()
+    exact_set = {(r["query_id"], r["nbr_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["nbr_id"]) for r in approx}
+    assert len(approx_set) == len(exact_set)
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.7, f"recall {recall}"
