@@ -222,8 +222,10 @@ def decode_wav_features(df: DataFrame, media_col: str = "media") -> DataFrame:
                     raise NotImplementedError("only PCM16 mono WAV is decoded here")
                 data_off = 20 + fmt_size
                 while b[data_off : data_off + 4] != b"data":
+                    if data_off + 8 > len(b):
+                        raise ValueError("malformed WAV: no data chunk")
                     sz = struct.unpack("<I", b[data_off + 4 : data_off + 8])[0]
-                    data_off += 8 + sz
+                    data_off += 8 + max(sz, 1)
                 n_bytes = struct.unpack("<I", b[data_off + 4 : data_off + 8])[0]
                 x = np.frombuffer(
                     b[data_off + 8 : data_off + 8 + n_bytes], dtype="<i2"

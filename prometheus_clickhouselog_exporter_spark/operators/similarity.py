@@ -351,3 +351,144 @@ def pq_adc_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "nbr_id", "adc_dist", "rk")
     )
+
+
+def _lloyd(x, k: int, seed: int, iters: int = 15):
+    """Seeded numpy Lloyd's (GEMM distance form); driver-side k-means for
+    sample-sized fits (coarse quantizers, PQ codebooks)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(x))
+    cent = x[rng.choice(len(x), k, replace=False)].copy()
+    x_sq = (x**2).sum(1)[:, None]
+    for _ in range(iters):
+        d = x_sq - 2 * x @ cent.T + (cent**2).sum(1)[None, :]
+        assign = np.argmin(d, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
+    return cent
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 10,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 16,
+    n_centroids: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ (the production FAISS shape): a coarse quantizer prunes the
+    corpus to ``n_probe``/``n_cells`` cells per query, and within cells
+    candidates are scored by ADC over PQ codes of the RESIDUAL
+    (vector − cell centroid) — residual encoding is what lets 8-bit codes
+    stay accurate once the coarse quantizer has removed the cell mean.
+
+    Both quantizers train driver-side (numpy Lloyd's, one bounded-sample
+    collect — see pq_train_codebooks for why not MLlib-per-subspace).
+    100 TB: the corpus materializes once as (cell, 16-byte code, id) —
+    Σ ≈ corpus/16 bytes; the probe join shuffles codes for probed cells
+    only; vectors never cross an exchange after encoding. Per-(query,
+    cell) ADC tables are n_sub × n_centroids floats built driver-side
+    from the collected query set (the broadcast-queries regime).
+    """
+    import pandas as pd
+
+    sub_dim = dim // n_sub
+    max_train = max(2048, 64 * n_centroids)
+    sample_rows = (
+        corpus.select(F.col(id_col).alias("_id"), normalize(F.col(vec_col)).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)))
+        .limit(max_train)
+        .collect()
+    )
+    sm = np.vstack([np.asarray(r["_v"], dtype=np.float64) for r in sample_rows])
+    coarse = _lloyd(sm, n_cells, seed)  # (C, dim)
+    cell_of = np.argmin(
+        (sm**2).sum(1)[:, None] - 2 * sm @ coarse.T + (coarse**2).sum(1)[None, :], axis=1
+    )
+    resid = sm - coarse[cell_of]
+    books = np.stack(
+        [
+            _lloyd(resid[:, s * sub_dim : (s + 1) * sub_dim], n_centroids, seed + 1 + s)
+            for s in range(n_sub)
+        ]
+    )  # (n_sub, n_centroids, sub_dim)
+
+    def encode(batches):
+        for pdf in batches:
+            v = np.vstack(pdf["_cv"].to_numpy()).astype(np.float64)
+            cells = np.argmin(
+                (v**2).sum(1)[:, None] - 2 * v @ coarse.T + (coarse**2).sum(1)[None, :],
+                axis=1,
+            )
+            r = v - coarse[cells]
+            codes = np.empty((len(v), n_sub), dtype=np.uint8)
+            for s in range(n_sub):
+                sub = r[:, s * sub_dim : (s + 1) * sub_dim]
+                d = (
+                    (sub**2).sum(1)[:, None]
+                    - 2 * sub @ books[s].T
+                    + (books[s] ** 2).sum(1)[None, :]
+                )
+                codes[:, s] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    "nbr_id": pdf["nbr_id"].to_numpy(),
+                    "cell": cells.astype(np.int32),
+                    "code": [c.tobytes() for c in codes],
+                }
+            )
+
+    c_norm = corpus.select(F.col(id_col).alias("nbr_id"), normalize(F.col(vec_col)).alias("_cv"))
+    encoded = c_norm.mapInPandas(encode, "nbr_id bigint, cell int, code binary")
+
+    q_rows = (
+        queries.select(F.col(query_id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qv"))
+        .collect()
+    )
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.vstack([np.asarray(r["_qv"], dtype=np.float64) for r in q_rows])
+    # per-query probed cells + per-(query, cell) ADC tables over residuals
+    qd = (q_mat**2).sum(1)[:, None] - 2 * q_mat @ coarse.T + (coarse**2).sum(1)[None, :]
+    probes = np.argsort(qd, axis=1)[:, :n_probe]  # (Q, n_probe)
+    tables: dict[tuple[int, int], np.ndarray] = {}
+    for qi, qid in enumerate(q_ids):
+        for cell in probes[qi]:
+            qr = q_mat[qi] - coarse[cell]
+            t = np.empty((n_sub, n_centroids))
+            for s in range(n_sub):
+                qs = qr[s * sub_dim : (s + 1) * sub_dim]
+                t[s] = (qs**2).sum() - 2 * books[s] @ qs + (books[s] ** 2).sum(1)
+            tables[(int(qid), int(cell))] = t
+    probe_rows = [
+        (int(qid), int(cell)) for qi, qid in enumerate(q_ids) for cell in probes[qi]
+    ]
+    probe_df = corpus.sparkSession.createDataFrame(probe_rows, "query_id bigint, cell int")
+
+    @F.pandas_udf("double")
+    def adc(query_id: pd.Series, cell: pd.Series, code: pd.Series) -> pd.Series:
+        out = np.empty(len(code))
+        rows = np.arange(n_sub)
+        for i in range(len(code)):
+            t = tables[(int(query_id.iloc[i]), int(cell.iloc[i]))]
+            c = np.frombuffer(code.iloc[i], dtype=np.uint8)
+            out[i] = t[rows, c].sum()
+        return pd.Series(out)
+
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("nbr_id"))
+    return (
+        encoded.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .withColumn("adc_dist", adc("query_id", "cell", "code"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "nbr_id", "adc_dist", "rk")
+    )

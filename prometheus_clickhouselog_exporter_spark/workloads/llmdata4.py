@@ -448,3 +448,18 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
     return pq_adc_topk(emb, queries_df, "embedding", "vec_id", "vec_id", k=10)
+
+
+@query("similarity_ivfpq_topk")
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors (rows-only driver check;
+    recall pinned in tests/test_llmdata.py). The production FAISS shape:
+    coarse cells prune the corpus to n_probe/n_cells, residual PQ codes
+    (16 bytes/vector) score candidates by ADC table lookups — on this
+    iid corpus recall ~= the IVF pruning ceiling, i.e. residual coding
+    costs almost nothing."""
+    from ..operators.similarity import ivfpq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return ivfpq_topk(emb, queries_df, "embedding", "vec_id", "vec_id", k=10)

@@ -261,3 +261,37 @@ def test_pq_adc_recall_vs_bruteforce(emb):
     assert len(approx_set) == len(exact_set)
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.7, f"recall {recall}"
+
+
+def test_wav_decode_fails_loudly_on_truncated_container(spark):
+    """A RIFF/WAVE header with no data chunk must raise, not loop or
+    return garbage."""
+    import struct as _s
+
+    from prometheus_clickhouselog_exporter_spark.operators.multimodal import (
+        decode_wav_features,
+    )
+
+    blob = (
+        b"RIFF" + _s.pack("<I", 36) + b"WAVEfmt "
+        + _s.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"junk" + _s.pack("<I", 0)
+    )
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, media binary")
+    with pytest.raises(Exception, match="malformed WAV|no data chunk"):
+        decode_wav_features(df).collect()
+
+
+def test_ivfpq_recall_vs_bruteforce(emb):
+    """IVF-PQ (coarse cells + residual PQ): pruning to 4/16 cells stacks
+    on 16-byte codes; residual encoding keeps ADC accurate inside cells,
+    so recall must stay well above the ~25% corpus fraction probed."""
+    from prometheus_clickhouselog_exporter_spark.operators.similarity import ivfpq_topk
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, "embedding", "vec_id", "vec_id", k=10).collect()
+    approx = ivfpq_topk(emb, queries, "embedding", "vec_id", "vec_id", k=10).collect()
+    exact_set = {(r["query_id"], r["nbr_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["nbr_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.35, f"recall {recall}"
