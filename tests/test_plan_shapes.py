@@ -166,3 +166,10 @@ def test_ewma_single_window_exchange(spark):
     final = plan.split("== Initial Plan ==")[0]
     n_exchanges = final.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 hash exchange, plan has {n_exchanges}"
+
+
+def test_tfidf_topk_uses_window_group_limit(spark):
+    """text_tfidf_topterms' per-doc top-3 must plan as WindowGroupLimit —
+    map-side top-N below the doc shuffle, not a full rank-then-filter."""
+    plan = _final_plan(QUERIES["text_tfidf_topterms"](spark, SF))
+    assert "WindowGroupLimit" in plan
