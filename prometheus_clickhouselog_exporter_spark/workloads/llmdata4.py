@@ -1,13 +1,16 @@
-"""Training-data pipeline operators, round 3 batch 2: entity-resolution
+"""Training-data pipeline operators, round 3 batch 2+: entity-resolution
 blocking join, k-anonymity suppression, per-cohort anomaly scoring,
-closed-form EWMA, and embedding scalar quantization.
+closed-form EWMA, embedding quantization (scalar audit + PQ-ADC +
+IVF-PQ), JL random projection, TF-IDF top terms, and the certified
+real-audio multimodal lane.
 
-All five are standard curation/analytics moves re-expressed as single
+All are standard curation/analytics moves re-expressed as single
 Catalyst plans: the ER pattern is the blocking-join shape every record
 linkage system uses (block key → in-block verify, never all-pairs); the
 EWMA shows how a sequential recurrence becomes ONE aggregation via its
-algebraic closed form; quantization is the int8 compression step an ANN
-serving tier runs before indexing (4x memory cut for float32 vectors).
+algebraic closed form; the quantization family is the compression step
+an ANN serving tier runs before indexing (16x memory cut for float32
+vectors at 8-bit PQ codes).
 
 Reference analog: these generalize the exporter's enrich-and-aggregate
 loop (query.go:180-268) from log sessions to corpus records; none have a
