@@ -340,3 +340,71 @@ def graph_pagerank_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("p") * 1_000_000, 4).alias("pr_x1e6"),
         )
     )
+
+
+@query(
+    "scd2_customer_priority_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate
+      FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority
+    ),
+    hist AS (
+      SELECT o_custkey, o_orderpriority AS priority,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate) AS valid_to,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate) AS version
+      FROM changes
+    )
+    SELECT o_custkey, priority,
+           CAST(valid_from AS VARCHAR) AS valid_from,
+           CAST(valid_to AS VARCHAR) AS valid_to,
+           CAST(version AS INT) AS version,
+           valid_to IS NULL AS is_current
+    FROM hist
+    """,
+)
+def scd2_customer_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: each customer's
+    order-priority regime as (valid_from, valid_to) intervals with a
+    version counter and current flag — the MERGE-free way to construct
+    dimension history from an event log (lag to detect changes, lead to
+    close intervals), standard for warehouse dims and training-data
+    snapshot lineage alike.
+
+    Timestamps cross the driver hash as strings (DuckDB DATE/TIMESTAMP →
+    pandas vs Spark datetime mismatch — the r1 rule in COVERAGE.md).
+
+    100 TB: ONE shuffle on the natural key; the change-detect lag, the
+    interval-closing lead, and the version rank all stack on that same
+    (custkey, date) sort order — Catalyst plans one exchange + one sort
+    for all three windows plus no extra pass for the filter between.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.select(
+            "o_custkey",
+            "o_orderpriority",
+            "o_orderdate",
+            F.lag("o_orderpriority").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+    )
+    wh = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return changes.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("string").alias("valid_from"),
+        F.lead("o_orderdate").over(wh).cast("string").alias("valid_to"),
+        F.row_number().over(wh).alias("version"),
+        F.lead("o_orderdate").over(wh).isNull().alias("is_current"),
+    )
