@@ -346,22 +346,22 @@ def graph_pagerank_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_customer_priority_history",
     oracle="""
     WITH ordered AS (
-      SELECT o_custkey, o_orderpriority, o_orderdate,
+      SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
              lag(o_orderpriority) OVER (PARTITION BY o_custkey
                                         ORDER BY o_orderdate, o_orderkey) AS prev
       FROM orders
     ),
     changes AS (
-      SELECT o_custkey, o_orderpriority, o_orderdate
+      SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate
       FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority
     ),
     hist AS (
       SELECT o_custkey, o_orderpriority AS priority,
              o_orderdate AS valid_from,
              lead(o_orderdate) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate) AS valid_to,
+                                     ORDER BY o_orderdate, o_orderkey) AS valid_to,
              row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderdate) AS version
+                                ORDER BY o_orderdate, o_orderkey) AS version
       FROM changes
     )
     SELECT o_custkey, priority,
@@ -393,13 +393,17 @@ def scd2_customer_priority_history(spark: SparkSession, sf_dir: str) -> DataFram
     changes = (
         o.select(
             "o_custkey",
+            "o_orderkey",
             "o_orderpriority",
             "o_orderdate",
             F.lag("o_orderpriority").over(w).alias("prev"),
         )
         .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
     )
-    wh = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    # same-date change rows exist at denser SFs — the interval-close and
+    # version windows need the full (date, orderkey) tiebreak or the
+    # lead()/rank assignment is engine-nondeterministic.
+    wh = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return changes.select(
         "o_custkey",
         F.col("o_orderpriority").alias("priority"),
