@@ -72,3 +72,37 @@ def test_approx_distinct_tolerance(spark):
         assert r["exact_customers"] > 0
         assert r["approx_customers_ok"] is True, r["o_orderstatus"]
         assert r["approx_median_ok"] is True, r["o_orderstatus"]
+
+
+def test_small_file_compaction(spark, tmp_path):
+    """50 tiny appended files compact into the planned file count with
+    byte-identical data; plan derives from filesystem metadata only."""
+    from prometheus_clickhouselog_exporter_spark.sources.compaction import (
+        compact_parquet,
+        dir_bytes,
+        plan_file_count,
+    )
+
+    src_dir = str(tmp_path / "accreted")
+    base = table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    for i in range(10):  # simulate per-epoch appends
+        base.filter(F.col("o_orderkey") % 10 == i).repartition(5).write.mode(
+            "append"
+        ).parquet(src_dir)
+    n_files_before = sum(
+        1 for f in __import__("os").listdir(src_dir) if f.endswith(".parquet")
+    )
+    assert n_files_before >= 50
+
+    out_dir = str(tmp_path / "compacted")
+    target = max(1, dir_bytes(src_dir) // 3)  # force ~3-4 output files
+    n_out = compact_parquet(spark, src_dir, out_dir, target_file_bytes=target)
+    assert n_out == plan_file_count(src_dir, target) <= 4
+    n_files_after = sum(
+        1 for f in __import__("os").listdir(out_dir) if f.endswith(".parquet")
+    )
+    assert n_files_after == n_out < n_files_before
+
+    a = spark.read.parquet(src_dir).orderBy("o_orderkey").collect()
+    b = spark.read.parquet(out_dir).orderBy("o_orderkey").collect()
+    assert a == b
