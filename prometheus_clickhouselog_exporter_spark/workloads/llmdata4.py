@@ -466,3 +466,57 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
     return ivfpq_topk(emb, queries_df, "embedding", "vec_id", "vec_id", k=10)
+
+
+@query(
+    "text_token_bpe_regex",
+    oracle=r"""
+    WITH toks AS (
+      SELECT e.event_type, t.tok
+      FROM events e,
+           unnest(regexp_extract_all(e.props,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS t(tok)
+    )
+    SELECT event_type,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN regexp_matches(tok, '^[A-Za-z]+$') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_word,
+           CAST(sum(CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_number,
+           -- regexp_matches (partial, = Spark rlike), NOT '~' which DuckDB
+           -- binds to regexp_full_match and would reject '99' here
+           CAST(sum(CASE WHEN regexp_matches(tok, '^[A-Za-z0-9]') THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_punct,
+           count(DISTINCT tok) AS n_vocab
+    FROM toks GROUP BY event_type
+    """,
+)
+def text_token_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer counting (the GPT-2 pre-tokenizer's shape,
+    restricted to character classes both Java regex and RE2 treat
+    identically: letter runs | digit runs | punctuation runs). Run over
+    the punctuation-rich JSON props column — word/number/punct splits and
+    vocabulary size per event type, the token-budget accounting step of a
+    training-data pipeline when the real tokenizer is not on the cluster.
+
+    100 TB: regexp_extract_all + explode evaluate in the scan stage; the
+    per-type aggregation's distinct-count re-keys by (type, tok), which
+    partial aggregation collapses to vocabulary cardinality per mapper.
+    """
+    e = table(spark, sf_dir, "events")
+    toks = e.select(
+        "event_type",
+        F.explode(
+            F.expr(r"regexp_extract_all(props, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+', 0)")
+        ).alias("tok"),
+    )
+    is_word = F.col("tok").rlike(r"^[A-Za-z]+$")
+    is_num = F.col("tok").rlike(r"^[0-9]+$")
+    is_alnum_start = F.col("tok").rlike(r"^[A-Za-z0-9]")
+    return toks.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(is_word, 1).otherwise(0)).alias("n_word"),
+        F.sum(F.when(is_num, 1).otherwise(0)).alias("n_number"),
+        F.sum(F.when(is_alnum_start, 0).otherwise(1)).alias("n_punct"),
+        F.countDistinct("tok").alias("n_vocab"),
+    )
