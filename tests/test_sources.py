@@ -106,3 +106,33 @@ def test_small_file_compaction(spark, tmp_path):
     a = spark.read.parquet(src_dir).orderBy("o_orderkey").collect()
     b = spark.read.parquet(out_dir).orderBy("o_orderkey").collect()
     assert a == b
+
+
+def test_sql_api_over_registered_views(spark):
+    """The plain-SQL surface: register_views exposes every synthetic table
+    and spark.sql answers match the DataFrame API bit-for-bit."""
+    from prometheus_clickhouselog_exporter_spark.sources.tables import register_views
+
+    register_views(spark, SF_DIR)
+    got = spark.sql(
+        """
+        SELECT o.o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+        """
+    ).collect()
+    o, c = table(spark, SF_DIR, "orders"), table(spark, SF_DIR, "customer")
+    want = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+        .collect()
+    )
+    assert got == want and len(got) > 0
