@@ -1,0 +1,353 @@
+"""Training-data pipeline operators, round 3 batch 3: cohort retention,
+last-touch attribution, deterministic train/valid/test splits, robust
+(median/MAD) outlier statistics, and a Z-order data-layout manifest.
+
+These are the curation/analytics moves that sit AROUND a 100 TB corpus:
+splitting it reproducibly, attributing downstream signal to upstream
+exposure, deciding which rows are statistical outliers without a mean
+that a single corrupt value can drag, and laying files out so a
+two-column range predicate prunes most of them.
+
+Reference analog: all generalize the exporter's enrich-then-aggregate
+session loop (query.go:180-268) — retention/attribution are the same
+"carry state forward along a user timeline" shape the correlator runs
+per query_id; the split/layout ops have no single-node counterpart
+because they only matter when the corpus outgrows one machine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import fround, query, table
+from ..operators.sampling import hash_bucket
+
+
+@query(
+    "cohort_retention_events",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(datediff('day', f.cohort_week,
+                           date_trunc('week', e.ts)::DATE) / 7 AS BIGINT)
+               AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, week_offset,
+           count(*) AS n_active
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the ISO week of their
+    first event; for each (cohort, week-offset) the count of users still
+    active that many weeks later — the standard engagement triangle.
+
+    Plan shape: the cohort week is a MIN window over ``user_id`` (one
+    shuffle, partial min pushed below it), the activity weeks reuse the
+    SAME user_id partitioning (Catalyst elides the second exchange), and
+    the distinct+count is one more narrow shuffle over (cohort, offset,
+    user) triples — three columns, no timestamps, no payloads.
+
+    100 TB: the triangle has O(users × active-weeks) intermediate rows
+    but the final output is O(weeks²) regardless of corpus size. The
+    user_id shuffle is the only data-sized exchange; AQE handles the
+    power-law "whale user" skew (same guard as salted_skew_aggregate).
+    Dates cross the driver compare as strings (DuckDB DATE ≠ Spark date
+    in pandas hashing — workloads/core.py discipline).
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    w = Window.partitionBy("user_id")
+    act = (
+        e.withColumn("cohort_week", F.min("wk").over(w))
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.col("cohort_week").cast("string").alias("cohort_week"), "week_offset"
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH tl AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type IN ('click','view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT coalesce(channel, 'direct') AS channel,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM tl WHERE event_type = 'purchase'
+    GROUP BY coalesce(channel, 'direct')
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent prior click/view on the same user timeline (or 'direct' when
+    nothing precedes it); output is purchases and exact-decimal revenue
+    per acquisition channel.
+
+    This is the reference's correlator shape verbatim — "carry the last
+    relevant state forward along a per-key timeline, consume it at the
+    closing event" (query.go:180-230) — expressed as ``last(...,
+    ignorenulls=True)`` over a (ts, event_id)-deterministic frame that
+    excludes the current row, so a purchase can never attribute to
+    itself even if a click shares its timestamp.
+
+    100 TB: one user_id shuffle; the window carries a single small
+    string of state per row (no struct payloads), then the channel
+    rollup is an O(channels) aggregate. Contrast with the as-of-join
+    formulation (asof_join_click_before_purchase) which pays a range
+    join; the window form is strictly cheaper when both sides are the
+    same stream. Revenue stays in DECIMAL until the final cast
+    (cross-engine float discipline, workloads/core.py).
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chan = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("channel", chan)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@query(
+    "split_train_valid_test",
+    oracle="""
+    WITH tagged AS (
+      SELECT source, n_chars, lang,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS UBIGINT) % 100 < 96 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS UBIGINT) % 100 < 98 THEN 'valid'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT split, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM tagged GROUP BY split, source
+    """,
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 96/2/2 train/valid/test split by content-addressed
+    hash of the document id, with the per-(split, source) manifest a
+    training run records for reproducibility.
+
+    Why hash, not ``randomSplit``: the assignment is a pure function of
+    doc_id — identical across runs, engines, partitionings, and corpus
+    *growth* (a new document never flips an old one's split, which RNG
+    splits cannot guarantee; same nesting property as
+    sample_hash_bernoulli). Leakage-safe as long as doc_id is the dedup
+    key — near-dup leakage across splits is what dedup_minhash_lsh
+    upstream is for.
+
+    100 TB: the split tag is a scan-stage expression (one md5 per row,
+    JVM codegen); the manifest is one partial+final aggregate over
+    O(splits × sources) groups. Writing the actual split datasets is
+    ``df.write.partitionBy("split")`` on the same tagged plan — no
+    second pass, no shuffle beyond the agg shown here.
+    """
+    d = table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id").cast("string"), 100)
+    split = (
+        F.when(b < 96, "train").when(b < 98, "valid").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@query(
+    "stats_robust_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             round(median(value), 6) AS median_value
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             round(median(abs(e.value - m.median_value)), 6) AS mad_value
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type, count(*) AS n_events,
+           m.median_value, d.mad_value,
+           CAST(sum(CASE WHEN abs(e.value - m.median_value)
+                              > 3 * d.mad_value THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    GROUP BY e.event_type, m.median_value, d.mad_value
+    """,
+)
+def stats_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier statistics: exact median, median absolute
+    deviation, and the count of values beyond 3·MAD — the outlier gate a
+    curation pipeline uses where mean/stddev would let one corrupt value
+    move its own threshold.
+
+    Two exact-percentile passes are inherent (MAD needs the median
+    first); both are partial+final aggregates over O(event types)
+    groups, and the per-group medians re-enter as a BROADCAST join (the
+    stats side is group-cardinality, never data-cardinality). Medians
+    are rounded to 6 digits BEFORE the comparison on both engines, so
+    the >3·MAD boundary test runs on bit-identical doubles (fround
+    discipline, workloads/core.py) — an unrounded interpolated median
+    could differ by 1 ulp between engines and flip a boundary row.
+
+    100 TB: exact percentile sorts within each group — fine at O(types)
+    group count; for data-cardinality groups the GK-sketch variant
+    (sketch_quantile_tokens) is the scale path. Three scans of the
+    events table total; columns pruned to (event_type, value) at the
+    parquet reader each time.
+    """
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        fround(F.expr("percentile(value, 0.5)"), 6).alias("median_value")
+    )
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            fround(
+                F.expr("percentile(abs(value - median_value), 0.5)"), 6
+            ).alias("mad_value")
+        )
+    )
+    stats = med.join(dev, "event_type")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "median_value", "mad_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("median_value"))
+                    > 3 * F.col("mad_value"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type", "n_events", "median_value", "mad_value", "n_outliers"
+        )
+    )
+
+
+def _zvalue_sql(x: str, y: str, bits: int = 8) -> str:
+    """Unrolled Morton interleave for the DuckDB oracle: x gets the odd
+    bit positions, y the even ones."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder_manifest",
+    oracle=f"""
+    WITH coords AS (
+      SELECT CAST(user_id % 256 AS BIGINT) AS x,
+             CAST(least(floor(value * 10), 255) AS BIGINT) AS y
+      FROM events
+    ),
+    z AS (
+      SELECT x, y, {_zvalue_sql('x', 'y')} AS zval FROM coords
+    )
+    SELECT CAST(zval >> 12 AS BIGINT) AS tile,
+           count(*) AS n_rows,
+           min(zval) AS z_min, max(zval) AS z_max,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM z GROUP BY tile
+    """,
+)
+def layout_zorder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout manifest: interleave the bits of two
+    query columns — here user bucket × value decile-bucket — and tile the
+    data by the Z-value's top 4 bits. The manifest rows (per-tile counts
+    and min/max of BOTH dimensions) are exactly the file-footer stats a
+    lakehouse writer records; narrow x_min..x_max AND y_min..y_max per
+    tile is what lets a two-column range predicate skip most files,
+    which neither column's sort order could do alone.
+
+    The key property the manifest demonstrates: a Z-prefix IS a spatial
+    tile, so file assignment is ``zval >> k`` — a scan-stage expression,
+    NOT a global sort. The production write is
+    ``df.repartitionByRange(n, "zval").sortWithinPartitions("zval")``
+    followed by a parquet write; the tile stats here come from the same
+    single aggregation either way.
+
+    100 TB: zero joins, one O(tiles)-group aggregate; bit math is
+    whole-stage codegen. 16 bits of Z (8 per dimension) addresses 65536
+    cells — deepen bits-per-dimension as file counts grow; the prefix
+    property (tile = zval >> shift) holds at any depth.
+    """
+    e = table(spark, sf_dir, "events")
+    x = (F.col("user_id") % 256).cast("long")
+    y = F.least(F.floor(F.col("value") * 10), F.lit(255)).cast("long")
+    zval = None
+    for i in range(8):
+        for col, off in ((x, 1), (y, 0)):
+            term = F.shiftleft(
+                F.shiftright(col, i).bitwiseAND(F.lit(1)), 2 * i + off
+            )
+            zval = term if zval is None else zval + term
+    return (
+        e.select(x.alias("x"), y.alias("y"), zval.alias("zval"))
+        .groupBy(F.shiftright("zval", 12).cast("long").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )

@@ -1,0 +1,154 @@
+"""Unit tests for the round-3 batch-3 operators: retention triangle on a
+hand-built timeline, attribution frame semantics (no self-attribution,
+'direct' fallback), split determinism under repartitioning, MAD on known
+values, and the Morton-curve prefix/bounds properties."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from prometheus_clickhouselog_exporter_spark.workloads.pipeline_ops4 import (
+    attribution_last_touch,
+    cohort_retention_events,
+    layout_zorder_manifest,
+    split_train_valid_test,
+    stats_robust_mad,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_events(spark, tmp_path, rows):
+    """Write an events.parquet with explicit microsecond timestamps (Spark's
+    own writer emits INT96, which pyarrow reports as nanos and trips the
+    nanos-safe loader's rewrite)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows))
+    t = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("us")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_cohort_retention_triangle(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 12)  # Monday; week of 2024-01-01
+    rows = [
+        # user 1: first week 0, active weeks 0 and 2
+        (1, t0, 1, "view", 1.0),
+        (2, t0 + dt.timedelta(days=1), 1, "click", 1.0),  # same week, dedup
+        (3, t0 + dt.timedelta(days=14), 1, "view", 1.0),
+        # user 2: cohort one week later, active only then
+        (4, t0 + dt.timedelta(days=7), 2, "view", 1.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        (r.cohort_week, r.week_offset): r.n_active
+        for r in cohort_retention_events(spark, sf).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_attribution_no_self_and_direct(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: click then purchase → 'click' credited, not the later view
+        (1, t0, 1, "click", 0.0),
+        (2, t0 + dt.timedelta(minutes=1), 1, "purchase", 10.0),
+        (3, t0 + dt.timedelta(minutes=2), 1, "view", 0.0),
+        # user 2: purchase with no prior touch → 'direct', even though a
+        # click exists LATER on the same timeline
+        (4, t0, 2, "purchase", 5.0),
+        (5, t0 + dt.timedelta(minutes=1), 2, "click", 0.0),
+        # user 3: view then click then purchase → LAST touch wins
+        (6, t0, 3, "view", 0.0),
+        (7, t0 + dt.timedelta(minutes=1), 3, "click", 0.0),
+        (8, t0 + dt.timedelta(minutes=2), 3, "purchase", 7.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r.channel: (r.n_purchases, float(r.total_value))
+        for r in attribution_last_touch(spark, sf).collect()
+    }
+    assert got == {"click": (2, 17.0), "direct": (1, 5.0)}
+
+
+def test_split_deterministic_and_ratioed(spark):
+    got = {
+        (r.split, r.source): r.n_docs
+        for r in split_train_valid_test(spark, SF).collect()
+    }
+    total = sum(got.values())
+    train = sum(n for (s, _), n in got.items() if s == "train")
+    # 96% target with hash noise on a small corpus
+    assert 0.90 <= train / total <= 1.0
+    # Pure function of content: identical manifest on a fresh run.
+    again = {
+        (r.split, r.source): r.n_docs
+        for r in split_train_valid_test(spark, SF).collect()
+    }
+    assert got == again
+
+
+def test_mad_known_values(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    # values 1..5 → median 3, |dev| = 2,1,0,1,2 → MAD 1; outlier needs
+    # |v-3| > 3 → none. Add 100 → median 3.5, recompute by hand below.
+    rows = [(i, t0, 1, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5])]
+    sf = _write_events(spark, tmp_path, rows)
+    r = stats_robust_mad(spark, sf).collect()[0]
+    assert r.event_type == "a"
+    assert r.median_value == 3.0 and r.mad_value == 1.0
+    assert r.n_events == 5 and r.n_outliers == 0
+
+    rows.append((99, t0, 1, "a", 100.0))
+    sf = _write_events(spark, tmp_path, rows)
+    r = stats_robust_mad(spark, sf).collect()[0]
+    # 1,2,3,4,5,100 → median 3.5; |dev| = 2.5,1.5,0.5,0.5,1.5,96.5 →
+    # MAD 1.5; threshold 4.5 → only 100 is an outlier.
+    assert r.median_value == 3.5 and r.mad_value == 1.5
+    assert r.n_outliers == 1
+
+
+def test_zorder_prefix_is_tile_and_bounds_nested(spark):
+    rows = layout_zorder_manifest(spark, SF).collect()
+    assert rows, "manifest must be non-empty"
+    for r in rows:
+        # The tile id IS the z-prefix of every z in the tile.
+        assert r.z_min >> 12 == r.tile and r.z_max >> 12 == r.tile
+        assert 0 <= r.x_min <= r.x_max <= 255
+        assert 0 <= r.y_min <= r.y_max <= 255
+        # A 4-bit prefix of a 16-bit Morton code fixes the top 2 bits of
+        # each dimension → each tile spans at most a 64-wide slab per axis.
+        assert r.x_max - r.x_min <= 63
+        assert r.y_max - r.y_min <= 63
+
+
+def test_zorder_no_join_no_window(spark):
+    plan = (
+        layout_zorder_manifest(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_mad_stats_side_broadcasts(spark):
+    plan = (
+        stats_robust_mad(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
