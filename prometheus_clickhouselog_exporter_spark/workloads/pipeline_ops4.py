@@ -1,6 +1,8 @@
 """Training-data pipeline operators, round 3 batch 3: cohort retention,
 last-touch attribution, deterministic train/valid/test splits, robust
-(median/MAD) outlier statistics, and a Z-order data-layout manifest.
+(median/MAD) outlier statistics, a Z-order data-layout manifest, BPE
+merge induction (the tokenizer-training kernel), and C4-style
+boilerplate removal by chunk document-frequency.
 
 These are the curation/analytics moves that sit AROUND a 100 TB corpus:
 splitting it reproducibly, attributing downstream signal to upstream
@@ -20,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import fround, query, table
+from .core import fan_out, fround, query, table
 from ..operators.sampling import hash_bucket
 
 
@@ -350,4 +352,151 @@ def layout_zorder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("y").alias("y_min"),
             F.max("y").alias("y_max"),
         )
+    )
+
+
+@query(
+    "text_bpe_merge_candidates",
+    oracle="""
+    WITH w AS (
+      SELECT t.word AS word, count(*) AS freq
+      FROM documents, unnest(string_split(text, ' ')) AS t(word)
+      WHERE len(t.word) >= 2
+      GROUP BY t.word
+    ),
+    p AS (
+      SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, word, freq
+      FROM w, unnest(range(1, len(word))) AS u(i)
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS total,
+           count(DISTINCT word) AS n_words
+    FROM p GROUP BY pair
+    ORDER BY total DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step: count adjacent character pairs across the
+    corpus (weighted by word frequency) and return the top-20 merge
+    candidates — the kernel a byte-pair-encoding tokenizer trainer runs
+    per merge round. Complements text_token_bpe_regex (which APPLIES a
+    trained tokenizer; this op is how one gets trained).
+
+    Plan shape — DISTINCT-FIRST again (er_blocked_name_match's lesson):
+    pair extraction runs over the VOCABULARY (distinct words + counts),
+    not the corpus. The word aggregation is the only corpus-sized
+    shuffle; the explode(sequence) fan-out and the pair agg are bounded
+    by Σ|word| over distinct words — vocabulary-sized, which Heaps' law
+    keeps sublinear in the corpus. Words shorter than 2 chars are
+    filtered BEFORE the sequence (Spark's sequence(1, 0) is descending,
+    not empty — it would emit phantom positions).
+
+    100 TB: a real trainer iterates this op, re-pairing after each
+    merge; each round is the same two bounded aggregations, and the
+    vocabulary table is small enough to broadcast back into a re-encode
+    pass. Top-20 plans as TakeOrderedAndProject (no global sort);
+    (total DESC, pair) ties break deterministically because pair is the
+    group key.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = w.select(
+        "word",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+    ).select(
+        F.expr("substring(word, i, 2)").alias("pair"), "word", "freq"
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").alias("total"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .orderBy(F.col("total").desc(), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "text_boilerplate_chunk_df",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS tk
+      FROM documents WHERE len(string_split(text, ' ')) >= 8
+    ),
+    ch AS (
+      SELECT doc_id, source,
+             array_to_string(tk[(i*8+1):(i*8+8)], ' ') AS chunk
+      FROM t, unnest(range(0, CAST(floor(len(tk) / 8) AS BIGINT))) AS u(i)
+    ),
+    df AS (
+      SELECT doc_id, source, chunk,
+             count(DISTINCT doc_id) OVER (PARTITION BY chunk) AS df
+      FROM ch
+    )
+    SELECT source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           count(DISTINCT CASE WHEN df >= 3 THEN chunk END)
+             AS n_boilerplate_distinct
+    FROM df GROUP BY source
+    """,
+)
+def text_boilerplate_chunk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal by document frequency: an 8-token
+    chunk that appears in ≥ 3 DISTINCT documents is boilerplate (nav
+    menus, license headers, cookie banners) and is struck from EVERY
+    document — unlike dedup_chunk_paragraph's first-doc-wins, which
+    keeps one copy. Output is the per-source removal manifest a curation
+    run logs: how much of each source is shared scaffolding.
+
+    Plan shape: one explode, then the chunk df is a count-distinct
+    window over the chunk key (content-addressed shuffle, same
+    load-balancing argument as dedup_chunk_paragraph), then an
+    O(sources) rollup. The df threshold is evaluated per chunk instance
+    with no second corpus scan.
+
+    100 TB: the chunk shuffle carries (doc_id, source, chunk) — at the
+    next scale notch, swap the chunk string for xxhash64(chunk) in the
+    shuffle key (dedup_substring_spans' trick; 8 bytes instead of ~50)
+    and rejoin strings only for the distinct-chunk report. Heavy-hitter
+    chunks ARE the boilerplate being measured; AQE skew handling splits
+    their buckets.
+    """
+    d = fan_out(table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    d = d.select("doc_id", "source", toks.alias("tk")).filter(F.size("tk") >= 8)
+    n_chunks = F.floor(F.size("tk") / 8).cast("int")
+    ch = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        "tk",
+    ).select(
+        "doc_id",
+        "source",
+        F.array_join(F.slice("tk", F.col("i") * 8 + 1, F.lit(8)), " ").alias(
+            "chunk"
+        ),
+    )
+    dfreq = F.size(
+        F.collect_set("doc_id").over(Window.partitionBy("chunk"))
+    )
+    tagged = ch.select(
+        "doc_id", "source", "chunk", (dfreq >= 3).alias("is_boiler")
+    )
+    return tagged.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias("n_boilerplate"),
+        F.countDistinct(F.when(F.col("is_boiler"), F.col("chunk"))).alias(
+            "n_boilerplate_distinct"
+        ),
     )

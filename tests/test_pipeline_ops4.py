@@ -8,6 +8,8 @@ from __future__ import annotations
 import datetime as dt
 
 from prometheus_clickhouselog_exporter_spark.workloads.pipeline_ops4 import (
+    text_boilerplate_chunk_df,
+    text_bpe_merge_candidates,
     attribution_last_touch,
     cohort_retention_events,
     layout_zorder_manifest,
@@ -152,3 +154,56 @@ def test_mad_stats_side_broadcasts(spark):
         stats_robust_mad(spark, SF)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def _write_docs(spark, tmp_path, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_bpe_merge_candidates_hand_counts(spark, tmp_path):
+    # vocabulary: "abab" x3, "ab" x2, "z" (dropped: len<2)
+    sf = _write_docs(spark, tmp_path, ["abab abab ab z", "abab ab"])
+    got = {r.pair: (r.total, r.n_words) for r in
+           text_bpe_merge_candidates(spark, sf).collect()}
+    # "abab": pairs ab,ba,ab → ab twice per occurrence; freq 3.
+    # "ab": pair ab once; freq 2.
+    assert got["ab"] == (3 * 2 + 2 * 1, 2)
+    assert got["ba"] == (3, 1)
+    assert set(got) == {"ab", "ba"}
+
+
+def test_boilerplate_df_threshold(spark, tmp_path):
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8"  # one aligned 8-token chunk
+    uniq = ["u%d" % i for i in range(8)]
+    # boiler chunk in 3 docs → flagged; the pairwise-shared chunk (docs
+    # 3+4) has df=2 → NOT flagged at threshold 3.
+    shared2 = "p1 p2 p3 p4 p5 p6 p7 p8"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            boiler + " " + " ".join(uniq),
+            boiler,
+            boiler,
+            shared2,
+            shared2,
+        ],
+    )
+    r = text_boilerplate_chunk_df(spark, sf).collect()[0]
+    assert r.n_docs == 5
+    assert r.n_chunks == 6  # doc0: boiler+unique = 2; docs 1-4: 1 each
+    assert r.n_boilerplate == 3  # the boiler chunk's 3 instances only
+    assert r.n_boilerplate_distinct == 1
