@@ -52,6 +52,12 @@ HEADLINE = [
     "er_blocked_name_match",
     "ewma_user_value",
     "embedding_scalar_quantization",
+    # r3 batch 3: retention triangle (min-window + distinct over events),
+    # BPE merge induction (distinct-first vocabulary agg + TakeOrdered),
+    # Z-order manifest (pure scan-stage bit math, zero joins)
+    "cohort_retention_events",
+    "text_bpe_merge_candidates",
+    "layout_zorder_manifest",
 ]
 
 
