@@ -457,18 +457,20 @@ def text_boilerplate_chunk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps one copy. Output is the per-source removal manifest a curation
     run logs: how much of each source is shared scaffolding.
 
-    Plan shape: one explode, then the chunk df is a count-distinct
-    window over the chunk key (content-addressed shuffle, same
-    load-balancing argument as dedup_chunk_paragraph), then an
-    O(sources) rollup. The df threshold is evaluated per chunk instance
-    with no second corpus scan.
+    Plan shape: one explode, then chunk df via a two-level aggregate
+    (distinct (chunk, doc) partial-aggregates map-side, then an
+    O(distinct chunks) count — never a per-row doc-set buffer: a
+    collect_set window would pin an O(df) array onto every instance of
+    a heavy-hitter chunk, the exact rows this op targets). The df ≥ 3
+    survivors — bounded by the corpus's SHARED scaffolding vocabulary,
+    not its size — broadcast back onto the chunk stream as the
+    is-boilerplate tag, then an O(sources) rollup.
 
-    100 TB: the chunk shuffle carries (doc_id, source, chunk) — at the
-    next scale notch, swap the chunk string for xxhash64(chunk) in the
-    shuffle key (dedup_substring_spans' trick; 8 bytes instead of ~50)
-    and rejoin strings only for the distinct-chunk report. Heavy-hitter
-    chunks ARE the boilerplate being measured; AQE skew handling splits
-    their buckets.
+    100 TB: two content-addressed chunk shuffles (df agg + nothing else;
+    the tag join is broadcast). At the next scale notch, swap the chunk
+    string for xxhash64(chunk) in the shuffle key
+    (dedup_substring_spans' trick; 8 bytes instead of ~50) and rejoin
+    strings only for the distinct-chunk report.
     """
     d = fan_out(table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
@@ -486,11 +488,17 @@ def text_boilerplate_chunk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk"
         ),
     )
-    dfreq = F.size(
-        F.collect_set("doc_id").over(Window.partitionBy("chunk"))
+    boiler = (
+        ch.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("chunk", F.lit(True).alias("is_boiler"))
     )
-    tagged = ch.select(
-        "doc_id", "source", "chunk", (dfreq >= 3).alias("is_boiler")
+    tagged = ch.join(F.broadcast(boiler), "chunk", "left").select(
+        "doc_id",
+        "source",
+        "chunk",
+        F.coalesce("is_boiler", F.lit(False)).alias("is_boiler"),
     )
     return tagged.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),
