@@ -1,0 +1,176 @@
+"""Relational battery, round 3 batch 3: correlated LATERAL top-k join
+and fixed-depth BFS over the name-similarity graph.
+
+LATERAL is the SQL surface users reach for when "top-k rows of B per row
+of A" is the question; Spark 4 decorrelates it into WindowGroupLimit
+(map-side top-N below the exchange) + a broadcast join — the plan guard
+pins that, because a naive correlated execution would be O(|A|) scans of
+B. BFS completes the iterative-graph trio (connected components in
+operators/dedup.py, PageRank in diagnostics.py): distance semantics
+with a driver loop of join+min rounds.
+
+Reference analog: none directly (the exporter has no joins); these are
+engine-category rows from SURVEY §2.2's standard coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import query, table
+
+
+@query(
+    "lateral_topk_customers_per_nation",
+    oracle="""
+    SELECT n.n_name, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 3
+    ) c
+    """,
+)
+def lateral_topk_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: the 3 richest customers per nation,
+    written the way a SQL user writes it — a per-row dependent subquery
+    with ORDER BY + LIMIT — and executed the way a cluster should run
+    it.
+
+    Plan shape (CI-pinned in test_plan_shapes.py): Catalyst decorrelates
+    the lateral into row_number over (nation, acctbal DESC, name) with
+    WindowGroupLimit — each map task keeps only 3 rows per nation BEFORE
+    the exchange — and the 25-row nation side broadcasts. Equivalent to
+    the window_topk formulation, proven by sharing its physical plan;
+    the point of this row is that the LATERAL surface lowers to it
+    rather than to |nations| repeated scans.
+
+    100 TB: customer scans once, pruned to 3 columns; shuffle carries
+    ≤ 3 rows per (mapper, nation). Ties at the k-boundary break by
+    c_name, so the kept set is deterministic cross-engine.
+    """
+    table(spark, sf_dir, "nation").createOrReplaceTempView("v5_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v5_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS acctbal
+        FROM v5_nation n JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM v5_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 3
+        ) c
+        """
+    )
+
+
+_BFS_ROUNDS = 3
+_INF = 999
+
+
+def _bfs_round_sql(prev: str, this: str) -> str:
+    return f"""
+    {this} AS (
+      SELECT d.p_name, d.blk,
+             least(d.dist, coalesce(min(dd.dist) + 1, {_INF})) AS dist
+      FROM {prev} d
+      LEFT JOIN e ON e.dst = d.p_name
+      LEFT JOIN {prev} dd ON dd.p_name = e.src
+      GROUP BY d.p_name, d.blk, d.dist
+    )"""
+
+
+@query(
+    "graph_bfs_name_distances",
+    oracle=f"""
+    WITH nm AS (
+      SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS blk FROM part
+    ),
+    e AS (
+      SELECT a.p_name AS src, b.p_name AS dst
+      FROM nm a JOIN nm b
+        ON a.blk = b.blk AND a.p_name <> b.p_name
+       AND levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    s AS (SELECT blk, min(p_name) AS srcname FROM nm GROUP BY blk),
+    d0 AS (
+      SELECT nm.p_name, nm.blk,
+             CASE WHEN nm.p_name = s.srcname THEN 0 ELSE {_INF} END AS dist
+      FROM nm JOIN s USING (blk)
+    ),{_bfs_round_sql('d0', 'd1')},{_bfs_round_sql('d1', 'd2')},{_bfs_round_sql('d2', 'd3')}
+    SELECT p_name, blk,
+           CAST(CASE WHEN dist >= {_INF} THEN -1 ELSE dist END AS BIGINT) AS dist
+    FROM d3
+    """,
+)
+def graph_bfs_name_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first distances (3 fixed relaxation rounds) from each
+    block's lexicographically-first name over the Levenshtein ≤ 2
+    name-similarity graph; unreached nodes report -1. The distance
+    member of the iterative-graph trio (components: dedup.py; rank:
+    diagnostics.py) — same driver-loop pattern, min-plus semiring
+    instead of sum-times.
+
+    Each round is one relaxation: dist(p) ← min(dist(p), 1 + min over
+    in-edges of dist(src)) — a join keyed by edge source + a min
+    aggregate keyed by destination. Fixed rounds keep the job graph
+    static and the oracle expressible as unrolled SQL; a production run
+    loops until a 1-row convergence checksum stops changing (the CC
+    discipline, dedup.py:330-467), checkpointing each round.
+
+    100 TB: the graph derives distinct-first so it is vocabulary-sized
+    here; on a billion-edge graph each round shuffles O(frontier edges)
+    (src-keyed join, dst-keyed min), and the integer distances make
+    every round bit-deterministic — no float drift across engines or
+    reduction orders.
+    """
+    p = table(spark, sf_dir, "part").select(
+        "p_name", F.split("p_name", " ").getItem(1).alias("blk")
+    )
+    nm = p.distinct()
+    a = nm.select(F.col("p_name").alias("src"), "blk")
+    b = nm.select(F.col("p_name").alias("dst"), "blk")
+    e = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("src") != F.col("dst"))
+            & (F.levenshtein(F.col("src"), F.col("dst")) <= 2)
+        )
+        .select("src", "dst")
+    )
+    s = nm.groupBy("blk").agg(F.min("p_name").alias("srcname"))
+    dist = nm.join(s, "blk").select(
+        "p_name",
+        "blk",
+        F.when(F.col("p_name") == F.col("srcname"), 0)
+        .otherwise(_INF)
+        .alias("dist"),
+    )
+    for _ in range(_BFS_ROUNDS):
+        relax = (
+            e.join(
+                dist.select(F.col("p_name").alias("src"), F.col("dist").alias("sd")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg((F.min("sd") + 1).alias("nd"))
+        )
+        dist = (
+            dist.join(relax, dist["p_name"] == relax["dst"], "left")
+            .select(
+                "p_name",
+                "blk",
+                F.least(F.col("dist"), F.coalesce(F.col("nd"), F.lit(_INF))).alias(
+                    "dist"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return dist.select(
+        "p_name",
+        "blk",
+        F.when(F.col("dist") >= _INF, -1)
+        .otherwise(F.col("dist"))
+        .cast("long")
+        .alias("dist"),
+    )

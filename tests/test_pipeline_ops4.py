@@ -207,3 +207,24 @@ def test_boilerplate_df_threshold(spark, tmp_path):
     assert r.n_chunks == 6  # doc0: boiler+unique = 2; docs 1-4: 1 each
     assert r.n_boilerplate == 3  # the boiler chunk's 3 instances only
     assert r.n_boilerplate_distinct == 1
+
+
+def test_bfs_distances_properties(spark):
+    from prometheus_clickhouselog_exporter_spark.workloads.relational5 import (
+        graph_bfs_name_distances,
+    )
+
+    rows = graph_bfs_name_distances(spark, SF).collect()
+    assert rows
+    by_blk = {}
+    for r in rows:
+        by_blk.setdefault(r.blk, []).append(r)
+    for blk, members in by_blk.items():
+        dists = sorted(m.dist for m in members)
+        # exactly one source at distance 0 per block
+        assert dists.count(0) == 1
+        # the source is the lexicographic minimum name of the block
+        src = min(m.p_name for m in members)
+        assert next(m.dist for m in members if m.p_name == src) == 0
+        # distances are in {-1, 0..3}; no value exceeds the round count
+        assert all(d == -1 or 0 <= d <= 3 for d in dists)

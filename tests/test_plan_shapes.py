@@ -173,3 +173,12 @@ def test_tfidf_topk_uses_window_group_limit(spark):
     map-side top-N below the doc shuffle, not a full rank-then-filter."""
     plan = _final_plan(QUERIES["text_tfidf_topterms"](spark, SF))
     assert "WindowGroupLimit" in plan
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL (ORDER BY + LIMIT per nation row) must
+    decorrelate into WindowGroupLimit + a broadcast nation side — not
+    re-execute the customer scan per outer row."""
+    plan = _final_plan(QUERIES["lateral_topk_customers_per_nation"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
