@@ -252,3 +252,115 @@ def decode_wav_features(df: DataFrame, media_col: str = "media") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(op, out_schema)
+
+
+def synth_bmp(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a REAL 24-bit uncompressed BMP per row (pure bytes —
+    BMP needs no codec library, which is what makes a certified image
+    lane possible in this container). Dimensions and every pixel derive
+    from the id: w = 16 + id%16, h = 8 + (id·3)%16, and pixel (x, y)
+    (y = 0 at the TOP) is R = (7x + id) % 256, G = (11y + id) % 256,
+    B = (x + y) % 256 — so every downstream feature is arithmetically
+    predictable. The container is spec-correct: BITMAPFILEHEADER +
+    BITMAPINFOHEADER(40), positive height ⇒ bottom-up row order, BGR
+    byte order, rows padded to 4-byte boundaries — the three classic
+    BMP decode traps, all of which the oracle would catch."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 16 + i % 16, 8 + (i * 3) % 16
+                xs = np.arange(w, dtype=np.int64)
+                ys = np.arange(h, dtype=np.int64)
+                r = np.broadcast_to((7 * xs + i) % 256, (h, w))
+                g = np.broadcast_to(((11 * ys + i) % 256)[:, None], (h, w))
+                b = (xs[None, :] + ys[:, None]) % 256
+                img = np.stack([b, g, r], axis=-1).astype(np.uint8)  # BGR
+                row_bytes = w * 3
+                pad = (-row_bytes) % 4
+                rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+                rows[:, :row_bytes] = img.reshape(h, row_bytes)
+                pixels = rows[::-1].tobytes()  # bottom-up
+                off, size = 54, 54 + len(pixels)
+                hdr = (
+                    b"BM"
+                    + struct.pack("<IHHI", size, 0, 0, off)
+                    + struct.pack(
+                        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+                    )
+                )
+                blobs.append(hdr + pixels)
+            pdf = pdf.copy()
+            pdf["media"] = blobs
+            yield pdf
+
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ", media binary"
+    )
+    return df.mapInPandas(op, out_schema)
+
+
+def decode_bmp_features(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL image decode: parse the BMP container (24-bit uncompressed
+    only — anything else raises with the codec a deployment would add),
+    undo bottom-up row order, strip row padding, swap BGR→RGB, then
+    compute per-channel means and a positional probe pixel. The probe —
+    G at (x=1, y=2) in TOP-left coordinates — is what certifies the
+    vertical flip: a decoder that forgot it reads row h−3 instead.
+    Blobs are dropped before the return (wide-row rule)."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != media_col
+    ) + (
+        ", width int, height int, mean_r double, mean_g double,"
+        " mean_b double, probe_g12 int"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for blob in pdf[media_col]:
+                bb = bytes(blob)
+                if bb[:2] != b"BM":
+                    raise NotImplementedError(
+                        "non-BMP image decode requires PIL/opencv, "
+                        "not present in this environment"
+                    )
+                off = struct.unpack("<I", bb[10:14])[0]
+                hsz, w, h, _planes, bits, comp = struct.unpack("<IiiHHI", bb[14:34])
+                if hsz < 40 or bits != 24 or comp != 0 or h <= 0:
+                    raise NotImplementedError(
+                        "only 24-bit uncompressed bottom-up BMP is decoded here"
+                    )
+                row_bytes = w * 3
+                stride = row_bytes + ((-row_bytes) % 4)
+                rows = np.frombuffer(bb[off : off + stride * h], dtype=np.uint8)
+                img = (
+                    rows.reshape(h, stride)[:, :row_bytes]
+                    .reshape(h, w, 3)[::-1, :, ::-1]  # flip vertical, BGR→RGB
+                    .astype(np.int64)
+                )
+                feats.append(
+                    {
+                        "width": w,
+                        "height": h,
+                        "mean_r": float(img[:, :, 0].mean()),
+                        "mean_g": float(img[:, :, 1].mean()),
+                        "mean_b": float(img[:, :, 2].mean()),
+                        "probe_g12": int(img[2, 1, 1]),
+                    }
+                )
+            pdf = pdf.drop(columns=[media_col]).copy()
+            for key in ("width", "height", "mean_r", "mean_g", "mean_b", "probe_g12"):
+                pdf[key] = [f[key] for f in feats]
+            yield pdf
+
+    return df.mapInPandas(op, out_schema)

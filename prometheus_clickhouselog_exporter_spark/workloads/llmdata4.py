@@ -520,3 +520,51 @@ def text_token_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_alnum_start, 0).otherwise(1)).alias("n_punct"),
         F.countDistinct("tok").alias("n_vocab"),
     )
+
+
+@query(
+    "multimodal_image_features",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id, 16 + doc_id % 16 AS w, 8 + (doc_id * 3) % 16 AS h
+      FROM documents WHERE doc_id < 64
+    ),
+    px AS (
+      SELECT i.doc_id, i.w, i.h,
+             (7 * x.x + i.doc_id) % 256 AS r,
+             (11 * y.y + i.doc_id) % 256 AS g,
+             (x.x + y.y) % 256 AS b
+      FROM ids i,
+           unnest(range(0, i.w)) AS x(x),
+           unnest(range(0, i.h)) AS y(y)
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           avg(r) AS mean_r, avg(g) AS mean_g, avg(b) AS mean_b,
+           CAST((22 + doc_id) % 256 AS INT) AS probe_g12
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image pipeline end-to-end: synthesize spec-correct 24-bit
+    BMPs (bottom-up rows, BGR order, 4-byte row padding — the three
+    classic decode traps), decode them back with the pure-numpy BMP
+    parser, and extract per-channel means plus a positional probe pixel.
+    The oracle PREDICTS every feature arithmetically from the pixel
+    formulas — a wrong vertical flip, channel order, or padding stride
+    anywhere would hash-diverge (the probe pixel G(x=1, y=2) is
+    specifically what a forgotten flip corrupts). Companion to the
+    certified audio lane (multimodal_audio_features); only compressed
+    codecs (JPEG/PNG/video) remain library-gated.
+
+    100 TB: encode and decode are scan-stage mapInPandas; blobs are
+    dropped inside the decode operator so only slim feature columns ever
+    reach an exchange (the wide-row rule for media columns).
+    """
+    from ..operators.multimodal import decode_bmp_features, synth_bmp
+
+    d = table(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 64)
+    bmp = synth_bmp(d, "doc_id")
+    feats = decode_bmp_features(bmp)
+    return feats.select(
+        "doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "probe_g12"
+    )

@@ -295,3 +295,36 @@ def test_ivfpq_recall_vs_bruteforce(emb):
     approx_set = {(r["query_id"], r["nbr_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.35, f"recall {recall}"
+
+
+def test_bmp_roundtrip_pixel_features(spark):
+    """Real 24-bit BMP round-trip: synthesized images decode to the
+    exact per-channel means and probe pixel predicted by the pixel
+    formulas — certifying bottom-up row order, BGR→RGB swap, and 4-byte
+    row padding all at once."""
+    from prometheus_clickhouselog_exporter_spark.operators.multimodal import (
+        decode_bmp_features,
+        synth_bmp,
+    )
+
+    ids = spark.range(0, 32).selectExpr("id AS doc_id")
+    feats = {r["doc_id"]: r for r in decode_bmp_features(synth_bmp(ids, "doc_id")).collect()}
+    assert len(feats) == 32
+    for i, r in feats.items():
+        w, h = 16 + i % 16, 8 + (i * 3) % 16
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_r"] == sum((7 * x + i) % 256 for x in range(w)) / w
+        assert r["mean_g"] == sum((11 * y + i) % 256 for y in range(h)) / h
+        assert r["probe_g12"] == (22 + i) % 256
+
+
+def test_bmp_decode_rejects_non_bmp_and_compressed(spark):
+    from prometheus_clickhouselog_exporter_spark.operators.multimodal import (
+        decode_bmp_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64))], "doc_id long, media binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        decode_bmp_features(df).collect()
