@@ -2,20 +2,25 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` operators.
 
-AUDIO decode is REAL: ``synth_wav``/``decode_wav_features`` write and
-parse actual RIFF/WAVE PCM16 containers and extract DSP features (RMS,
-peak, zero-crossing rate, dominant frequency via rfft) with pure numpy —
-no external codec library involved, certified end-to-end by the
-``multimodal_audio_features`` driver query whose oracle predicts the
-dominant-frequency bin arithmetically.
+ALL THREE MODALITIES have a REAL, certified codec lane built on
+uncompressed containers that need no external library:
 
-IMAGE/VIDEO decode remains STUBBED (no PIL/ffmpeg in this container):
-``FAKE1`` media blobs carry a deterministic synthetic payload the stub
-"decodes"; any other format raises ``NotImplementedError`` naming the
-library a real deployment would plug in. Everything around the stub —
-the schema, the Arrow batch shape, the partitioning, the UDF signatures —
-is real and tested, so swapping in PIL/ffmpeg is a local change inside
-one function.
+- AUDIO: ``synth_wav``/``decode_wav_features`` — spec-correct RIFF/WAVE
+  PCM16 + DSP features (RMS, peak, ZCR, rfft dominant frequency);
+  oracle predicts the FFT bin arithmetically.
+- IMAGE: ``synth_bmp``/``decode_bmp_features`` — 24-bit BMP with
+  bottom-up rows, BGR order, 4-byte row padding; oracle predicts
+  channel means + a flip-sensitive probe pixel.
+- VIDEO: ``synth_y4m``/``decode_y4m_features`` — YUV4MPEG2 (C444)
+  streams; oracle predicts clip luma mean, inter-frame |ΔY| motion,
+  and a plane-offset-sensitive probe sample.
+
+COMPRESSED formats (JPEG/PNG/H.264/MP3) remain gated: the ``FAKE1``
+stub path documents the plumbing, and any compressed blob raises
+``NotImplementedError`` naming the library a real deployment would plug
+in. Schema, Arrow batch shape, partitioning, and UDF signatures are
+identical between the real and gated lanes, so adding PIL/ffmpeg is a
+local change inside one function.
 
 Scale: media rows are wide (MBs per row); the operators keep binary
 columns out of shuffles (derive features first, then drop/aggregate) and
@@ -360,6 +365,115 @@ def decode_bmp_features(df: DataFrame, media_col: str = "media") -> DataFrame:
                 )
             pdf = pdf.drop(columns=[media_col]).copy()
             for key in ("width", "height", "mean_r", "mean_g", "mean_b", "probe_g12"):
+                pdf[key] = [f[key] for f in feats]
+            yield pdf
+
+    return df.mapInPandas(op, out_schema)
+
+
+def synth_y4m(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a REAL video per row: a YUV4MPEG2 (.y4m) stream — the
+    uncompressed interchange format every video toolchain accepts (ffmpeg,
+    mpv, x264 all read it), and like BMP/WAV it needs no codec library.
+    Geometry and every sample derive from the id: W = 16 + (id%8)·2,
+    H = 8 + (id%6)·2, frames = 3 + id%4, and plane samples are
+    Y(x,y,t) = (5x + 3y + 17t + id) % 256, U = (x + t) % 256,
+    V = (y + 2t) % 256 (C444: full-resolution chroma, no subsampling
+    ambiguity). Container: ``YUV4MPEG2 W.. H.. F25:1 Ip A1:1 C444\\n``
+    then per frame a ``FRAME\\n`` marker + raw Y, U, V planes."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h, nf = 16 + (i % 8) * 2, 8 + (i % 6) * 2, 3 + i % 4
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+                for t in range(nf):
+                    y = (5 * xs + 3 * ys + 17 * t + i) % 256
+                    u = np.broadcast_to((xs + t) % 256, (h, w))
+                    v = np.broadcast_to((ys + 2 * t) % 256, (h, w))
+                    parts.append(b"FRAME\n")
+                    parts.append(y.astype(np.uint8).tobytes())
+                    parts.append(u.astype(np.uint8).tobytes())
+                    parts.append(v.astype(np.uint8).tobytes())
+                blobs.append(b"".join(parts))
+            pdf = pdf.copy()
+            pdf["media"] = blobs
+            yield pdf
+
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ", media binary"
+    )
+    return df.mapInPandas(op, out_schema)
+
+
+def decode_y4m_features(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL video decode: parse the YUV4MPEG2 stream header (C444 only —
+    subsampled variants raise with the tool a deployment would add), walk
+    the FRAME markers, and compute temporal features: frame count, luma
+    mean over the whole clip, mean inter-frame |ΔY| motion, and a probe
+    sample Y(x=1, y=2) of frame 1 — the probe catches a decoder that
+    miscounts plane offsets and reads chroma as luma. Blobs dropped
+    before return (wide-row rule)."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != media_col
+    ) + (
+        ", width int, height int, n_frames int, mean_y double,"
+        " motion double, probe_y int"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for blob in pdf[media_col]:
+                bb = bytes(blob)
+                nl = bb.index(b"\n")
+                header = bb[:nl].decode("ascii", "replace").split(" ")
+                if header[0] != "YUV4MPEG2":
+                    raise NotImplementedError(
+                        "non-y4m video decode requires ffmpeg/pyav, "
+                        "not present in this environment"
+                    )
+                params = {p[0]: p[1:] for p in header[1:] if p}
+                w, h = int(params["W"]), int(params["H"])
+                if params.get("C", "420") != "444":
+                    raise NotImplementedError("only C444 y4m is decoded here")
+                plane, pos, frames = w * h, nl + 1, []
+                while pos < len(bb):
+                    fnl = bb.index(b"\n", pos)
+                    if bb[pos:fnl].split(b" ")[0] != b"FRAME":
+                        raise ValueError("malformed y4m: missing FRAME marker")
+                    y = np.frombuffer(bb[fnl + 1 : fnl + 1 + plane], dtype=np.uint8)
+                    frames.append(y.reshape(h, w).astype(np.int64))
+                    pos = fnl + 1 + 3 * plane
+                clip = np.stack(frames)
+                motion = (
+                    float(np.mean(np.abs(clip[1:] - clip[:-1])))
+                    if len(frames) > 1
+                    else 0.0
+                )
+                feats.append(
+                    {
+                        "width": w,
+                        "height": h,
+                        "n_frames": len(frames),
+                        "mean_y": float(clip.mean()),
+                        "motion": motion,
+                        "probe_y": int(clip[1, 2, 1]),
+                    }
+                )
+            pdf = pdf.drop(columns=[media_col]).copy()
+            for key in ("width", "height", "n_frames", "mean_y", "motion", "probe_y"):
                 pdf[key] = [f[key] for f in feats]
             yield pdf
 

@@ -568,3 +568,69 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "probe_g12"
     )
+
+
+@query(
+    "multimodal_video_features",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id, 16 + (doc_id % 8) * 2 AS w, 8 + (doc_id % 6) * 2 AS h,
+             3 + doc_id % 4 AS nf
+      FROM documents WHERE doc_id < 48
+    ),
+    smp AS (
+      SELECT i.doc_id, i.w, i.h, i.nf,
+             (5 * x.x + 3 * y.y + 17 * t.t + i.doc_id) % 256 AS yv
+      FROM ids i,
+           unnest(range(0, i.w)) AS x(x),
+           unnest(range(0, i.h)) AS y(y),
+           unnest(range(0, i.nf)) AS t(t)
+    ),
+    mo AS (
+      SELECT i.doc_id,
+             avg(abs((5 * x.x + 3 * y.y + 17 * t.t + i.doc_id) % 256
+                     - (5 * x.x + 3 * y.y + 17 * (t.t - 1) + i.doc_id) % 256))
+               AS motion
+      FROM ids i,
+           unnest(range(1, i.nf)) AS t(t),
+           unnest(range(0, i.w)) AS x(x),
+           unnest(range(0, i.h)) AS y(y)
+      GROUP BY i.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(max(s.w) AS INT) AS width,
+           CAST(max(s.h) AS INT) AS height,
+           CAST(max(s.nf) AS INT) AS n_frames,
+           avg(s.yv) AS mean_y,
+           max(mo.motion) AS motion,
+           CAST((28 + s.doc_id) % 256 AS INT) AS probe_y
+    FROM smp s JOIN mo USING (doc_id)
+    GROUP BY s.doc_id
+    """,
+)
+def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pipeline end-to-end, completing the modality trio:
+    synthesize YUV4MPEG2 streams (the uncompressed interchange container
+    ffmpeg/mpv/x264 accept — like BMP and WAV it needs no codec
+    library), decode them back with the pure-numpy y4m parser, and
+    extract temporal features: clip luma mean, mean inter-frame |ΔY|
+    motion, and a probe sample Y(1,2) of frame 1. The oracle PREDICTS
+    all of it arithmetically from the sample formulas — a plane-offset
+    miscount (reading chroma as luma), a frame-marker skip, or a wrong
+    frame count hash-diverges. Only compressed codecs (H.264/VP9/JPEG)
+    remain library-gated, as documented stubs.
+
+    100 TB: encode/decode are scan-stage mapInPandas; media bytes never
+    reach an exchange (features extracted, blobs dropped in-operator).
+    Frame sampling for training (every-nth-frame) composes as a second
+    mapInPandas over the same stream — `frame_sample_stub` shows the
+    row-expanding shape.
+    """
+    from ..operators.multimodal import decode_y4m_features, synth_y4m
+
+    d = table(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 48)
+    vid = synth_y4m(d, "doc_id")
+    feats = decode_y4m_features(vid)
+    return feats.select(
+        "doc_id", "width", "height", "n_frames", "mean_y", "motion", "probe_y"
+    )

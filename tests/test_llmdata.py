@@ -328,3 +328,38 @@ def test_bmp_decode_rejects_non_bmp_and_compressed(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         decode_bmp_features(df).collect()
+
+
+def test_y4m_roundtrip_video_features(spark):
+    """Real YUV4MPEG2 round-trip: synthesized clips decode to the exact
+    luma mean, inter-frame motion, and probe sample the formulas
+    predict — certifying header parse, FRAME walking, and plane offsets."""
+    from prometheus_clickhouselog_exporter_spark.operators.multimodal import (
+        decode_y4m_features,
+        synth_y4m,
+    )
+
+    ids = spark.range(0, 24).selectExpr("id AS doc_id")
+    feats = {r["doc_id"]: r for r in decode_y4m_features(synth_y4m(ids, "doc_id")).collect()}
+    assert len(feats) == 24
+    for i, r in feats.items():
+        w, h, nf = 16 + (i % 8) * 2, 8 + (i % 6) * 2, 3 + i % 4
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+        mean_y = sum(
+            (5 * x + 3 * y + 17 * t + i) % 256
+            for x in range(w) for y in range(h) for t in range(nf)
+        ) / (w * h * nf)
+        assert r["mean_y"] == mean_y
+        assert r["probe_y"] == (5 * 1 + 3 * 2 + 17 * 1 + i) % 256
+
+
+def test_y4m_decode_rejects_subsampled_and_foreign(spark):
+    from prometheus_clickhouselog_exporter_spark.operators.multimodal import (
+        decode_y4m_features,
+    )
+    import pytest as _pytest
+
+    sub = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n" + b"FRAME\n" + b"\x00" * 24
+    df = spark.createDataFrame([(1, bytearray(sub))], "doc_id long, media binary")
+    with _pytest.raises(Exception, match="C444|NotImplementedError"):
+        decode_y4m_features(df).collect()
