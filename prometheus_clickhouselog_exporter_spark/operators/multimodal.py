@@ -478,3 +478,57 @@ def decode_y4m_features(df: DataFrame, media_col: str = "media") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(op, out_schema)
+
+
+def sample_y4m_frames(
+    df: DataFrame, media_col: str = "media", every_n: int = 2
+) -> DataFrame:
+    """REAL row-expanding frame sampling: decode the y4m stream and emit
+    one row per KEPT frame (every ``every_n``-th, frame 0 always) with
+    that frame's luma mean — the extract-frames-for-training shape,
+    where one media row becomes k training rows. mapInPandas is the
+    right operator because the fan-out ratio is data-dependent (frame
+    count varies per clip); blobs never leave the operator."""
+    out_schema = "doc_id bigint, frame_idx int, width int, height int, frame_mean_y double"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[media_col]):
+                bb = bytes(blob)
+                nl = bb.index(b"\n")
+                header = bb[:nl].decode("ascii", "replace").split(" ")
+                if header[0] != "YUV4MPEG2":
+                    raise NotImplementedError(
+                        "non-y4m video decode requires ffmpeg/pyav"
+                    )
+                params = {p[0]: p[1:] for p in header[1:] if p}
+                w, h = int(params["W"]), int(params["H"])
+                if params.get("C", "420") != "444":
+                    raise NotImplementedError("only C444 y4m is decoded here")
+                plane, pos, t = w * h, nl + 1, 0
+                while pos < len(bb):
+                    fnl = bb.index(b"\n", pos)
+                    if t % every_n == 0:
+                        y = np.frombuffer(
+                            bb[fnl + 1 : fnl + 1 + plane], dtype=np.uint8
+                        ).astype(np.int64)
+                        rows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "frame_idx": t,
+                                "width": w,
+                                "height": h,
+                                "frame_mean_y": float(y.mean()),
+                            }
+                        )
+                    pos = fnl + 1 + 3 * plane
+                    t += 1
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "frame_mean_y"],
+            )
+
+    return df.mapInPandas(op, out_schema)

@@ -634,3 +634,48 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "width", "height", "n_frames", "mean_y", "motion", "probe_y"
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id, 16 + (doc_id % 8) * 2 AS w, 8 + (doc_id % 6) * 2 AS h,
+             3 + doc_id % 4 AS nf
+      FROM documents WHERE doc_id < 48
+    ),
+    kept AS (
+      SELECT i.doc_id, i.w, i.h, t.t
+      FROM ids i, unnest(range(0, i.nf)) AS t(t)
+      WHERE t.t % 2 = 0
+    )
+    SELECT k.doc_id, CAST(k.t AS INT) AS frame_idx,
+           CAST(k.w AS INT) AS width, CAST(k.h AS INT) AS height,
+           avg((5 * x.x + 3 * y.y + 17 * k.t + k.doc_id) % 256)
+             AS frame_mean_y
+    FROM kept k,
+         unnest(range(0, k.w)) AS x(x),
+         unnest(range(0, k.h)) AS y(y)
+    GROUP BY k.doc_id, k.t, k.w, k.h
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding frame extraction over the REAL video lane: every
+    2nd frame of each y4m clip becomes its own row with per-frame luma
+    mean — the one-media-row → k-training-rows shape a vision pipeline
+    runs before feature extraction. Data-dependent fan-out (frame count
+    varies per clip) is why this is mapInPandas rather than a fixed
+    explode. The oracle predicts each kept frame's mean arithmetically,
+    so a stride bug that sampled the wrong frames or mis-walked plane
+    offsets hash-diverges.
+
+    100 TB: decode + sample is scan-stage; output rows are slim feature
+    tuples (no pixels), so the downstream shuffle (if any) carries
+    O(kept frames) small rows. Keep-every-n composes with the
+    deterministic samplers (operators/sampling.py) for clip-level
+    subsetting first.
+    """
+    from ..operators.multimodal import sample_y4m_frames, synth_y4m
+
+    d = table(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 48)
+    return sample_y4m_frames(synth_y4m(d, "doc_id"))
