@@ -508,3 +508,100 @@ def text_boilerplate_chunk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_boilerplate_distinct"
         ),
     )
+
+
+@query(
+    "pack_padding_efficiency",
+    oracle="""
+    WITH toks AS (
+      SELECT len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    b AS (
+      SELECT CAST(ceil(n_tok / 64.0) * 64 AS BIGINT) AS padded_len, n_tok
+      FROM toks
+    )
+    SELECT padded_len,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+           CAST(padded_len * count(*) AS BIGINT) AS padded_tokens,
+           floor((1.0 - CAST(sum(n_tok) AS DOUBLE) / (padded_len * count(*)))
+                 * 10000 + 0.5) / 10000 AS waste_ratio
+    FROM b GROUP BY padded_len
+    """,
+)
+def pack_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: documents grouped by their padded
+    length (next multiple of 64 tokens), with real vs padded token counts
+    and the padding waste ratio per bucket — the number a training run
+    checks before choosing between bucketing (this op) and concatenation
+    packing (pack_sequences_blocks). Batching same-bucket sequences is
+    what makes padding waste the per-bucket constant shown here instead
+    of max-length waste.
+
+    100 TB: token count and bucket are scan-stage expressions; one
+    O(buckets) aggregate — buckets are bounded by max_len/64 regardless
+    of corpus size. The waste ratio uses the floor-based fround
+    discipline so both engines emit identical doubles.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    padded = (F.ceil(n_tok / 64.0) * 64).cast("long")
+    return (
+        d.select(n_tok.alias("n_tok"), padded.alias("padded_len"))
+        .groupBy("padded_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("real_tokens"),
+            (F.col("padded_len") * F.count(F.lit(1))).alias("padded_tokens"),
+        )
+        .select(
+            "padded_len",
+            "n_docs",
+            "real_tokens",
+            "padded_tokens",
+            fround(
+                1.0 - F.col("real_tokens").cast("double") / F.col("padded_tokens"), 4
+            ).alias("waste_ratio"),
+        )
+    )
+
+
+@query(
+    "sample_epoch_shuffle",
+    oracle="""
+    WITH shuffled AS (
+      SELECT e.epoch, d.doc_id,
+             row_number() OVER (
+               PARTITION BY e.epoch
+               ORDER BY md5(e.epoch || ':' || d.doc_id), d.doc_id
+             ) AS pos
+      FROM documents d, unnest([0, 1, 2]) AS e(epoch)
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, CAST(pos AS BIGINT) AS pos, doc_id
+    FROM shuffled WHERE pos <= 5
+    """,
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch reshuffle: epoch e's data order is the
+    sort by md5(e || ':' || doc_id) — a different, uncorrelated
+    permutation every epoch with ZERO stored state (no shuffle files, no
+    RNG seeds to persist; any worker can recompute any epoch's order).
+    Emits the first 5 positions per epoch as the verifiable manifest.
+
+    100 TB: the permutation key is a scan-stage expression; realizing
+    epoch order is repartitionByRange + sortWithinPartitions on the key
+    — the same layout move as layout_zorder_manifest, never a global
+    single-node sort. The head-of-epoch manifest here plans as
+    WindowGroupLimit (map-side top-5 per epoch below the exchange).
+    The nested-sample property of md5 keys holds per epoch: a 10%
+    step-down of the corpus keeps relative order.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    e = d.withColumn("epoch", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))))
+    key = F.md5(F.concat(F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("epoch").orderBy(key, "doc_id")
+    return (
+        e.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 5)
+        .select(F.col("epoch").cast("long"), F.col("pos").cast("long"), "doc_id")
+    )

@@ -228,3 +228,33 @@ def test_bfs_distances_properties(spark):
         assert next(m.dist for m in members if m.p_name == src) == 0
         # distances are in {-1, 0..3}; no value exceeds the round count
         assert all(d == -1 or 0 <= d <= 3 for d in dists)
+
+
+def test_epoch_shuffle_plans_window_group_limit_and_decorrelates(spark):
+    from prometheus_clickhouselog_exporter_spark.workloads.pipeline_ops4 import (
+        sample_epoch_shuffle,
+    )
+
+    df = sample_epoch_shuffle(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    rows = df.collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r.doc_id)
+    assert set(by_epoch) == {0, 1, 2}
+    # each epoch contributes exactly 5 positions and the permutations differ
+    assert all(len(v) == 5 for v in by_epoch.values())
+    assert by_epoch[0] != by_epoch[1] or by_epoch[1] != by_epoch[2]
+
+
+def test_padding_efficiency_identity(spark):
+    from prometheus_clickhouselog_exporter_spark.workloads.pipeline_ops4 import (
+        pack_padding_efficiency,
+    )
+
+    for r in pack_padding_efficiency(spark, SF).collect():
+        assert r.padded_len % 64 == 0
+        assert r.padded_tokens == r.padded_len * r.n_docs
+        assert 0.0 <= r.waste_ratio < 1.0
+        assert r.real_tokens <= r.padded_tokens
