@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import query, table
+from .core import fround, query, table
 
 
 @query(
@@ -173,4 +173,73 @@ def graph_bfs_name_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("dist"))
         .cast("long")
         .alias("dist"),
+    )
+
+
+@query(
+    "stats_corr_moments",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(extract(hour FROM ts) AS BIGINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(value AS DECIMAL(18,2))
+                      * extract(hour FROM ts)) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(extract(hour FROM ts) AS BIGINT)
+                      * extract(hour FROM ts)) AS DOUBLE) AS syy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           floor((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 100000000 + 0.5) / 100000000 AS corr_value_hour,
+           floor((sxy / n - (sx / n) * (sy / n)) * 100000000 + 0.5)
+             / 100000000 AS covar_pop,
+           floor(sqrt(sxx / n - (sx / n) * (sx / n)) * 100000000 + 0.5)
+             / 100000000 AS stddev_pop_value
+    FROM m
+    """,
+)
+def stats_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / population stddev per event type — the
+    df.stat surface — computed from EXACT raw moments instead of the
+    engines' built-in corr()/covar(): sums of value (DECIMAL), hour
+    (BIGINT), and their products accumulate exactly, and only the final
+    closed-form arithmetic runs in floating point, identically on both
+    engines. Built-in corr() would hash-diverge: Spark and DuckDB use
+    different streaming update formulas whose low bits depend on
+    reduction order — the same reason money sums use DECIMAL
+    (workloads/core.py), applied to second moments.
+
+    100 TB: one partial+final aggregate; the five moment sums are as
+    mergeable as any sum, so this is also the incremental-maintenance
+    shape (incremental_agg_merge) for keeping corr up to date on a
+    growing corpus. fround(8) absorbs the final-arithmetic ulps.
+    """
+    e = table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    hr = F.hour(F.col("ts")).cast("long")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("sx"),
+        F.sum(hr).cast("double").alias("sy"),
+        F.sum(v * hr).cast("double").alias("sxy"),
+        F.sum(v * v).cast("double").alias("sxx"),
+        F.sum(hr * hr).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "event_type",
+        "n",
+        fround(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            8,
+        ).alias("corr_value_hour"),
+        fround(sxy / n - (sx / n) * (sy / n), 8).alias("covar_pop"),
+        fround(F.sqrt(sxx / n - (sx / n) * (sx / n)), 8).alias("stddev_pop_value"),
     )
