@@ -136,3 +136,25 @@ def test_sql_api_over_registered_views(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across accreted parquet batches: a later batch
+    adds a column; mergeSchema unifies the footer schemas and earlier
+    rows surface NULL for the new column — the additive-evolution
+    contract an append-only 100 TB lake relies on (reads stay
+    footer-metadata-driven; no data rewrite)."""
+    p = str(tmp_path / "evolving")
+    spark.range(0, 5).selectExpr("id", "id * 2 AS a").write.parquet(p)
+    spark.range(5, 8).selectExpr(
+        "id", "id * 2 AS a", "CAST(id AS STRING) AS b"
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r.id: (r.a, r.b) for r in merged.collect()}
+    assert len(rows) == 8
+    assert rows[2] == (4, None)  # old batch: new column is NULL
+    assert rows[6] == (12, "6")  # new batch carries it
+    # and the evolved column still supports pushdown-style filtering
+    assert merged.filter("b IS NOT NULL").count() == 3
