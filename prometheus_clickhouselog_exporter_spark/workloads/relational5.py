@@ -243,3 +243,74 @@ def stats_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(sxy / n - (sx / n) * (sy / n), 8).alias("covar_pop"),
         fround(F.sqrt(sxx / n - (sx / n) * (sx / n)), 8).alias("stddev_pop_value"),
     )
+
+
+@query(
+    "cdc_apply_latest_changes",
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey AS key,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+             o_orderdate, o_orderkey, o_totalprice, o_orderpriority
+      FROM orders
+    ),
+    latest AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY key ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS rn
+      FROM changes
+    )
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_keys,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    GROUP BY o_orderpriority
+    """,
+)
+def cdc_apply_latest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply / MERGE resolution: a change stream (upserts + delete
+    tombstones, here derived from orders keyed by customer with finalized
+    orders as deletes) collapses to its net effect — the LATEST change
+    per key wins, and a winning tombstone removes the key from the
+    snapshot. This is the ingestion half of the lakehouse pair whose
+    history half is scd2_customer_priority_history (diagnostics.py):
+    MERGE INTO without a MERGE engine, as one window + one filter.
+
+    Plan shape: the latest-wins rank is row_number over (key; seq DESC)
+    — planned with WindowGroupLimit pushdown for the rn=1 filter, so
+    each map task forwards one candidate row per key rather than the
+    key's whole change history. Tombstone filtering happens AFTER the
+    rank (a deleted key's older upserts must not resurrect it) — the
+    classic CDC-merge bug the op's unit test pins.
+
+    100 TB: one key-hash shuffle of slim change rows; the snapshot
+    rollup is O(groups). Nightly compaction = this op + a parquet write
+    (compact_small_files); incremental maintenance = run it over
+    yesterday's snapshot ∪ today's changes.
+    """
+    o = table(spark, sf_dir, "orders")
+    ch = o.select(
+        F.col("o_custkey").alias("key"),
+        F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

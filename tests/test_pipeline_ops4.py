@@ -258,3 +258,43 @@ def test_padding_efficiency_identity(spark):
         assert r.padded_tokens == r.padded_len * r.n_docs
         assert 0.0 <= r.waste_ratio < 1.0
         assert r.real_tokens <= r.padded_tokens
+
+
+def test_cdc_tombstone_not_resurrected(spark, tmp_path):
+    """A key whose LATEST change is a delete must vanish even though an
+    older upsert exists — the classic CDC-merge resurrection bug."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prometheus_clickhouselog_exporter_spark.workloads.relational5 import (
+        cdc_apply_latest_changes,
+    )
+
+    rows = [
+        # key 1: U then D (latest) → gone
+        (1, 1, "O", 10.0, dt.datetime(2024, 1, 1), "P1"),
+        (2, 1, "F", 11.0, dt.datetime(2024, 1, 2), "P1"),
+        # key 2: D then U (latest) → survives with the upsert payload
+        (3, 2, "F", 20.0, dt.datetime(2024, 1, 1), "P2"),
+        (4, 2, "O", 21.0, dt.datetime(2024, 1, 2), "P2"),
+        # key 3: same-date tie broken by orderkey — higher key wins
+        (5, 3, "O", 30.0, dt.datetime(2024, 1, 1), "P3"),
+        (6, 3, "O", 31.0, dt.datetime(2024, 1, 1), "P3"),
+    ]
+    cols = list(zip(*rows))
+    t = pa.table(
+        {
+            "o_orderkey": pa.array(cols[0], pa.int64()),
+            "o_custkey": pa.array(cols[1], pa.int64()),
+            "o_orderstatus": pa.array(cols[2], pa.string()),
+            "o_totalprice": pa.array(cols[3], pa.float64()),
+            "o_orderdate": pa.array(cols[4], pa.timestamp("us")),
+            "o_orderpriority": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    got = {
+        r.priority: (r.n_keys, r.total_price)
+        for r in cdc_apply_latest_changes(spark, str(tmp_path)).collect()
+    }
+    assert got == {"P2": (1, 21.0), "P3": (1, 31.0)}
