@@ -158,3 +158,25 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert rows[6] == (12, "6")  # new batch carries it
     # and the evolved column still supports pushdown-style filtering
     assert merged.filter("b IS NOT NULL").count() == 3
+
+
+def test_parquet_compression_codecs_roundtrip(spark, tmp_path):
+    """zstd/snappy/gzip parquet round-trips: same rows back from each
+    codec, and the files self-describe their codec (footer metadata) —
+    codec choice is a write-side storage knob, invisible to readers.
+    At 100 TB the codec picks the scan-CPU vs storage-size tradeoff;
+    nothing in the operator library changes."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    src = spark.range(0, 1000).selectExpr("id", "id * id AS sq", "CAST(id AS STRING) AS s")
+    want = 1000
+    for codec in ("zstd", "snappy", "gzip"):
+        p = str(tmp_path / codec)
+        src.write.option("compression", codec).parquet(p)
+        back = spark.read.parquet(p)
+        assert back.count() == want
+        assert back.filter("sq = 81").selectExpr("s").first()[0] == "9"
+        f = _glob.glob(p + "/*.parquet")[0]
+        meta = pq.ParquetFile(f).metadata.row_group(0).column(0)
+        assert meta.compression.lower() == codec
