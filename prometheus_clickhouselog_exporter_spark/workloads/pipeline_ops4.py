@@ -1,8 +1,9 @@
 """Training-data pipeline operators, round 3 batch 3: cohort retention,
 last-touch attribution, deterministic train/valid/test splits, robust
 (median/MAD) outlier statistics, a Z-order data-layout manifest, BPE
-merge induction (the tokenizer-training kernel), and C4-style
-boilerplate removal by chunk document-frequency.
+merge induction (the tokenizer-training kernel), C4-style boilerplate
+removal by chunk document-frequency, padding-efficiency buckets, and
+stateless per-epoch reshuffling.
 
 These are the curation/analytics moves that sit AROUND a 100 TB corpus:
 splitting it reproducibly, attributing downstream signal to upstream
