@@ -131,3 +131,37 @@ def foreach_batch_writer(
         )
 
     return write
+
+
+def epoch_partitioned_parquet_writer(path: str):
+    """foreachBatch writer with REPLAY IDEMPOTENCE, executable in this
+    container (the ClickHouse analog — ReplacingMergeTree on (id,
+    _epoch) — needs a live server): each batch lands in an
+    ``_epoch=<id>`` partition via DYNAMIC partition overwrite, so
+    replaying an epoch after a failure REPLACES its partition instead of
+    appending duplicates. This is the standard exactly-once contract
+    for file sinks: at-least-once delivery × idempotent-by-epoch write
+    = exactly-once observed output.
+
+    100 TB: overwrite touches only the replayed epoch's partition
+    (dynamic mode), never the table; downstream readers see epoch
+    directories — the same layout compact_small_files consumes.
+    """
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("_epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .partitionBy("_epoch")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return fn

@@ -136,3 +136,23 @@ def test_clickhouse_type_mapping_edges():
     assert clickhouse_type(T.IntegerType()) == "Int32"
     with _pytest.raises(ValueError, match="no ClickHouse mapping"):
         clickhouse_type(T.MapType(T.StringType(), T.StringType()))
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """Replaying an epoch (the at-least-once failure path) must REPLACE
+    its partition, not append duplicates; other epochs are untouched."""
+    from prometheus_clickhouselog_exporter_spark.streaming.jdbc import (
+        epoch_partitioned_parquet_writer,
+    )
+
+    path = str(tmp_path / "sessions_out")
+    write = epoch_partitioned_parquet_writer(path)
+    write(_sessions(spark), epoch_id=7)
+    write(_sessions(spark), epoch_id=8)
+    write(_sessions(spark), epoch_id=7)  # replay after simulated failure
+
+    back = spark.read.parquet(path)
+    per_epoch = {r["_epoch"]: r["n"] for r in
+                 back.groupBy("_epoch").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = _sessions(spark).count()
+    assert per_epoch == {7: base, 8: base}
