@@ -182,3 +182,22 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark):
     plan = _final_plan(QUERIES["lateral_topk_customers_per_nation"](spark, SF))
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_cdc_latest_wins_is_window_group_limit(spark):
+    """cdc_apply_latest_changes' rn=1 must plan as WindowGroupLimit —
+    one candidate row per key forwarded map-side, not each key's whole
+    change history through the shuffle."""
+    plan = _final_plan(QUERIES["cdc_apply_latest_changes"](spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_corr_moments_single_exchange_no_join(spark):
+    """stats_corr_moments is ONE partial+final aggregate: exact moment
+    sums merge map-side; no join, no second scan. Counted on the
+    pre-AQE physical plan (AQE's stage wrappers re-print exchange
+    nodes, double-counting them in the executed string)."""
+    df = QUERIES["stats_corr_moments"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
