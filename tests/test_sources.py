@@ -180,3 +180,30 @@ def test_parquet_compression_codecs_roundtrip(spark, tmp_path):
         f = _glob.glob(p + "/*.parquet")[0]
         meta = pq.ParquetFile(f).metadata.row_group(0).column(0)
         assert meta.compression.lower() == codec
+
+
+def test_global_sort_via_range_partitioning(spark, tmp_path):
+    """The total-order-at-scale recipe: repartitionByRange +
+    sortWithinPartitions + parquet write. No single-node global sort —
+    each task sorts its own range — yet the FILES form a total order:
+    per-file [min, max] ranges must not overlap, so a reader
+    concatenating files in range order sees fully sorted data. (This is
+    what ORDER BY-writes and Z-order writers do under the hood; the
+    zorder manifest op documents the same property for Morton keys.)"""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    p = str(tmp_path / "sorted")
+    df = spark.range(0, 20000).selectExpr("pmod(hash(id), 1000000) AS k", "id")
+    df.repartitionByRange(8, "k").sortWithinPartitions("k").write.parquet(p)
+
+    spans = []
+    for f in _glob.glob(p + "/*.parquet"):
+        t = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        assert t == sorted(t), "rows inside a file must be sorted"
+        if t:
+            spans.append((t[0], t[-1]))
+    spans.sort()
+    assert len(spans) >= 4
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "file ranges must not overlap"
