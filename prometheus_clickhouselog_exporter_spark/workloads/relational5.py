@@ -314,3 +314,67 @@ def cdc_apply_latest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH nm AS (
+      SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS blk FROM part
+    ),
+    e AS (
+      SELECT a.p_name AS src, b.p_name AS dst
+      FROM nm a JOIN nm b
+        ON a.blk = b.blk AND a.p_name < b.p_name
+       AND levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT nm.blk, count(t.a) AS n_triangles
+    FROM nm LEFT JOIN tri t ON t.a = nm.p_name
+    GROUP BY nm.blk
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting per block over the name-similarity graph — the
+    fourth member of the graph family (components, PageRank, BFS): the
+    clustering-coefficient numerator a dedup pipeline inspects to tell
+    tight duplicate cliques from chains. Uses the ORIENTED-edge trick:
+    edges are kept only as src < dst, so each triangle a<b<c is built
+    exactly once by joining (a,b)+(b,c) and closing with (a,c) — no
+    ×6 overcount, no post-hoc distinct.
+
+    100 TB: the canonical two-path + closing-edge join is the standard
+    distributed triangle scheme; orienting edges by degree (low→high)
+    instead of lexicographically bounds the join fan-out by arboricity —
+    noted here, unnecessary at vocabulary scale. Triangles attribute to
+    their lowest vertex's block (blocks are components here, so all
+    three vertices share it). Integer-exact.
+    """
+    p = table(spark, sf_dir, "part").select(
+        "p_name", F.split("p_name", " ").getItem(1).alias("blk")
+    )
+    nm = p.distinct()
+    a = nm.select(F.col("p_name").alias("src"), "blk")
+    b = nm.select(F.col("p_name").alias("dst"), "blk")
+    e = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("src") < F.col("dst"))
+            & (F.levenshtein(F.col("src"), F.col("dst")) <= 2)
+        )
+        .select("src", "dst")
+    )
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).select("a")
+    return (
+        nm.join(tri, nm["p_name"] == tri["a"], "left")
+        .groupBy("blk")
+        .agg(F.count(F.col("a")).alias("n_triangles"))
+    )
