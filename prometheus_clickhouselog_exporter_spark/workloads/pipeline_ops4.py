@@ -606,3 +606,78 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= 5)
         .select(F.col("epoch").cast("long"), F.col("pos").cast("long"), "doc_id")
     )
+
+
+@query(
+    "quality_ccnet_buckets",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) * 1000000 + 0.5) / 1000000
+               AS qscore
+      FROM documents
+    ),
+    cuts AS (
+      SELECT lang,
+             floor(quantile_cont(qscore, 1.0/3) * 1000000 + 0.5) / 1000000
+               AS p33,
+             floor(quantile_cont(qscore, 2.0/3) * 1000000 + 0.5) / 1000000
+               AS p66
+      FROM scored GROUP BY lang
+    )
+    SELECT s.lang,
+           CASE WHEN s.qscore > c.p66 THEN 'head'
+                WHEN s.qscore > c.p33 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           floor(avg(s.qscore) * 10000 + 0.5) / 10000 AS mean_qscore
+    FROM scored s JOIN cuts c USING (lang)
+    GROUP BY s.lang, bucket
+    """,
+)
+def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style adaptive quality bucketing: score every document by
+    lexical diversity (distinct-token ratio — the deterministic stand-in
+    for the LM perplexity CCNet uses), then split EACH LANGUAGE at its
+    own tercile cuts into head / middle / tail. Adaptive per-group
+    thresholds are the point: a fixed global cutoff misclassifies any
+    language whose score distribution sits lower, which is exactly the
+    bias CCNet's per-language buckets remove.
+
+    Cross-engine discipline: scores AND cut points are fround-rounded
+    BEFORE the bucket comparison, so both engines compare identical
+    doubles (the stats_robust_mad rule); exact interpolated terciles via
+    percentile == quantile_cont.
+
+    100 TB: one scan computes scores (scan-stage expressions); cuts are
+    an O(langs) aggregate broadcast back; the bucket rollup is
+    O(langs × 3). For data-cardinality groups swap percentile for the
+    mergeable GK sketch (sketch_quantile_tokens) — same plan shape.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        fround(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("qscore"),
+    )
+    cuts = scored.groupBy("lang").agg(
+        fround(F.expr("percentile(qscore, 1.0D/3)"), 6).alias("p33"),
+        fround(F.expr("percentile(qscore, 2.0D/3)"), 6).alias("p66"),
+    )
+    bucket = (
+        F.when(F.col("qscore") > F.col("p66"), "head")
+        .when(F.col("qscore") > F.col("p33"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fround(F.avg("qscore"), 4).alias("mean_qscore"),
+        )
+    )
