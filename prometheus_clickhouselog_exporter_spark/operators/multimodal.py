@@ -532,3 +532,58 @@ def sample_y4m_frames(
             )
 
     return df.mapInPandas(op, out_schema)
+
+
+def resize_bmp(df: DataFrame, media_col: str = "media", out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """REAL image resize over the BMP lane: decode, nearest-neighbor
+    resample (source pixel = floor(dst · src_dim / dst_dim) — the
+    index map every NN resizer uses), and RE-ENCODE a spec-correct BMP,
+    exercising the writer path a second time. Blob-in → blob-out, so it
+    composes with decode_bmp_features downstream exactly like a PIL
+    resize would."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for blob in pdf[media_col]:
+                bb = bytes(blob)
+                if bb[:2] != b"BM":
+                    raise NotImplementedError("non-BMP resize requires PIL/opencv")
+                off = struct.unpack("<I", bb[10:14])[0]
+                _hsz, w, h, _pl, bits, comp = struct.unpack("<IiiHHI", bb[14:34])
+                if bits != 24 or comp != 0 or h <= 0:
+                    raise NotImplementedError("only 24-bit uncompressed BMP")
+                row_bytes = w * 3
+                stride = row_bytes + ((-row_bytes) % 4)
+                img = (
+                    np.frombuffer(bb[off : off + stride * h], dtype=np.uint8)
+                    .reshape(h, stride)[:, :row_bytes]
+                    .reshape(h, w, 3)[::-1]  # bottom-up → top-down, stays BGR
+                )
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                small = img[np.ix_(ys, xs)]
+                rb = out_w * 3
+                pad = (-rb) % 4
+                rows = np.zeros((out_h, rb + pad), dtype=np.uint8)
+                rows[:, :rb] = small.reshape(out_h, rb)
+                pixels = rows[::-1].tobytes()
+                hdr = (
+                    b"BM"
+                    + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+                    + struct.pack(
+                        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(pixels),
+                        2835, 2835, 0, 0,
+                    )
+                )
+                blobs.append(hdr + pixels)
+            pdf = pdf.copy()
+            pdf[media_col] = blobs
+            yield pdf
+
+    return df.mapInPandas(
+        op,
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields),
+    )

@@ -679,3 +679,50 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 48)
     return sample_y4m_frames(synth_y4m(d, "doc_id"))
+
+
+@query(
+    "multimodal_image_resize",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id, 16 + doc_id % 16 AS w, 8 + (doc_id * 3) % 16 AS h
+      FROM documents WHERE doc_id < 64
+    ),
+    px AS (
+      SELECT i.doc_id,
+             (7 * ((x.x * i.w) // 8) + i.doc_id) % 256 AS r,
+             (11 * ((y.y * i.h) // 8) + i.doc_id) % 256 AS g,
+             (((x.x * i.w) // 8) + ((y.y * i.h) // 8)) % 256 AS b
+      FROM ids i,
+           unnest(range(0, 8)) AS x(x),
+           unnest(range(0, 8)) AS y(y)
+    )
+    SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           avg(r) AS mean_r, avg(g) AS mean_g, avg(b) AS mean_b,
+           CAST((11 * ((2 * (8 + (doc_id * 3) % 16)) // 8) + doc_id) % 256
+                AS INT) AS probe_g12
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image preprocessing cycle: synthesize BMP → nearest-neighbor
+    resize to 8×8 (blob-in/blob-out, RE-ENCODING a spec-correct BMP) →
+    decode the RESIZED blob → per-channel features. The oracle predicts
+    everything through the NN index map (src = (dst · src_dim) // 8):
+    a wrong index rounding, a resize that forgot the bottom-up order,
+    or a re-encode stride bug all hash-diverge. This is the standard
+    vision-pipeline preprocessing step (decode → resize → features) run
+    end-to-end with certified arithmetic.
+
+    100 TB: three chained mapInPandas stages fuse into one scan-stage
+    Python runner (no exchange between them); resized blobs are ~16×
+    smaller than sources, so downstream stages that must keep pixels
+    ship the reduced bytes.
+    """
+    from ..operators.multimodal import decode_bmp_features, resize_bmp, synth_bmp
+
+    d = table(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 64)
+    small = resize_bmp(synth_bmp(d, "doc_id"))
+    return decode_bmp_features(small).select(
+        "doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "probe_g12"
+    )
