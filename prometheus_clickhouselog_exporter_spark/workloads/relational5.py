@@ -378,3 +378,88 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("blk")
         .agg(F.count(F.col("a")).alias("n_triangles"))
     )
+
+
+@query(
+    "dq_expectations_report",
+    oracle="""
+    WITH dup AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM (
+        SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+      )
+    ),
+    scan AS (
+      SELECT
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS null_custkey,
+        CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS nonpos_price,
+        CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                        OR o_orderdate >= TIMESTAMP '1999-01-01'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS date_out_of_range,
+        CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+      FROM orders
+    )
+    SELECT c.check_name, c.n_violations,
+           c.n_violations = 0 AS passed
+    FROM (
+      SELECT 'orderkey_unique' AS check_name, (SELECT v FROM dup) AS n_violations
+      UNION ALL SELECT 'custkey_not_null', (SELECT null_custkey FROM scan)
+      UNION ALL SELECT 'totalprice_positive', (SELECT nonpos_price FROM scan)
+      UNION ALL SELECT 'orderdate_in_range', (SELECT date_out_of_range FROM scan)
+      UNION ALL SELECT 'status_in_domain', (SELECT bad_status FROM scan)
+    ) c
+    """,
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report (the dbt-tests / Great
+    Expectations shape): uniqueness, not-null, value-range, and domain
+    checks over the orders table, emitted as (check, violations, passed)
+    rows — the gate a pipeline evaluates before publishing a snapshot.
+
+    Plan shape: the four row-level checks ride ONE scan as conditional
+    partial aggregates (adding a check costs an expression, not a pass —
+    the same observe()-tier trick as the log pipeline's line counters);
+    only the uniqueness check needs its own key-hash aggregate, because
+    duplicate detection is irreducibly a groupBy. The union of 5
+    one-row branches is driver-negligible.
+
+    100 TB: one full scan + one orderkey exchange regardless of how many
+    scalar checks are registered; at this scale the uniqueness agg is
+    the budget item — swap in the Bloom-prefilter (operators/bloom.py)
+    when approximate uniqueness screening is acceptable.
+    """
+    o = table(spark, sf_dir, "orders")
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("orderkey_unique").alias("check_name"), F.col("n"))
+    )
+    scan = o.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("np"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("dr"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("bs"),
+    )
+    checks = (
+        scan.selectExpr("stack(4, 'custkey_not_null', nc, 'totalprice_positive', np, 'orderdate_in_range', dr, 'status_in_domain', bs) AS (check_name, n)")
+    )
+    return (
+        dup.unionByName(checks)
+        .select(
+            "check_name",
+            F.col("n").alias("n_violations"),
+            (F.col("n") == 0).alias("passed"),
+        )
+    )
