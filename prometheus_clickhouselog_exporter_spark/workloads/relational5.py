@@ -15,7 +15,7 @@ engine-category rows from SURVEY §2.2's standard coverage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .core import fround, query, table
@@ -462,4 +462,69 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_violations"),
             (F.col("n") == 0).alias("passed"),
         )
+    )
+
+
+@query(
+    "window_share_of_total",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, bal,
+           floor(bal / sum(bal) OVER (PARTITION BY region) * 10000 + 0.5)
+             / 10000 AS share_in_region,
+           floor(bal / sum(bal) OVER () * 10000 + 0.5) / 10000
+             AS share_global,
+           rank() OVER (PARTITION BY region ORDER BY bal DESC, nation)
+             AS rank_in_region
+    FROM rev
+    """,
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (ratio_to_report) windows: each nation's balance as
+    a fraction of its region's total and of the global total, plus its
+    in-region rank — the percent-of-parent pattern every BI rollup uses,
+    here as unbounded-frame SUM windows over an already-aggregated
+    O(nations) table.
+
+    Order of operations is the scale point: aggregate FIRST (partial+
+    final to 25 rows), window SECOND — the windows, including the
+    global-frame one, run over group-cardinality rows, so the empty
+    PARTITION BY (a single-partition frame, normally a scale smell) is
+    harmless by construction. Sums stay DECIMAL until the ratio; ratios
+    fround so both engines emit identical doubles.
+
+    100 TB: one customer scan + broadcast dims + one O(nations) window
+    stage. Never window-then-aggregate: a per-row global-frame window
+    over the raw table would serialize the corpus through one task.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bal")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wg = Window.partitionBy()
+    rk = Window.partitionBy("region").orderBy(F.col("bal").desc(), "nation")
+    return rev.select(
+        "region",
+        "nation",
+        "bal",
+        fround(F.col("bal") / F.sum("bal").over(wr), 4).alias("share_in_region"),
+        fround(F.col("bal") / F.sum("bal").over(wg), 4).alias("share_global"),
+        F.rank().over(rk).cast("long").alias("rank_in_region"),
     )
