@@ -156,7 +156,8 @@ def main() -> int:
         print(f"{status} {name}: {res} [{time.time() - t0:.1f}s]")
         if not ok:
             failures.append(name)
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok; failures: {failures}")
+    n_checked = len([n for n in qs if not only or n in only])
+    print(f"\n{n_checked - len(failures)}/{n_checked} ok; failures: {failures}")
     return 1 if failures else 0
 
 
