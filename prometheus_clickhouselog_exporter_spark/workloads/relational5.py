@@ -528,3 +528,88 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("bal") / F.sum("bal").over(wg), 4).alias("share_global"),
         F.rank().over(rk).cast("long").alias("rank_in_region"),
     )
+
+
+@query(
+    "spatial_grid_proximity_join",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT CAST(user_id % 50 AS BIGINT) AS x,
+             CAST(CAST(floor(value * 10) AS BIGINT) % 50 AS BIGINT) AS y
+      FROM events WHERE value >= 0
+    ),
+    pairs AS (
+      SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by,
+             greatest(abs(a.x - b.x), abs(a.y - b.y)) AS cheb
+      FROM pts a JOIN pts b
+        ON (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+       AND abs(a.x - b.x) <= 2 AND abs(a.y - b.y) <= 2
+    )
+    SELECT cheb, count(*) AS n_pairs
+    FROM pairs GROUP BY cheb
+    """,
+)
+def spatial_grid_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity self-join via grid bucketing — the canonical
+    distributed spatial-join shape (geohash / H3 cell join): each point
+    lands in a 4×4 cell, candidate pairs come from each point joined to
+    its cell AND the 8 neighbors (a 9× explode of POINTS, never pairs),
+    and the exact Chebyshev ≤ 2 predicate verifies in-cell. Output is
+    the pair count per distance — the spatial autocorrelation profile.
+    Integer grid coordinates keep every comparison exact cross-engine
+    (a haversine variant would diverge in libm low bits; the plan shape
+    is identical).
+
+    Dedup discipline: candidate pairs can appear once per shared cell;
+    pairs are kept only when the neighbor-offset matches the actual
+    cell delta of the pair, so each ordered pair (a < b) is emitted
+    EXACTLY once — no post-hoc distinct, same exactly-once trick as
+    graph_triangle_count's edge orientation. The brute-force oracle is
+    O(P²) over distinct points — fine for DuckDB at grid scale,
+    linearithmic via cells for Spark at corpus scale.
+
+    100 TB: shuffle is the cell-keyed join of O(9·points) slim rows;
+    hot cells (urban skew in real geo data) are AQE-split like any
+    skewed key. Radius scales by cell size, not plan shape.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    pts = e.select(
+        (F.col("user_id") % 50).cast("long").alias("x"),
+        (F.floor(F.col("value") * 10).cast("long") % 50).cast("long").alias("y"),
+    ).distinct()
+    cell = pts.select(
+        "x", "y", F.floor(F.col("x") / 4).alias("cx"), F.floor(F.col("y") / 4).alias("cy")
+    )
+    # probe side: each point broadcast to its cell and the 8 neighbors
+    off = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    )
+    probe = cell.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        "cx", "cy", off.alias("o")
+    ).select(
+        "bx", "by",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+        F.col("o.dx").alias("dx"), F.col("o.dy").alias("dy"),
+    )
+    joined = cell.join(probe, ["cx", "cy"])
+    pairs = joined.filter(
+        # exactly-once: the offset row used must be the true cell delta
+        (F.floor(F.col("x") / 4) - F.floor(F.col("bx") / 4) == F.col("dx"))
+        & (F.floor(F.col("y") / 4) - F.floor(F.col("by") / 4) == F.col("dy"))
+        # ordered pair + radius
+        & ((F.col("x") < F.col("bx")) | ((F.col("x") == F.col("bx")) & (F.col("y") < F.col("by"))))
+        & (F.abs(F.col("x") - F.col("bx")) <= 2)
+        & (F.abs(F.col("y") - F.col("by")) <= 2)
+    )
+    return (
+        pairs.select(
+            F.greatest(
+                F.abs(F.col("x") - F.col("bx")), F.abs(F.col("y") - F.col("by"))
+            ).alias("cheb")
+        )
+        .groupBy("cheb")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
