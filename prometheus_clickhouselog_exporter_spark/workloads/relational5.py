@@ -613,3 +613,81 @@ def spatial_grid_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cheb")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "join_full_outer_reconcile",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey AS k, count(*) AS n_early,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v_early
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-08-01'
+      GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT o_custkey AS k, count(*) AS n_late,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v_late
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-08-01'
+      GROUP BY o_custkey
+    )
+    SELECT CASE WHEN a.k IS NULL THEN 'late_only'
+                WHEN b.k IS NULL THEN 'early_only'
+                ELSE 'both' END AS presence,
+           count(*) AS n_customers,
+           CAST(sum(coalesce(a.n_early, 0)) AS BIGINT) AS orders_early,
+           CAST(sum(coalesce(b.n_late, 0)) AS BIGINT) AS orders_late
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    GROUP BY presence
+    """,
+)
+def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the reconciliation shape: customers active
+    before vs after a late cutoff (chosen so all three presence classes
+    are populated at every SF), classified early-only / late-only / both
+    with order counts on each side. The one outer-join variant the
+    battery lacked; snapshot-diff, ledger reconciliation, and
+    churn/acquisition splits are all this query.
+
+    Plan shape: both sides pre-aggregate to per-key rows FIRST (the
+    share-of-total discipline), so the full outer join runs over two
+    key-cardinality inputs co-partitioned by the join key — Spark plans
+    it as one SortMergeJoin with both shuffles on k; a full outer can
+    never broadcast (either side may contribute unmatched rows).
+
+    100 TB: two scans with disjoint pushed date filters, one key
+    shuffle each, O(keys) join. Null-side classification is exact
+    integer logic — no float discipline needed beyond the DECIMAL sums.
+    """
+    o = table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-08-01").cast("timestamp")
+    a = (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_early"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("v_early"),
+        )
+    )
+    b = (
+        o.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_late"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("v_late"),
+        )
+    )
+    j = a.join(b, "k", "full_outer")
+    presence = (
+        F.when(F.col("n_early").isNull(), "late_only")
+        .when(F.col("n_late").isNull(), "early_only")
+        .otherwise("both")
+    )
+    return j.groupBy(presence.alias("presence")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.coalesce("n_early", F.lit(0))).alias("orders_early"),
+        F.sum(F.coalesce("n_late", F.lit(0))).alias("orders_late"),
+    )
