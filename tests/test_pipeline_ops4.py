@@ -298,3 +298,55 @@ def test_cdc_tombstone_not_resurrected(spark, tmp_path):
         for r in cdc_apply_latest_changes(spark, str(tmp_path)).collect()
     }
     assert got == {"P2": (1, 21.0), "P3": (1, 31.0)}
+
+
+def test_share_of_total_sums_to_one(spark):
+    from prometheus_clickhouselog_exporter_spark.workloads.relational5 import (
+        window_share_of_total,
+    )
+
+    rows = window_share_of_total(spark, SF).collect()
+    by_region = {}
+    g_total = 0.0
+    for r in rows:
+        by_region.setdefault(r.region, 0.0)
+        by_region[r.region] += r.share_in_region
+        g_total += r.share_global
+    # fround(4) truncation: shares sum to 1 within rounding slack per group
+    for region, s in by_region.items():
+        assert abs(s - 1.0) < 0.002, (region, s)
+    assert abs(g_total - 1.0) < 0.005
+    # ranks are a permutation of 1..n within each region
+    ranks = {}
+    for r in rows:
+        ranks.setdefault(r.region, []).append(r.rank_in_region)
+    for region, ks in ranks.items():
+        assert sorted(ks) == list(range(1, len(ks) + 1))
+
+
+def test_ccnet_buckets_tercile_balance(spark):
+    from prometheus_clickhouselog_exporter_spark.workloads.pipeline_ops4 import (
+        quality_ccnet_buckets,
+    )
+
+    rows = quality_ccnet_buckets(spark, SF).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, {})[r.bucket] = r.n_docs
+    for lang, b in per_lang.items():
+        total = sum(b.values())
+        # terciles: no bucket may hold more than ~60% unless scores tie heavily
+        if total >= 9:
+            assert max(b.values()) <= 0.67 * total + 2, (lang, b)
+
+
+def test_spatial_pairs_profile(spark):
+    from prometheus_clickhouselog_exporter_spark.workloads.relational5 import (
+        spatial_grid_proximity_join,
+    )
+
+    rows = {r.cheb: r.n_pairs for r in spatial_grid_proximity_join(spark, SF).collect()}
+    assert set(rows) <= {1, 2} and rows, rows
+    # ring growth: radius-2 shell has ~2x the sites of radius-1 on a dense grid
+    if 1 in rows and 2 in rows:
+        assert rows[2] > rows[1]
