@@ -259,6 +259,47 @@ def decode_wav_features(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(op, out_schema)
 
 
+def _encode_bmp(img_bgr) -> bytes:
+    """Top-down BGR (h, w, 3) uint8 array → spec-correct 24-bit BMP bytes
+    (bottom-up rows, 4-byte row padding). Single encoder shared by the
+    synthesizer and the resizer so container-layout rules live once."""
+    import numpy as np
+
+    h, w = img_bgr.shape[:2]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+    rows[:, :row_bytes] = img_bgr.reshape(h, row_bytes)
+    pixels = rows[::-1].tobytes()  # bottom-up
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    )
+    return hdr + pixels
+
+
+def _parse_bmp(bb: bytes):
+    """BMP bytes → (w, h, top-down BGR uint8 array). Validates magic,
+    header size, 24-bit uncompressed, positive (bottom-up) height —
+    the single parser shared by decode and resize so no copy can drop a
+    validation."""
+    import numpy as np
+
+    if bb[:2] != b"BM":
+        raise NotImplementedError(
+            "non-BMP image decode requires PIL/opencv, not present in this environment"
+        )
+    off = struct.unpack("<I", bb[10:14])[0]
+    hsz, w, h, _planes, bits, comp = struct.unpack("<IiiHHI", bb[14:34])
+    if hsz < 40 or bits != 24 or comp != 0 or h <= 0:
+        raise NotImplementedError("only 24-bit uncompressed bottom-up BMP is decoded here")
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = np.frombuffer(bb[off : off + stride * h], dtype=np.uint8)
+    return w, h, rows.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)[::-1]
+
+
 def synth_bmp(df: DataFrame, id_col: str) -> DataFrame:
     """Synthesize a REAL 24-bit uncompressed BMP per row (pure bytes —
     BMP needs no codec library, which is what makes a certified image
@@ -285,20 +326,7 @@ def synth_bmp(df: DataFrame, id_col: str) -> DataFrame:
                 g = np.broadcast_to(((11 * ys + i) % 256)[:, None], (h, w))
                 b = (xs[None, :] + ys[:, None]) % 256
                 img = np.stack([b, g, r], axis=-1).astype(np.uint8)  # BGR
-                row_bytes = w * 3
-                pad = (-row_bytes) % 4
-                rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
-                rows[:, :row_bytes] = img.reshape(h, row_bytes)
-                pixels = rows[::-1].tobytes()  # bottom-up
-                off, size = 54, 54 + len(pixels)
-                hdr = (
-                    b"BM"
-                    + struct.pack("<IHHI", size, 0, 0, off)
-                    + struct.pack(
-                        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
-                    )
-                )
-                blobs.append(hdr + pixels)
+                blobs.append(_encode_bmp(img))
             pdf = pdf.copy()
             pdf["media"] = blobs
             yield pdf
@@ -333,26 +361,8 @@ def decode_bmp_features(df: DataFrame, media_col: str = "media") -> DataFrame:
         for pdf in batches:
             feats = []
             for blob in pdf[media_col]:
-                bb = bytes(blob)
-                if bb[:2] != b"BM":
-                    raise NotImplementedError(
-                        "non-BMP image decode requires PIL/opencv, "
-                        "not present in this environment"
-                    )
-                off = struct.unpack("<I", bb[10:14])[0]
-                hsz, w, h, _planes, bits, comp = struct.unpack("<IiiHHI", bb[14:34])
-                if hsz < 40 or bits != 24 or comp != 0 or h <= 0:
-                    raise NotImplementedError(
-                        "only 24-bit uncompressed bottom-up BMP is decoded here"
-                    )
-                row_bytes = w * 3
-                stride = row_bytes + ((-row_bytes) % 4)
-                rows = np.frombuffer(bb[off : off + stride * h], dtype=np.uint8)
-                img = (
-                    rows.reshape(h, stride)[:, :row_bytes]
-                    .reshape(h, w, 3)[::-1, :, ::-1]  # flip vertical, BGR→RGB
-                    .astype(np.int64)
-                )
+                w, h, bgr = _parse_bmp(bytes(blob))
+                img = bgr[:, :, ::-1].astype(np.int64)  # BGR→RGB, top-down
                 feats.append(
                     {
                         "width": w,
@@ -360,7 +370,8 @@ def decode_bmp_features(df: DataFrame, media_col: str = "media") -> DataFrame:
                         "mean_r": float(img[:, :, 0].mean()),
                         "mean_g": float(img[:, :, 1].mean()),
                         "mean_b": float(img[:, :, 2].mean()),
-                        "probe_g12": int(img[2, 1, 1]),
+                        # probe clamped so tiny-but-valid images don't crash
+                        "probe_g12": int(img[min(2, h - 1), min(1, w - 1), 1]),
                     }
                 )
             pdf = pdf.drop(columns=[media_col]).copy()
@@ -369,6 +380,34 @@ def decode_bmp_features(df: DataFrame, media_col: str = "media") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(op, out_schema)
+
+
+def _parse_y4m(bb: bytes):
+    """y4m bytes → (w, h, [top-down Y planes as (h, w) uint8 arrays]).
+    Validates the YUV4MPEG2 magic, C444 sampling, and every FRAME
+    marker — the single parser shared by decode and frame sampling so
+    no copy can drop a validation."""
+    import numpy as np
+
+    nl = bb.index(b"\n")
+    header = bb[:nl].decode("ascii", "replace").split(" ")
+    if header[0] != "YUV4MPEG2":
+        raise NotImplementedError(
+            "non-y4m video decode requires ffmpeg/pyav, not present in this environment"
+        )
+    params = {p[0]: p[1:] for p in header[1:] if p}
+    w, h = int(params["W"]), int(params["H"])
+    if params.get("C", "420") != "444":
+        raise NotImplementedError("only C444 y4m is decoded here")
+    plane, pos, frames = w * h, nl + 1, []
+    while pos < len(bb):
+        fnl = bb.index(b"\n", pos)
+        if bb[pos:fnl].split(b" ")[0] != b"FRAME":
+            raise ValueError("malformed y4m: missing FRAME marker")
+        y = np.frombuffer(bb[fnl + 1 : fnl + 1 + plane], dtype=np.uint8)
+        frames.append(y.reshape(h, w))
+        pos = fnl + 1 + 3 * plane
+    return w, h, frames
 
 
 def synth_y4m(df: DataFrame, id_col: str) -> DataFrame:
@@ -436,27 +475,8 @@ def decode_y4m_features(df: DataFrame, media_col: str = "media") -> DataFrame:
         for pdf in batches:
             feats = []
             for blob in pdf[media_col]:
-                bb = bytes(blob)
-                nl = bb.index(b"\n")
-                header = bb[:nl].decode("ascii", "replace").split(" ")
-                if header[0] != "YUV4MPEG2":
-                    raise NotImplementedError(
-                        "non-y4m video decode requires ffmpeg/pyav, "
-                        "not present in this environment"
-                    )
-                params = {p[0]: p[1:] for p in header[1:] if p}
-                w, h = int(params["W"]), int(params["H"])
-                if params.get("C", "420") != "444":
-                    raise NotImplementedError("only C444 y4m is decoded here")
-                plane, pos, frames = w * h, nl + 1, []
-                while pos < len(bb):
-                    fnl = bb.index(b"\n", pos)
-                    if bb[pos:fnl].split(b" ")[0] != b"FRAME":
-                        raise ValueError("malformed y4m: missing FRAME marker")
-                    y = np.frombuffer(bb[fnl + 1 : fnl + 1 + plane], dtype=np.uint8)
-                    frames.append(y.reshape(h, w).astype(np.int64))
-                    pos = fnl + 1 + 3 * plane
-                clip = np.stack(frames)
+                w, h, frames = _parse_y4m(bytes(blob))
+                clip = np.stack(frames).astype(np.int64)
                 motion = (
                     float(np.mean(np.abs(clip[1:] - clip[:-1])))
                     if len(frames) > 1
@@ -469,7 +489,11 @@ def decode_y4m_features(df: DataFrame, media_col: str = "media") -> DataFrame:
                         "n_frames": len(frames),
                         "mean_y": float(clip.mean()),
                         "motion": motion,
-                        "probe_y": int(clip[1, 2, 1]),
+                        # probe clamped so 1-frame / tiny-but-valid clips
+                        # don't crash the task
+                        "probe_y": int(
+                            clip[min(1, len(frames) - 1), min(2, h - 1), min(1, w - 1)]
+                        ),
                     }
                 )
             pdf = pdf.drop(columns=[media_col]).copy()
@@ -497,35 +521,18 @@ def sample_y4m_frames(
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf[media_col]):
-                bb = bytes(blob)
-                nl = bb.index(b"\n")
-                header = bb[:nl].decode("ascii", "replace").split(" ")
-                if header[0] != "YUV4MPEG2":
-                    raise NotImplementedError(
-                        "non-y4m video decode requires ffmpeg/pyav"
-                    )
-                params = {p[0]: p[1:] for p in header[1:] if p}
-                w, h = int(params["W"]), int(params["H"])
-                if params.get("C", "420") != "444":
-                    raise NotImplementedError("only C444 y4m is decoded here")
-                plane, pos, t = w * h, nl + 1, 0
-                while pos < len(bb):
-                    fnl = bb.index(b"\n", pos)
+                w, h, frames = _parse_y4m(bytes(blob))
+                for t, y in enumerate(frames):
                     if t % every_n == 0:
-                        y = np.frombuffer(
-                            bb[fnl + 1 : fnl + 1 + plane], dtype=np.uint8
-                        ).astype(np.int64)
                         rows.append(
                             {
                                 "doc_id": int(doc_id),
                                 "frame_idx": t,
                                 "width": w,
                                 "height": h,
-                                "frame_mean_y": float(y.mean()),
+                                "frame_mean_y": float(y.astype(np.int64).mean()),
                             }
                         )
-                    pos = fnl + 1 + 3 * plane
-                    t += 1
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "frame_idx", "width", "height", "frame_mean_y"],
@@ -549,36 +556,10 @@ def resize_bmp(df: DataFrame, media_col: str = "media", out_w: int = 8, out_h: i
             blobs = []
             for blob in pdf[media_col]:
                 bb = bytes(blob)
-                if bb[:2] != b"BM":
-                    raise NotImplementedError("non-BMP resize requires PIL/opencv")
-                off = struct.unpack("<I", bb[10:14])[0]
-                _hsz, w, h, _pl, bits, comp = struct.unpack("<IiiHHI", bb[14:34])
-                if bits != 24 or comp != 0 or h <= 0:
-                    raise NotImplementedError("only 24-bit uncompressed BMP")
-                row_bytes = w * 3
-                stride = row_bytes + ((-row_bytes) % 4)
-                img = (
-                    np.frombuffer(bb[off : off + stride * h], dtype=np.uint8)
-                    .reshape(h, stride)[:, :row_bytes]
-                    .reshape(h, w, 3)[::-1]  # bottom-up → top-down, stays BGR
-                )
+                w, h, img = _parse_bmp(bb)  # top-down BGR
                 ys = (np.arange(out_h) * h) // out_h
                 xs = (np.arange(out_w) * w) // out_w
-                small = img[np.ix_(ys, xs)]
-                rb = out_w * 3
-                pad = (-rb) % 4
-                rows = np.zeros((out_h, rb + pad), dtype=np.uint8)
-                rows[:, :rb] = small.reshape(out_h, rb)
-                pixels = rows[::-1].tobytes()
-                hdr = (
-                    b"BM"
-                    + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
-                    + struct.pack(
-                        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(pixels),
-                        2835, 2835, 0, 0,
-                    )
-                )
-                blobs.append(hdr + pixels)
+                blobs.append(_encode_bmp(img[np.ix_(ys, xs)]))
             pdf = pdf.copy()
             pdf[media_col] = blobs
             yield pdf

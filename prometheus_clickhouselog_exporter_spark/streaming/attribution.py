@@ -78,13 +78,17 @@ def attribution_stream(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
             return
         ev = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
         ts_us = ev["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        # sort key must be (ts, event_id) — the batch twin's window order —
+        # never the tuple's natural order, which would compare event_type
+        # strings at equal timestamps and diverge from the batch rollup
         rows = sorted(
             zip(
                 ts_us.tolist(),
                 ev["event_type"].tolist(),
                 ev["event_id"].tolist(),
                 ev["value"].tolist(),
-            )
+            ),
+            key=lambda r: (r[0], r[2]),
         )
         prev = tuple(state.get) if state.exists else None
         out, new_state = _fold_attribution(rows, prev)

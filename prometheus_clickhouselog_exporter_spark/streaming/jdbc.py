@@ -151,17 +151,16 @@ def epoch_partitioned_parquet_writer(path: str):
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import functions as F
 
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.withColumn("_epoch", F.lit(int(epoch_id)))
-                .write.mode("overwrite")
-                .partitionBy("_epoch")
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-write option, NOT the session conf: mutating the global
+        # spark.sql.sources.partitionOverwriteMode would leak dynamic
+        # semantics to (or steal static semantics from) concurrent
+        # writers in the same session mid-write
+        (
+            batch_df.withColumn("_epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(path)
+        )
 
     return fn

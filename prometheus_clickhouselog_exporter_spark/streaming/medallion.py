@@ -55,19 +55,13 @@ class MedallionPipeline:
         self.seq_cols = seq_cols
 
     def foreach_batch(self):
+        from .jdbc import epoch_partitioned_parquet_writer
+
+        bronze_write = epoch_partitioned_parquet_writer(self.bronze_path)
+
         def fn(batch_df: DataFrame, epoch_id: int) -> None:
             spark = batch_df.sparkSession
-            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                (
-                    batch_df.withColumn("_epoch", F.lit(int(epoch_id)))
-                    .write.mode("overwrite")
-                    .partitionBy("_epoch")
-                    .parquet(self.bronze_path)
-                )
-            finally:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            bronze_write(batch_df, epoch_id)
             bronze = spark.read.parquet(self.bronze_path).drop("_epoch")
             silver = apply_latest_wins(bronze, self.key, self.seq_cols)
             silver.write.mode("overwrite").parquet(self.silver_path)

@@ -560,11 +560,12 @@ def spatial_grid_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a haversine variant would diverge in libm low bits; the plan shape
     is identical).
 
-    Dedup discipline: candidate pairs can appear once per shared cell;
-    pairs are kept only when the neighbor-offset matches the actual
-    cell delta of the pair, so each ordered pair (a < b) is emitted
-    EXACTLY once — no post-hoc distinct, same exactly-once trick as
-    graph_triangle_count's edge orientation. The brute-force oracle is
+    Dedup discipline: each pair is a candidate EXACTLY once by
+    construction — of a point's nine offset rows, precisely one lands on
+    the partner's cell (the offset equals the unique cell delta), so the
+    equi-join needs no delta re-check and no post-hoc distinct; the a<b
+    ordering then halves ordered to unordered pairs (the
+    graph_triangle_count orientation trick). The brute-force oracle is
     O(P²) over distinct points — fine for DuckDB at grid scale,
     linearithmic via cells for Spark at corpus scale.
 
@@ -592,15 +593,14 @@ def spatial_grid_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bx", "by",
         (F.col("cx") + F.col("o.dx")).alias("cx"),
         (F.col("cy") + F.col("o.dy")).alias("cy"),
-        F.col("o.dx").alias("dx"), F.col("o.dy").alias("dy"),
     )
+    # exactly-once by construction: for a pair (a, b), exactly ONE of b's
+    # nine offset rows lands on a's cell (o = cell(a) − cell(b), unique),
+    # so the equi-join on (cx, cy) emits each candidate pair once
     joined = cell.join(probe, ["cx", "cy"])
     pairs = joined.filter(
-        # exactly-once: the offset row used must be the true cell delta
-        (F.floor(F.col("x") / 4) - F.floor(F.col("bx") / 4) == F.col("dx"))
-        & (F.floor(F.col("y") / 4) - F.floor(F.col("by") / 4) == F.col("dy"))
         # ordered pair + radius
-        & ((F.col("x") < F.col("bx")) | ((F.col("x") == F.col("bx")) & (F.col("y") < F.col("by"))))
+        ((F.col("x") < F.col("bx")) | ((F.col("x") == F.col("bx")) & (F.col("y") < F.col("by"))))
         & (F.abs(F.col("x") - F.col("bx")) <= 2)
         & (F.abs(F.col("y") - F.col("by")) <= 2)
     )

@@ -35,3 +35,25 @@ def fixture_log(tmp_path_factory):
     path = tmp_path_factory.mktemp("logs") / "clickhouse-server.log"
     standard_corpus().write(str(path))
     return str(path)
+
+
+def write_events_parquet(path, rows):
+    """Shared events fixture writer: explicit microsecond timestamps via
+    pyarrow (Spark's own writer emits INT96, which pyarrow reports as
+    nanos and trips the nanos-safe loader's rewrite). ``rows`` are
+    (event_id, ts, user_id, event_type, value) tuples."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows))
+    t = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("us")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(path))

@@ -21,24 +21,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def _write_events(spark, tmp_path, rows):
-    """Write an events.parquet with explicit microsecond timestamps (Spark's
-    own writer emits INT96, which pyarrow reports as nanos and trips the
-    nanos-safe loader's rewrite)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    from conftest import write_events_parquet
 
-    cols = list(zip(*rows))
-    t = pa.table(
-        {
-            "event_id": pa.array(cols[0], pa.int64()),
-            "ts": pa.array(cols[1], pa.timestamp("us")),
-            "user_id": pa.array(cols[2], pa.int64()),
-            "event_type": pa.array(cols[3], pa.string()),
-            "value": pa.array(cols[4], pa.float64()),
-            "props": pa.array(["{}"] * len(rows), pa.string()),
-        }
-    )
-    pq.write_table(t, str(tmp_path / "events.parquet"))
+    write_events_parquet(tmp_path / "events.parquet", rows)
     return str(tmp_path)
 
 

@@ -26,21 +26,9 @@ EVENT_SCHEMA = (
 
 
 def _write_events(path, rows):
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    from conftest import write_events_parquet
 
-    cols = list(zip(*rows))
-    t = pa.table(
-        {
-            "event_id": pa.array(cols[0], pa.int64()),
-            "ts": pa.array(cols[1], pa.timestamp("us")),
-            "user_id": pa.array(cols[2], pa.int64()),
-            "event_type": pa.array(cols[3], pa.string()),
-            "value": pa.array(cols[4], pa.float64()),
-            "props": pa.array(["{}"] * len(rows), pa.string()),
-        }
-    )
-    pq.write_table(t, str(path))
+    write_events_parquet(path, rows)
 
 
 def _mixed_corpus():
@@ -57,6 +45,18 @@ def _mixed_corpus():
                 (eid, T0 + dt.timedelta(minutes=3 * i + u * 200), u, kind, float(eid % 13) + 0.25)
             )
             eid += 1
+    # equal-timestamp collisions: purchase/click and click/purchase pairs
+    # sharing a ts, ordered only by event_id — the (ts, event_id) sort-key
+    # regression (a natural tuple sort would compare event_type here)
+    t = T0 + dt.timedelta(days=2)
+    rows += [
+        (eid, t, 90, "view", 1.0),
+        (eid + 1, t + dt.timedelta(minutes=1), 90, "purchase", 2.0),  # lower id first
+        (eid + 2, t + dt.timedelta(minutes=1), 90, "click", 0.0),
+        (eid + 3, t, 91, "click", 0.0),
+        (eid + 4, t + dt.timedelta(minutes=1), 91, "click", 0.0),  # same ts as next
+        (eid + 5, t + dt.timedelta(minutes=1), 91, "purchase", 4.0),
+    ]
     return rows
 
 
