@@ -681,3 +681,67 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.avg("qscore"), 4).alias("mean_qscore"),
         )
     )
+
+
+@query(
+    "quantile_disc_doclen",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+                         THEN n_chars END) AS BIGINT) AS p25,
+           CAST(max(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT)
+                         THEN n_chars END) AS BIGINT) AS p50,
+           CAST(max(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
+                         THEN n_chars END) AS BIGINT) AS p75
+    FROM ranked GROUP BY lang
+    """,
+)
+def quantile_disc_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE quantiles by rank arithmetic: the p-th quantile is the
+    value at row ceil(p·n) of the (value, doc_id)-ordered group — an
+    actual corpus value, never an interpolation. This is the float-free
+    quantile path: where interpolating percentiles need the
+    rounded-before-compare discipline (stats_robust_mad,
+    quality_ccnet_buckets), rank selection is integer-exact end to end
+    and therefore the safest cross-engine (and cross-RUN, under
+    nondeterministic reduction order) form for thresholds that must be
+    reproducible bit-for-bit — e.g. published dataset cards.
+
+    Plan shape: one lang-partitioned window (rank + group count ride the
+    same sort), one conditional-aggregate rollup to O(langs) rows.
+    100 TB: for data-cardinality groups the same selection runs as
+    repartitionByRange + per-partition offset lookup (the total-order
+    recipe, test_global_sort_via_range_partitioning), or degrades
+    gracefully to the GK sketch (sketch_quantile_tokens).
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def pick(p: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * p).cast("long"), F.col("n_chars")
+            )
+        ).cast("long")
+
+    return ranked.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        pick(0.25).alias("p25"),
+        pick(0.50).alias("p50"),
+        pick(0.75).alias("p75"),
+    )
