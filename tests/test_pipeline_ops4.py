@@ -335,3 +335,29 @@ def test_spatial_pairs_profile(spark):
     # ring growth: radius-2 shell has ~2x the sites of radius-1 on a dense grid
     if 1 in rows and 2 in rows:
         assert rows[2] > rows[1]
+
+
+def test_quantile_disc_hand_values(spark, tmp_path):
+    from prometheus_clickhouselog_exporter_spark.workloads.pipeline_ops4 import (
+        quantile_disc_doclen,
+    )
+
+    # lang 'a': lengths 10,20,30,40 → ceil(.25*4)=1 → 10; ceil(.5*4)=2 → 20;
+    # ceil(.75*4)=3 → 30. lang 'b': single doc → all quantiles = it.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["x", "x", "x", "x", "y"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["a", "a", "a", "a", "b"], pa.string()),
+            "source": pa.array(["s"] * 5, pa.string()),
+            "n_chars": pa.array([10, 20, 30, 40, 7], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = {r.lang: (r.n_docs, r.p25, r.p50, r.p75)
+           for r in quantile_disc_doclen(spark, str(tmp_path)).collect()}
+    assert got == {"a": (4, 10, 20, 30), "b": (1, 7, 7, 7)}
