@@ -691,3 +691,73 @@ def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce("n_early", F.lit(0))).alias("orders_early"),
         F.sum(F.coalesce("n_late", F.lit(0))).alias("orders_late"),
     )
+
+
+@query(
+    "trend_wow_revenue",
+    oracle="""
+    WITH weekly AS (
+      SELECT o_orderpriority AS priority,
+             date_trunc('week', o_orderdate)::DATE AS wk,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY priority, wk
+    ),
+    wow AS (
+      SELECT priority, wk, rev,
+             lag(rev) OVER (PARTITION BY priority ORDER BY wk) AS prev
+      FROM weekly
+    )
+    SELECT priority, CAST(wk AS VARCHAR) AS wk, rev,
+           floor((rev - prev) / prev * 1000000 + 0.5) / 1000000
+             AS wow_change
+    FROM wow WHERE prev IS NOT NULL
+    ORDER BY abs((rev - prev) / prev) DESC, priority, wk LIMIT 10
+    """,
+)
+def trend_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week trend with top movers: weekly revenue per order
+    priority, the WoW growth rate from a lag window, and the 10 largest
+    absolute swings — the BI trend-report shape (period rollup → lag →
+    delta → top movers) in one plan.
+
+    Float discipline where it matters: revenue sums stay DECIMAL until
+    the final cast, the reported growth rate is fround-rounded, and the
+    top-10 ORDER BY ranks on the RAW ratio with (priority, wk)
+    tiebreaks — ranking on the rounded value could reorder near-equal
+    swings differently across engines, while ranking raw and rounding
+    only the display value cannot.
+
+    100 TB: the weekly rollup is the only data-sized aggregate
+    (partial+final, O(priorities × weeks) output); the lag window and
+    top-k (TakeOrderedAndProject) run on group-cardinality rows. Dates
+    cross the driver compare as strings.
+    """
+    o = table(spark, sf_dir, "orders")
+    weekly = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("wk"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("priority").orderBy("wk")
+    wow = weekly.withColumn("prev", F.lag("rev").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    ratio = (F.col("rev") - F.col("prev")) / F.col("prev")
+    return (
+        wow.select(
+            "priority",
+            F.col("wk").cast("string").alias("wk"),
+            "rev",
+            fround(ratio, 6).alias("wow_change"),
+            F.abs(ratio).alias("_rank"),
+        )
+        .orderBy(F.col("_rank").desc(), "priority", "wk")
+        .limit(10)
+        .drop("_rank")
+    )
