@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import money, query, table
+from .core import fround, money, query, table
 
 
 @query(
@@ -301,4 +301,262 @@ def nullsafe_join_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value(F.col("seg_total")).alias("seg_total"),
             F.sum("bal").cast("double").alias("total_bal"),
         )
+    )
+
+
+@query(
+    "interval_overlap_incidents",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, min(ts) AS s, max(ts) AS e
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    b AS (
+      SELECT date_trunc('hour', ts) AS h
+      FROM events GROUP BY 1 HAVING max(value) > 340
+    )
+    SELECT a.user_id,
+           count(*)                      AS n_pairs,
+           count(DISTINCT b.h)           AS n_hours,
+           CAST(min(b.h) AS VARCHAR)     AS first_hour,
+           CAST(max(b.h) AS VARCHAR)     AS last_hour
+    FROM a JOIN b ON a.s < b.h + INTERVAL 1 HOUR AND a.e >= b.h
+    GROUP BY a.user_id
+    """,
+)
+def interval_overlap_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per-user daily activity intervals [first
+    event, last event] joined against "incident hours" (hours whose max
+    event value exceeds a threshold) on TIME OVERLAP, not equality —
+    the ops question "which users were active during an incident".
+
+    Spark-first plan instead of the oracle's theta join: each activity
+    interval explodes into the hour buckets it covers (sequence of
+    date_trunc'd hours — bounded by interval length, ≤24 here), then a
+    plain equi-join on the bucket hits the incident table. An hour
+    bucket hb is generated iff hb ≤ e and hb+1h > s — exactly the
+    overlap predicate — and since each incident interval IS one bucket,
+    every overlapping pair is emitted exactly once (same exactly-once
+    argument as spatial_grid_proximity_join; multi-bucket build sides
+    would add the first-overlapping-bucket filter).
+
+    100 TB: the theta join is O(|A|·|B|) with no partitioning; the
+    bucketed form is an equi-join a cluster can hash-partition. Incident
+    hours are group-cardinality (broadcast); the explode factor is the
+    interval-length/bucket ratio — pick the bucket near the median
+    interval length to bound it.
+    """
+    e = table(spark, sf_dir, "events")
+    a = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    b = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.max("value").alias("mx"))
+        .filter(F.col("mx") > 340)
+        .select("h")
+    )
+    covered = a.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s")),
+                F.date_trunc("hour", F.col("e")),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hb"),
+    )
+    return (
+        covered.join(F.broadcast(b), covered["hb"] == b["h"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("h").alias("n_hours"),
+            F.min("h").cast("string").alias("first_hour"),
+            F.max("h").cast("string").alias("last_hour"),
+        )
+    )
+
+
+@query(
+    "topk_with_others_rollup",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment, n.n_name,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY segment, n.n_name
+    ),
+    ranked AS (
+      SELECT segment, n_name, rev,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY rev DESC, n_name) AS rn
+      FROM rev
+    )
+    SELECT segment,
+           CASE WHEN rn <= 3 THEN n_name ELSE 'OTHER' END AS bucket,
+           CAST(sum(rev) AS DOUBLE) AS revenue,
+           count(*) AS n_nations
+    FROM ranked
+    GROUP BY segment, bucket
+    """,
+)
+def topk_with_others_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with an OTHER bucket: per market segment, the 3 highest-
+    revenue nations stay named and everything else collapses into one
+    'OTHER' row — the BI presentation shape (pie chart with a tail
+    bucket) that plain top-k drops on the floor.
+
+    Rank order is (revenue DESC, name) over EXACT DECIMAL revenue —
+    ranking on a rounded double could order two close nations
+    differently across engines; ranking on the exact sum cannot.
+
+    100 TB: the only data-sized operation is the (segment, nation)
+    rollup (partial+final, after broadcast dim joins). Ranking and the
+    OTHER re-aggregation run on group-cardinality rows (segments ×
+    nations). The second agg reuses the first's output — no second pass
+    over facts.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), "n_name")
+        .agg(F.sum(money(F.col("o_totalprice"))).alias("rev"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.col("rev").desc(), "n_name")
+    ranked = rev.withColumn("rn", F.row_number().over(w))
+    bucket = F.when(F.col("rn") <= 3, F.col("n_name")).otherwise("OTHER")
+    return ranked.groupBy("segment", bucket.alias("bucket")).agg(
+        F.sum("rev").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             count(*) AS cnt
+      FROM orders GROUP BY status, priority
+    ),
+    ranked AS (
+      SELECT status, priority, cnt,
+             row_number() OVER (PARTITION BY status
+                                ORDER BY cnt DESC, priority) AS rn
+      FROM counts
+    )
+    SELECT status, priority AS mode_priority, cnt AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group: the most frequent order priority per
+    status, ties broken lexicographically. Built-in ``mode()`` is
+    explicitly NOT used — both engines leave its tie choice
+    implementation-defined, which makes it oracle-hostile; count + rank
+    pins the answer.
+
+    100 TB: counts are partial+final over the fact table; the rank runs
+    on (status × priority) group-cardinality rows and plans as
+    WindowGroupLimit (rn=1 is a map-side top-1 below the exchange).
+    """
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("status").orderBy(F.col("cnt").desc(), "priority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "status",
+            F.col("priority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "stats_winsorize_doclen",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rn,
+             count(*)    OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    cuts AS (
+      SELECT lang,
+             max(CASE WHEN rn = CAST(ceil(0.10 * n) AS BIGINT)
+                      THEN n_chars END) AS lo,
+             max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                      THEN n_chars END) AS hi
+      FROM ranked GROUP BY lang
+    )
+    SELECT d.lang, any_value(c.lo) AS lo, any_value(c.hi) AS hi,
+           CAST(count_if(d.n_chars < c.lo) AS BIGINT) AS n_clipped_low,
+           CAST(count_if(d.n_chars > c.hi) AS BIGINT) AS n_clipped_high,
+           floor(CAST(sum(greatest(c.lo, least(c.hi, d.n_chars))) AS DOUBLE)
+                 / count(*) * 1000000 + 0.5) / 1000000 AS winsor_mean
+    FROM documents d JOIN cuts c ON d.lang = c.lang
+    GROUP BY d.lang
+    """,
+)
+def stats_winsorize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized statistics per language: clamp document lengths into
+    the [p10, p90] discrete-quantile band, report the cuts, the clip
+    counts, and the winsorized mean — the outlier-robust normalization
+    step before length-based quality gates.
+
+    Quantiles are DISCRETE (value at row ceil(p·n) of the ordered group,
+    the float-free rank path from quantile_disc_doclen), so lo/hi are
+    actual data values and both engines agree exactly; the mean divides
+    an exact integer sum, so fround is deterministic on identical
+    inputs.
+
+    100 TB: one shuffle by lang feeds the rank window; the cuts table is
+    group-cardinality, broadcast back onto the corpus; clip counts and
+    the clamped sum ride one partial+final agg. No collect_list — group
+    size never materializes in a row.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    cuts = ranked.groupBy(F.col("lang").alias("clang")).agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.10 * F.col("n")).cast("bigint"),
+                F.col("n_chars"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.90 * F.col("n")).cast("bigint"),
+                F.col("n_chars"),
+            )
+        ).alias("hi"),
+    )
+    j = d.join(F.broadcast(cuts), d["lang"] == cuts["clang"])
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("n_chars")))
+    return j.groupBy("lang").agg(
+        F.any_value(F.col("lo")).alias("lo"),
+        F.any_value(F.col("hi")).alias("hi"),
+        F.count_if(F.col("n_chars") < F.col("lo")).alias("n_clipped_low"),
+        F.count_if(F.col("n_chars") > F.col("hi")).alias("n_clipped_high"),
+        fround(
+            F.sum(clamped).cast("double") / F.count(F.lit(1)), 6
+        ).alias("winsor_mean"),
     )

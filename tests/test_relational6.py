@@ -67,3 +67,34 @@ def test_ohlc_open_close_tiebreak(spark, tmp_path):
     assert bar.high == 9.0
     assert bar.low == 4.0
     assert bar.n_events == 5
+
+
+def test_interval_overlap_bucket_boundaries(spark, tmp_path):
+    from conftest import write_events_parquet
+
+    from prometheus_clickhouselog_exporter_spark.workloads.relational6 import (
+        interval_overlap_incidents,
+    )
+
+    t = lambda h, m: dt.datetime(2024, 5, 1, h, m)
+    rows = [
+        # user 1 active 10:30–12:10 → covers hour buckets 10, 11, 12
+        (1, t(10, 30), 1, "view", 1.0),
+        (2, t(12, 10), 1, "view", 1.0),
+        # user 2 triggers incidents in hours 9, 11, 12 (value > 340);
+        # its own activity interval is 9:15–12:05 → hours 9..12
+        (3, t(9, 15), 2, "error", 400.0),
+        (4, t(11, 45), 2, "error", 400.0),
+        (5, t(12, 5), 2, "error", 400.0),
+    ]
+    write_events_parquet(tmp_path / "events.parquet", rows)
+    got = {
+        r.user_id: (r.n_pairs, r.n_hours, r.first_hour, r.last_hour)
+        for r in interval_overlap_incidents(spark, str(tmp_path)).collect()
+    }
+    # hour 9's incident must NOT hit user 1 (activity starts 10:30) —
+    # the bucket explode may not generate hour buckets outside [s, e]
+    assert got == {
+        1: (2, 2, "2024-05-01 11:00:00", "2024-05-01 12:00:00"),
+        2: (3, 3, "2024-05-01 09:00:00", "2024-05-01 12:00:00"),
+    }
