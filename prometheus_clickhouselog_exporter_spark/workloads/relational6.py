@@ -560,3 +560,54 @@ def stats_winsorize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(clamped).cast("double") / F.count(F.lit(1)), 6
         ).alias("winsor_mean"),
     )
+
+
+@query(
+    "scalar_datetime_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(o_orderdate::DATE) AS VARCHAR)      AS month_end,
+           CAST((o_orderdate + INTERVAL 3 MONTH)::DATE AS VARCHAR)
+                                                             AS plus_3m,
+           date_diff('day', DATE '1992-01-01', o_orderdate::DATE)
+                                                             AS days_from_base,
+           isodow(o_orderdate)                               AS iso_dow,
+           quarter(o_orderdate)                              AS qtr,
+           weekofyear(o_orderdate)                           AS iso_week,
+           strftime(o_orderdate, '%Y-%m')                    AS ym,
+           CAST(make_date(CAST(year(o_orderdate) AS INT),
+                          CAST(month(o_orderdate) AS INT), 1) AS VARCHAR)
+                                                             AS month_start
+    FROM orders
+    """,
+)
+def scalar_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function battery per order: month-end (last_day), month
+    arithmetic (add_months), day count from a base date, ISO day-of-week,
+    quarter, ISO week number, year-month formatting, and a make_date
+    reconstruction — the calendar surface every reporting query leans
+    on.
+
+    Cross-engine trap notes baked in: Spark's dayofweek() is
+    1=Sunday while DuckDB's isodow is 1=Monday — weekday()+1 IS isodow;
+    weekofyear is ISO-8601 in both (2023-01-01 → week 52, verified);
+    dates cross the compare as strings.
+
+    100 TB: all scan-stage codegen expressions, zero shuffles; the
+    driver compare is the whole cost.
+    """
+    o = table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day(od).cast("string").alias("month_end"),
+        F.add_months(od, 3).cast("string").alias("plus_3m"),
+        F.datediff(od, F.lit("1992-01-01").cast("date")).alias("days_from_base"),
+        (F.weekday(od) + 1).alias("iso_dow"),
+        F.quarter(od).alias("qtr"),
+        F.weekofyear(od).alias("iso_week"),
+        F.date_format(od, "yyyy-MM").alias("ym"),
+        F.make_date(F.year(od), F.month(od), F.lit(1))
+        .cast("string")
+        .alias("month_start"),
+    )
