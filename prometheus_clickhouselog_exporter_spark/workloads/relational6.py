@@ -611,3 +611,30 @@ def scalar_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("month_start"),
     )
+
+
+@query(
+    "generator_posexplode_terms",
+    oracle="""
+    SELECT p_partkey,
+           unnest(range(1, len(string_split(p_type, ' ')) + 1)) AS pos,
+           unnest(string_split(p_type, ' '))                    AS term
+    FROM part
+    """,
+)
+def generator_posexplode_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator-function surface: position-preserving row expansion
+    (posexplode ↔ DuckDB's zipped parallel unnest / WITH ORDINALITY) —
+    the LATERAL VIEW shape users reach for when flattening arrays while
+    keeping element order.
+
+    100 TB: Generate is a scan-stage operator — rows expand inside the
+    task, no shuffle; column pruning keeps the scan at two columns. The
+    1-based `pos` matches SQL ordinality (Spark's posexplode is 0-based;
+    the +1 is part of the contract, not cosmetics).
+    """
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_type"), " ")).alias("pos0", "term"),
+    ).select("p_partkey", (F.col("pos0") + 1).alias("pos"), "term")
