@@ -13,6 +13,7 @@ from . import relational3  # noqa: F401,E402
 from . import relational4  # noqa: F401,E402
 from . import relational5  # noqa: F401,E402
 from . import relational6  # noqa: F401,E402
+from . import relational7  # noqa: F401,E402
 from . import logpipe  # noqa: F401,E402
 from . import llmdata  # noqa: F401,E402
 from . import llmdata2  # noqa: F401,E402
