@@ -45,8 +45,23 @@ def _nanos_columns(path: str) -> list[str]:
         if not files:
             return []
         path = os.path.join(path, files[0])
-    schema = pq.read_schema(path)
-    return [f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"]
+    pf = pq.ParquetFile(path)
+    # INT96 (Spark's default parquet timestamp encoding) also surfaces as
+    # timestamp[ns] in the ARROW schema, but Spark reads it natively as
+    # TIMESTAMP — only INT64-with-nanos needs the nanosAsLong + div-1000
+    # repair. Physical types come from the parquet schema (flat tables:
+    # leaf order == arrow field order).
+    int96 = {
+        pf.schema.column(i).name
+        for i in range(len(pf.schema.names))
+        if pf.schema.column(i).physical_type == "INT96"
+    }
+    schema = pf.schema_arrow
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns" and f.name not in int96
+    ]
 
 
 def read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:

@@ -24,5 +24,6 @@ from . import diagnostics  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import pipeline_ops2  # noqa: F401,E402
 from . import pipeline_ops4  # noqa: F401,E402
+from . import pipeline_ops5  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE", "query"]

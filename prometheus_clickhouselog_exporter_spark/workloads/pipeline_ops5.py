@@ -1,0 +1,299 @@
+"""Pipeline ops, round 3 batch 6: fuzzy entity resolution, rolling
+exact-distinct windows, weighted medians, and Poisson-bootstrap
+confidence intervals.
+
+Four operators a training-data / analytics pipeline needs beyond the
+exact-match families already shipped: edit-distance record linkage
+(blocked, never all-pairs), sliding-window COUNT(DISTINCT) done the
+linear way (distinct-pair interval explosion instead of a quadratic
+range join), order-statistics with weights, and resampled uncertainty
+bounds that are bit-reproducible because the "randomness" is md5
+content addressing (operators/sampling.py), not an RNG.
+
+Cross-engine discipline (workloads/core.py): every comparison that
+decides a row's fate is integer/DECIMAL exact; the only doubles that
+cross the driver hash are single divisions of exact sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import query, table
+
+
+@query(
+    "er_fuzzy_levenshtein_join",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey AS pk, p_brand AS brand,
+             split_part(p_name, ' ', 1) AS adj,
+             split_part(p_name, ' ', 2) AS noun
+      FROM part
+    )
+    SELECT a.pk AS pk_a, b.pk AS pk_b, a.brand AS brand,
+           a.adj AS adj_a, b.adj AS adj_b,
+           CAST(levenshtein(a.adj, b.adj) AS INT) AS dist
+    FROM p a JOIN p b
+      ON a.brand = b.brand AND a.noun = b.noun AND a.pk < b.pk
+    WHERE levenshtein(a.adj, b.adj) <= 2
+    ORDER BY dist, pk_a, pk_b
+    LIMIT 100
+    """,
+)
+def er_fuzzy_levenshtein_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution by blocked edit distance: part records are
+    candidate duplicates when they share a blocking key (brand + the
+    name's noun) and their adjectives are within Levenshtein distance 2.
+    dist 0 = exact-name duplicates under different keys; 1-2 = typo-class
+    variants — the classic record-linkage ladder.
+
+    Scale shape: the join is BLOCKED — equi-keys (brand, noun) carry the
+    shuffle and the O(n²) edit-distance kernel runs only inside a block
+    (bounded by the brand×noun vocabulary, not the corpus), which is the
+    standard-blocking recipe every ER system uses instead of the
+    quadratic all-pairs scan. Levenshtein itself is the textbook DP —
+    identical integers in any engine — so the (dist, pk_a, pk_b) top-100
+    cut is deterministic. Compare er_blocked_name_match (exact-key
+    blocking); this row adds the approximate-comparator stage.
+    """
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_brand").alias("brand"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("adj"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
+    )
+    a = p.select(
+        F.col("pk").alias("pk_a"), "brand", F.col("adj").alias("adj_a"), "noun"
+    )
+    b = p.select(
+        F.col("pk").alias("pk_b"), "brand", F.col("adj").alias("adj_b"), "noun"
+    )
+    return (
+        a.join(b, ["brand", "noun"])
+        .where(F.col("pk_a") < F.col("pk_b"))
+        .withColumn("dist", F.levenshtein("adj_a", "adj_b").cast("int"))
+        .where(F.col("dist") <= 2)
+        .select("pk_a", "pk_b", "brand", "adj_a", "adj_b", "dist")
+        .orderBy("dist", "pk_a", "pk_b")
+        .limit(100)
+    )
+
+
+@query(
+    "window_rolling_distinct_users",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    pairs AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events)
+    SELECT CAST(days.d AS VARCHAR) AS day,
+           CAST(count(DISTINCT p.u) AS BIGINT) AS n_users_7d
+    FROM days JOIN pairs p ON p.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d ORDER BY day
+    """,
+)
+def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day EXACT distinct users per day — the sliding-window
+    COUNT(DISTINCT) that window frames cannot express (distinct isn't
+    frame-decomposable) and sketches only approximate.
+
+    The linear recipe: reduce events to distinct (user, day) pairs, then
+    EXPLODE each pair into the ≤7 window-end days it contributes to and
+    count distinct pairs per covered day — O(pairs·7) rows of two longs,
+    shuffled once on the day key. The oracle states the same thing as
+    the quadratic day×pair range join (fine for DuckDB's IEJoin at test
+    scale); at 100 TB the range join materializes |days|·|pairs| while
+    the explode form stays linear in the event log with a bounded ×7
+    fan-out — same trick as the interval-overlap and gap-fill rows.
+    Days at the tail (no events within 7 days prior — impossible here)
+    and beyond the data's edge are excluded by the semi-join with
+    observed days, keeping both forms aligned.
+    """
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("user_id").alias("u"), F.to_date("ts").alias("d")
+    ).distinct()
+    days = pairs.select("d").distinct().withColumnRenamed("d", "day")
+    cover = pairs.select(
+        "u", F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day")
+    ).distinct()
+    return (
+        cover.join(days, "day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_users_7d"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "n_users_7d")
+        .orderBy("day")
+    )
+
+
+@query(
+    "stats_weighted_median",
+    oracle="""
+    WITH rows_w AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             CAST(l_quantity AS BIGINT) AS w,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)),
+                        l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT flag,
+           CAST(max(tw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN cw * 2 >= tw THEN price END) AS DOUBLE)
+             AS weighted_median
+    FROM rows_w GROUP BY flag ORDER BY flag
+    """,
+)
+def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per return flag: the smallest price whose running
+    quantity-weight reaches half the group's total — order statistics
+    with weights, which percentile()/median() (unweighted) and
+    percentile_approx (sketched) don't cover.
+
+    Integer-exact end to end: weights are BIGINT, prices DECIMAL, and
+    the crossing test is `2·cumweight ≥ total` in integer space — no
+    division, so no float boundary to disagree on. One partitioned
+    window (running sum and group total ride the same sort) then a
+    conditional-min rollup to O(flags) rows, the same shape as the
+    discrete-quantile family (quantile_disc_doclen). 100 TB: groups here
+    are low-cardinality; for data-cardinality groups the same selection
+    degrades to range-partitioned offset lookup or the GK sketch.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    wq = F.col("l_quantity").cast("long")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        price, "l_orderkey", "l_linenumber"
+    )
+    wp = Window.partitionBy("l_returnflag")
+    rows_w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        price.alias("price"),
+        F.sum(wq).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum(wq).over(wp).alias("tw"),
+    )
+    return (
+        rows_w.groupBy("flag")
+        .agg(
+            F.max("tw").cast("long").alias("total_weight"),
+            F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("price")))
+            .cast("double")
+            .alias("weighted_median"),
+        )
+        .orderBy("flag")
+    )
+
+
+# Cumulative Poisson(1) thresholds scaled to 1e6: P(X <= k) for k = 0..6;
+# a uniform md5 bucket below threshold k yields count k (else 7). Both
+# engines evaluate the SAME literal CASE chain, so resample weights are
+# bit-identical — this is the Poisson bootstrap (counts ~ Poisson(1)
+# approximate multinomial resampling and, crucially for 100 TB, need no
+# global coordination: each row draws its own weight independently).
+_POIS = (367879, 735759, 919699, 980966, 996340, 999406, 999917)
+_B = 100  # bootstrap replicates
+
+
+def _pois_case_sql(bucket_expr: str) -> str:
+    clauses = " ".join(
+        f"WHEN {bucket_expr} < {t} THEN {k}" for k, t in enumerate(_POIS)
+    )
+    return f"CASE {clauses} ELSE 7 END"
+
+
+@query(
+    "stats_bootstrap_ci_mean",
+    oracle=f"""
+    WITH draws AS (
+      SELECT t.b AS b, d.n_chars AS v,
+             {_pois_case_sql("CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(t.b AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000000")} AS k
+      FROM documents d, range({_B}) t(b)
+    ),
+    means AS (
+      SELECT b,
+             CAST(sum(k * v) AS DOUBLE) / CAST(sum(k) AS DOUBLE) AS m
+      FROM draws GROUP BY b
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means
+    )
+    SELECT
+      CAST({_B} AS BIGINT) AS b_used,
+      (SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) FROM documents)
+        AS sample_mean,
+      (SELECT m FROM ranked WHERE rn = {max(1, int(_B * 0.025))}) AS ci_lo,
+      (SELECT m FROM ranked WHERE rn = {int(_B * 0.975)}) AS ci_hi
+    """,
+)
+def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% confidence interval for the mean document length via
+    the POISSON bootstrap: every (row, replicate) pair draws a weight
+    k ~ Poisson(1) from an md5-derived uniform, replicate means are
+    sum(k·v)/sum(k), and the CI bounds are rank-selected from the B
+    replicate means. Because the "randomness" is content-addressed
+    (md5 of doc_id:replicate), the whole interval is bit-reproducible
+    across runs, partitionings, and engines — the property that makes
+    resampled error bars auditable in a published data card.
+
+    Scale shape: the Poisson bootstrap is THE distributed bootstrap —
+    no replicate needs to see the whole sample (classic multinomial
+    resampling does), so the plan is scan → explode(×B) → one groupBy(b)
+    with map-side partial sums → B rows. v is integer (n_chars), the
+    sums are exact BIGINTs, and each replicate mean is ONE double
+    division — deterministic ordering for the rank selection.
+    """
+    d = table(spark, sf_dir, "documents")
+    draws = d.select(
+        F.col("n_chars").alias("v"),
+        F.col("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("b"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    k = F.lit(7)
+    for kk, t in reversed(list(enumerate(_POIS))):
+        k = F.when(bucket < t, F.lit(kk)).otherwise(k)
+    means = (
+        draws.withColumn("k", k)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("k") * F.col("v")).cast("double")
+                / F.sum("k").cast("double")
+            ).alias("m")
+        )
+    )
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m", "b")).alias("rn")
+    )
+    lo_rn = max(1, int(_B * 0.025))
+    hi_rn = int(_B * 0.975)
+    bounds = ranked.agg(
+        F.max(F.when(F.col("rn") == lo_rn, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == hi_rn, F.col("m"))).alias("ci_hi"),
+    )
+    grand = d.agg(
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("sample_mean")
+    )
+    return (
+        grand.crossJoin(bounds)
+        .select(
+            F.lit(_B).cast("long").alias("b_used"),
+            "sample_mean",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
