@@ -14,12 +14,14 @@ from . import relational4  # noqa: F401,E402
 from . import relational5  # noqa: F401,E402
 from . import relational6  # noqa: F401,E402
 from . import relational7  # noqa: F401,E402
+from . import relational8  # noqa: F401,E402
 from . import logpipe  # noqa: F401,E402
 from . import llmdata  # noqa: F401,E402
 from . import llmdata2  # noqa: F401,E402
 from . import llmdata3  # noqa: F401,E402
 from . import llmdata4  # noqa: F401,E402
 from . import llmdata5  # noqa: F401,E402
+from . import llmdata6  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import pipeline_ops2  # noqa: F401,E402

@@ -1,0 +1,239 @@
+"""LLM-data ops, round 3 batch 7: tokenizer vocabulary coverage,
+asymmetric containment dedup, and mergeable MinHash source signatures.
+
+Three corpus-curation operators completing the dedup/analysis families:
+OOV (out-of-vocabulary) rate per language against a corpus-derived
+top-k vocabulary — the tokenizer-coverage report every data card
+publishes; shingle CONTAINMENT (|A∩B|/|A|) — the asymmetric near-dup
+measure that catches quote-inclusion and subset duplication where
+symmetric Jaccard stays low; and per-source MinHash signatures built
+with an engine-portable md5 hash family, demonstrating the mergeable
+property (union signature = elementwise min) that makes sketches
+shippable across 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import word_shingles
+from .core import query, table
+
+_TOPK_VOCAB = 10
+_N_PERMS = 8
+
+
+@query(
+    "text_vocab_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM counts
+      ) WHERE rk <= {_TOPK_VOCAB}
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS total_tokens,
+           CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS oov_tokens,
+           CAST(count(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS oov_rate
+    FROM toks LEFT JOIN vocab v ON toks.tok = v.tok
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage: build a top-k vocabulary by corpus
+    term frequency (deterministic tie-break on the token), then measure
+    the per-language OOV rate — the fraction of token OCCURRENCES not
+    covered. This is the coverage report run before committing to a
+    tokenizer: languages with high OOV get mangled into byte-fallback
+    soup during training.
+
+    Scale shape: two-phase like tf-idf — token counts fold map-side to
+    vocabulary-cardinality rows; the top-k rank windows over VOCABULARY
+    rows (bounded, not corpus-sized); the vocab probe is a broadcast
+    LEFT join at scan stage. OOV rate is one double division of exact
+    counts. 100 TB: the only corpus-sized shuffle is the token count;
+    everything after is vocabulary-bounded.
+    """
+    toks = table(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.select(
+            "tok",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), F.col("tok")))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= _TOPK_VOCAB)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("oov_tokens"),
+            (
+                F.count(F.when(F.col("in_vocab").isNull(), 1)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "dedup_containment_shingles",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 2 + 1),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks
+    ),
+    post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    common AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+      FROM post l JOIN post r ON l.g = r.g AND l.doc_id <> r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, c AS n_common, sa.n AS n_a,
+           CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+    FROM common JOIN sizes sa ON common.id_a = sa.doc_id
+    WHERE c * 5 >= sa.n * 4
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_containment_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup: C(A,B) = |shingles(A) ∩ shingles(B)|
+    / |shingles(A)| ≥ 0.8 flags document A as (near-)contained in B —
+    the quote-inclusion/subset-duplicate case where symmetric Jaccard
+    can stay arbitrarily low (a paragraph inside a book). Ordered pairs
+    in BOTH directions; the threshold test is the integer cross-multiply
+    `5·c ≥ 4·n_a`, so no float decides membership.
+
+    Scale shape: identical inverted-index posting join as
+    dedup_ngram_jaccard (co-occurrence-bounded, never all-pairs), one
+    extra broadcast-sized join for |A|. The MinHash analog for scale is
+    containment-LSH over the same banded buckets (decontam_ngram_overlap
+    is the one-sided eval-set special case of this operator).
+    """
+    d = table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    sh = d.select(
+        F.col("doc_id").alias("_id"), word_shingles(F.col("text"), 3).alias("_s")
+    )
+    sizes = sh.select("_id", F.size("_s").alias("_n"))
+    post = sh.select("_id", F.explode("_s").alias("g"))
+    l, r = post.alias("l"), post.alias("r")
+    common = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l._id") != F.col("r._id")))
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    return (
+        common.join(sa, common.id_a == F.col("sa._id"))
+        .filter(F.col("n_common") * 5 >= F.col("sa._n") * 4)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.col("sa._n").alias("n_a"),
+            (F.col("n_common").cast("double") / F.col("sa._n").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "sketch_minhash_source_merge",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    post AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(t) - 2 + 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks
+    ),
+    hashed AS (
+      SELECT source, p.perm AS perm,
+             CAST(('0x' || substr(md5(g || '#' || CAST(p.perm AS VARCHAR)), 1, 12))
+                  AS UBIGINT) AS h
+      FROM post, range({_N_PERMS}) p(perm)
+    ),
+    per_source AS (
+      SELECT source, perm, min(h) AS sig FROM hashed GROUP BY source, perm
+    )
+    SELECT source, CAST(perm AS INT) AS perm, CAST(sig AS BIGINT) AS sig
+    FROM per_source
+    UNION ALL
+    SELECT '__all__' AS source, CAST(perm AS INT) AS perm,
+           CAST(min(sig) AS BIGINT) AS sig
+    FROM per_source GROUP BY perm
+    ORDER BY source, perm
+    """,
+)
+def sketch_minhash_source_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable MinHash signatures per source, plus the merged corpus
+    signature — proving the property that makes MinHash a 100 TB
+    sketch: the signature of a UNION is the elementwise MIN of the
+    signatures, so per-partition/per-source sketches combine without
+    revisiting data (same contract as the HLL and GK rows). The hash
+    family is md5-derived (operators/sampling.py recipe) rather than
+    xxhash64 precisely so the sketch is ENGINE-portable — the oracle
+    rebuilds every lane bit-exact in DuckDB.
+
+    Scale shape: shingle postings fold to (source, perm) minimums
+    map-side — the shuffle carries |sources|·|perms| partial rows, not
+    postings; the corpus-level merge reads the per-source RESULT
+    (sketch-sized), never the data. Jaccard-from-signature estimation
+    between sources is then signature-width work on the driver.
+    """
+    d = table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    post = (
+        d.select("source", F.explode(word_shingles(F.col("text"), 3)).alias("g"))
+        .distinct()
+        .select(
+            "source", "g", F.explode(F.sequence(F.lit(0), F.lit(_N_PERMS - 1))).alias("perm")
+        )
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("g"), F.lit("#"), F.col("perm"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    per_source = (
+        post.select("source", "perm", h.alias("h"))
+        .groupBy("source", "perm")
+        .agg(F.min("h").alias("sig"))
+    )
+    merged = per_source.groupBy("perm").agg(F.min("sig").alias("sig")).select(
+        F.lit("__all__").alias("source"), "perm", "sig"
+    )
+    return (
+        per_source.select("source", F.col("perm").cast("int").alias("perm"), "sig")
+        .unionByName(merged.select("source", F.col("perm").cast("int").alias("perm"), "sig"))
+        .orderBy("source", "perm")
+    )

@@ -1,0 +1,199 @@
+"""Relational battery, round 3 batch 7: point-in-time dimension lookup
+against SCD2 history, and the IGNORE NULLS window-function surface.
+
+The PIT join is the consumption side of scd2_customer_priority_history
+(diagnostics.py): given versioned dimension intervals, find the regime
+effective at each fact row's date — implemented the SCALE-shaped way
+(union + ordered window carry-forward, one shuffle) while the oracle
+states the naive interval range-join. The IGNORE NULLS battery covers
+first_value/last_value/nth_value/lag-with-default — the sparse-column
+carry semantics every gap-fill and "latest known value" query needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import query, table
+
+
+@query(
+    "scd2_pit_asof_lookup",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ),
+    hist AS (
+      SELECT o_custkey AS k, o_orderpriority AS priority,
+             o_orderdate AS valid_from,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS version
+      FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority
+    ),
+    pit AS (
+      SELECT o.o_orderkey, o.o_custkey, max(h.version) AS version
+      FROM orders o JOIN hist h
+        ON h.k = o.o_custkey AND h.valid_from <= o.o_orderdate
+      GROUP BY o.o_orderkey, o.o_custkey
+    )
+    SELECT h.priority, CAST(pit.version AS INT) AS version,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM pit JOIN hist h ON h.k = pit.o_custkey AND h.version = pit.version
+    GROUP BY h.priority, pit.version
+    ORDER BY priority, version
+    """,
+)
+def scd2_pit_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each order resolves the SCD2
+    priority regime (scd2_customer_priority_history) effective at its
+    order date — max version whose valid_from ≤ date — then rolls up to
+    (priority, version) cells. This is the fact-to-versioned-dimension
+    join every warehouse and every training-data snapshot
+    reconstruction ("what did the label say AT THE TIME") performs.
+
+    Scale shape: the oracle states the naive interval range join +
+    argmax; the Spark plan is the linear as-of recipe instead — UNION
+    the version-start rows with the probe rows, ONE (custkey, date,
+    kind) sort, and a running last(version IGNORE NULLS) carries the
+    effective regime onto every probe. No range join, no per-probe
+    rescan: one exchange on the natural key, same recipe as
+    asof_join_click_before_purchase. History rows sort BEFORE probes on
+    the same date (kind 0 < 1), so a regime starting the day of the
+    order applies to it — matching the oracle's `valid_from <= date`
+    with max(version) for same-day version stacks.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderpriority",
+            "o_orderdate",
+            F.lag("o_orderpriority").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("d"),
+            F.row_number().over(w).alias("version"),
+        )
+    )
+    starts = hist.select(
+        "k", "d", F.lit(0).alias("kind"), "version", "priority",
+        F.lit(None).cast("long").alias("okey"),
+    )
+    probes = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("d"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("int").alias("version"),
+        F.lit(None).cast("string").alias("priority"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    wa = (
+        Window.partitionBy("k")
+        .orderBy("d", "kind", "version")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = starts.unionByName(probes).select(
+        "kind",
+        F.last("version", ignorenulls=True).over(wa).alias("version"),
+        F.last("priority", ignorenulls=True).over(wa).alias("priority"),
+    )
+    return (
+        carried.filter(F.col("kind") == 1)
+        .groupBy("priority", "version")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("priority", "version")
+    )
+
+
+@query(
+    "window_ignore_nulls_battery",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             CASE WHEN o_orderstatus = 'F'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END AS fprice
+      FROM orders
+    ),
+    win AS (
+      SELECT o_custkey,
+             row_number() OVER w_ord AS rn,
+             count(*) OVER w_all AS n_orders,
+             first_value(fprice IGNORE NULLS) OVER w_all AS first_f,
+             last_value(fprice IGNORE NULLS) OVER w_all AS last_f,
+             nth_value(fprice, 2 IGNORE NULLS) OVER w_all AS second_f,
+             lag(price, 1, CAST(0 AS DECIMAL(18,2))) OVER w_ord AS prev_price
+      FROM x
+      WINDOW
+        w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        w_all AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_custkey,
+           CAST(n_orders AS BIGINT)      AS n_orders,
+           CAST(first_f AS DOUBLE)       AS first_f,
+           CAST(last_f AS DOUBLE)        AS last_f,
+           CAST(second_f AS DOUBLE)      AS second_f,
+           CAST(prev_price AS DOUBLE)    AS last_prev_price
+    FROM win WHERE rn = n_orders
+    ORDER BY o_custkey
+    """,
+)
+def window_ignore_nulls_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window surface: first/last/nth non-null value of a
+    sparse column (price of 'F'-status orders) over a full-partition
+    frame, plus lag with an explicit default — evaluated at each
+    customer's final order row. This is the "latest known value" /
+    sparse-carry semantics that forward-fill, gap-fill, and SCD
+    consumption all build on; NULL-sensitive evaluation order is a
+    classic cross-engine divergence, pinned here value-exact.
+
+    Plan shape: both windows share one (custkey, date, orderkey) sort —
+    one exchange, one sort, four window functions; the rn = n_orders
+    filter reduces to one row per customer without a second shuffle.
+    100 TB: partition-bounded windows over the natural key — the same
+    single-exchange recipe as the SCD2 builders.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v8_orders")
+    return spark.sql(
+        """
+        WITH x AS (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                 CASE WHEN o_orderstatus = 'F'
+                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END AS fprice
+          FROM v8_orders
+        ),
+        win AS (
+          SELECT o_custkey,
+                 row_number() OVER w_ord AS rn,
+                 count(*) OVER w_all AS n_orders,
+                 first_value(fprice) IGNORE NULLS OVER w_all AS first_f,
+                 last_value(fprice) IGNORE NULLS OVER w_all AS last_f,
+                 nth_value(fprice, 2) IGNORE NULLS OVER w_all AS second_f,
+                 lag(price, 1, CAST(0 AS DECIMAL(18,2))) OVER w_ord AS prev_price
+          FROM x
+          WINDOW
+            w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            w_all AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        )
+        SELECT o_custkey,
+               CAST(n_orders AS BIGINT)      AS n_orders,
+               CAST(first_f AS DOUBLE)       AS first_f,
+               CAST(last_f AS DOUBLE)        AS last_f,
+               CAST(second_f AS DOUBLE)      AS second_f,
+               CAST(prev_price AS DOUBLE)    AS last_prev_price
+        FROM win WHERE rn = n_orders
+        ORDER BY o_custkey
+        """
+    )
