@@ -72,6 +72,55 @@ def join_initial_to_close(
     )
 
 
+def join_initial_to_close_outer(
+    parsed: DataFrame,
+    watermark: str = "10 minutes",
+    max_duration: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: like ``join_initial_to_close`` but
+    opens that never close inside ``max_duration`` are still emitted —
+    with NULL close fields and ``matched = false`` — once the watermark
+    proves no close can arrive. This is the declarative rendering of the
+    reference's session-timeout eviction (ST5, the state-leak fix): the
+    engine, not user code, decides when an open is an orphan, and the
+    orphan itself becomes a row instead of a counter.
+
+    Outer-join mechanics worth knowing: NULL-side rows can only be
+    produced AFTER the watermark passes ``open_ts + max_duration`` —
+    so emission is delayed by (at least) one micro-batch beyond that
+    point, and both sides MUST carry watermarks. State size and
+    semantics are otherwise identical to the inner form.
+    """
+    k = F.col("event_kind")
+    opens = parsed.filter(k == "initial").select(
+        F.col("id").alias("open_id"),
+        F.col("ts").alias("open_ts"),
+        F.col("host"), F.col("port"), F.col("pid"), F.col("query"),
+    )
+    closes = parsed.filter(k == "memory").select(
+        F.col("id").alias("close_id"),
+        F.col("ts").alias("close_ts"),
+        F.col("memory_raw"),
+    )
+    if parsed.isStreaming:
+        opens = opens.withWatermark("open_ts", watermark)
+        closes = closes.withWatermark("close_ts", watermark)
+    cond = (
+        (F.col("open_id") == F.col("close_id"))
+        & (F.col("close_ts") >= F.col("open_ts"))
+        & (F.col("close_ts") <= F.col("open_ts") + F.expr(f"INTERVAL {max_duration}"))
+    )
+    joined = opens.join(closes, cond, "leftOuter")
+    return joined.select(
+        F.col("open_id").alias("id"),
+        "host", "port", "pid", "query",
+        F.col("open_ts").alias("start_time"),
+        F.col("close_ts").alias("end_time"),
+        ((F.unix_micros(F.col("close_ts")) - F.unix_micros(F.col("open_ts"))) / 1e6).alias("elapsed"),
+        F.col("close_ts").isNotNull().alias("matched"),
+    )
+
+
 def enrich_stream_static(stream: DataFrame, dim: DataFrame, key: str, how: str = "left") -> DataFrame:
     """Stream-static join: enrich an unbounded stream with a bounded
     dimension table (the metrics pipeline's analog: tagging each parsed

@@ -19,6 +19,7 @@ from prometheus_clickhouselog_exporter_spark.streaming.joins import (
     dedup_initial_stream,
     enrich_stream_static,
     join_initial_to_close,
+    join_initial_to_close_outer,
 )
 
 T = datetime(2024, 5, 1, 10, 0, 0)
@@ -109,6 +110,57 @@ def test_stream_dedup_first_initial_wins(spark, tmp_path):
         rows = {r["id"]: r for r in spark.sql("SELECT * FROM dedup_stream").collect()}
         assert set(rows) == {"q-dup", "q-other"}
         assert rows["q-dup"]["host"] == "10.0.0.1"  # first wins (query.go:91-95)
+    finally:
+        q.stop()
+
+
+def test_stream_stream_left_outer_emits_orphan_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: the matched pair emits normally;
+    the never-closed open emits with NULLs + matched=false only after
+    the watermark passes open_ts + max_duration (engine-driven orphan
+    detection — the declarative ST5 timeout)."""
+    log_dir = tmp_path / "logs"
+    log_dir.mkdir()
+    FixtureLog(
+        [
+            initial_line(T, 1, "q-a", "10.0.0.1", 9000, "SELECT 1"),
+            initial_line(T + timedelta(seconds=2), 1, "q-orphan", "10.0.0.2", 9001, "SELECT 2"),
+            memory_line(T + timedelta(seconds=1), 1, "q-a", "1.00 MiB"),
+        ]
+    ).write(str(log_dir / "00.log"))
+
+    q = (
+        join_initial_to_close_outer(
+            _stream(spark, log_dir), watermark="1 minute", max_duration="1 minute"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_outer")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r["id"]: r for r in spark.sql("SELECT * FROM ss_outer").collect()}
+        assert set(rows) == {"q-a"} and rows["q-a"]["matched"] is True
+
+        # advance event time far beyond open_ts + max_duration + watermark
+        # on BOTH inputs (the global watermark is the min across sides);
+        # NULL-side emission may trail by one more micro-batch, so push two.
+        for i, mins in enumerate((10, 11)):
+            FixtureLog(
+                [
+                    initial_line(T + timedelta(minutes=mins), 9, f"q-adv{i}", "10.0.0.9", 9009, "SELECT 9"),
+                    memory_line(T + timedelta(minutes=mins), 9, f"q-adv{i}", "9.00 MiB"),
+                ]
+            ).write(str(log_dir / f"0{i + 1}.log"))
+            q.processAllAvailable()
+        rows = {r["id"]: r for r in spark.sql("SELECT * FROM ss_outer").collect()}
+        assert "q-orphan" in rows
+        orphan = rows["q-orphan"]
+        assert orphan["matched"] is False
+        assert orphan["end_time"] is None and orphan["elapsed"] is None
+        assert orphan["host"] == "10.0.0.2"
     finally:
         q.stop()
 
