@@ -115,6 +115,133 @@ def scd2_pit_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_incremental_merge",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate
+      FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority
+    ),
+    hist AS (
+      SELECT o_custkey, o_orderpriority AS priority,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS valid_to,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS version
+      FROM changes
+    )
+    SELECT o_custkey, priority,
+           CAST(valid_from AS VARCHAR) AS valid_from,
+           CAST(valid_to AS VARCHAR) AS valid_to,
+           CAST(version AS INT) AS version,
+           valid_to IS NULL AS is_current
+    FROM hist
+    """,
+)
+def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SCD2 maintenance, certified equal to a full rebuild:
+    the fact log is split at a cutoff date; history is built from the
+    base half, then the delta half is MERGED in — each customer's
+    current regime becomes a seed row, delta orders change-detect
+    against it, and new versions append with offset numbering — without
+    ever re-reading the base facts. The oracle rebuilds from the FULL
+    log, so a hash match proves incremental == rebuild, the property
+    that lets a 100 TB dimension update from a day's delta instead of a
+    full-history recompute (the warehouse MERGE INTO pattern, stated as
+    pure windows).
+
+    Why it's sound: change detection only needs the PREVIOUS order's
+    priority, and the previous order of the first delta row is exactly
+    the base regime's priority (a regime IS its last order's priority);
+    all base rows precede all delta rows in (date, key) order, so
+    version offsets add. The cross-boundary valid_to closes via one
+    lead() over the unioned history — history-sized, not fact-sized.
+
+    Scale: base-history build shuffles base facts once on the natural
+    key; the merge shuffles ONLY delta facts + history-sized seeds.
+    """
+    split = "1996-01-01"
+    o = table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderdate") < F.lit(split).cast("timestamp"))
+    delta = o.filter(F.col("o_orderdate") >= F.lit(split).cast("timestamp"))
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    base_changes = (
+        base.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderpriority",
+            "o_orderdate",
+            F.lag("o_orderpriority").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("vfrom"),
+            F.row_number().over(w).alias("version"),
+        )
+    )
+    base_cur = base_changes.groupBy("k").agg(
+        F.max("version").alias("base_v"),
+        F.max_by("priority", "version").alias("cur_prio"),
+    )
+    seed = base_cur.select(
+        "k",
+        F.lit("1900-01-01").cast("timestamp").alias("d"),
+        F.lit(0).alias("kind"),
+        F.col("cur_prio").alias("priority"),
+        F.lit(None).cast("long").alias("okey"),
+    )
+    du = seed.unionByName(
+        delta.select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("d"),
+            F.lit(1).alias("kind"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").alias("okey"),
+        )
+    )
+    wd = Window.partitionBy("k").orderBy("d", "kind", "okey")
+    new_changes = (
+        du.withColumn("prev", F.lag("priority").over(wd))
+        .filter(
+            (F.col("kind") == 1)
+            & (F.col("prev").isNull() | (F.col("prev") != F.col("priority")))
+        )
+        .select(
+            "k",
+            "priority",
+            F.col("d").alias("vfrom"),
+            F.row_number().over(wd).alias("rn"),
+        )
+        .join(base_cur.select("k", "base_v"), "k", "left")
+        .select(
+            "k",
+            "priority",
+            "vfrom",
+            (F.col("rn") + F.coalesce(F.col("base_v"), F.lit(0))).alias("version"),
+        )
+    )
+    hist = base_changes.unionByName(new_changes)
+    wh = Window.partitionBy("k").orderBy("version")
+    return hist.select(
+        F.col("k").alias("o_custkey"),
+        "priority",
+        F.col("vfrom").cast("string").alias("valid_from"),
+        F.lead("vfrom").over(wh).cast("string").alias("valid_to"),
+        F.col("version").cast("int").alias("version"),
+        F.lead("vfrom").over(wh).isNull().alias("is_current"),
+    )
+
+
+@query(
     "window_ignore_nulls_battery",
     oracle="""
     WITH x AS (

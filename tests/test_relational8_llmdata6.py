@@ -13,6 +13,7 @@ from prometheus_clickhouselog_exporter_spark.workloads.llmdata6 import (
     text_vocab_oov_rate,
 )
 from prometheus_clickhouselog_exporter_spark.workloads.relational8 import (
+    scd2_incremental_merge,
     scd2_pit_asof_lookup,
     window_ignore_nulls_battery,
 )
@@ -43,6 +44,39 @@ def test_pit_lookup_hand_values(spark, tmp_path):
         for r in scd2_pit_asof_lookup(spark, str(tmp_path)).collect()
     }
     assert out == {("P1", 1): 1, ("P2", 2): 2}
+
+
+def test_scd2_incremental_boundary_cases(spark, tmp_path):
+    """The two boundary traps: a delta order whose priority EQUALS the
+    base regime must NOT open a version; a customer first seen in the
+    delta numbers from version 1. Split date is 1996-01-01."""
+
+    def o(k, cust, y, m, d, prio):
+        return Row(
+            o_orderkey=k,
+            o_custkey=cust,
+            o_orderdate=datetime.datetime(y, m, d),
+            o_orderpriority=prio,
+        )
+
+    rows = [
+        o(1, 1, 1995, 1, 1, "A"),  # base: v1 A
+        o(2, 1, 1995, 6, 1, "B"),  # base: v2 B (current at split)
+        o(3, 1, 1996, 2, 1, "B"),  # delta, same as regime: NO new version
+        o(4, 1, 1996, 3, 1, "A"),  # delta: v3 A
+        o(5, 2, 1996, 5, 1, "C"),  # delta-only customer: v1 C
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/orders.parquet")
+    out = {
+        (r.o_custkey, r.version): (r.priority, r.is_current)
+        for r in scd2_incremental_merge(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        (1, 1): ("A", False),
+        (1, 2): ("B", False),
+        (1, 3): ("A", True),
+        (2, 1): ("C", True),
+    }
 
 
 def test_ignore_nulls_hand_values(spark, tmp_path):
