@@ -57,31 +57,38 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules: co-occurrence support, confidence
     and lift for part pairs bought in the same order, top-100 by lift.
 
-    Pair generation is a self-join of the DISTINCT (order, part) set on
-    the order key with pk_a < pk_b — the blow-up is bounded by the
-    per-basket item count (C(k,2), k ≤ ~13 in this schema), NOT by the
-    corpus, so at 100 TB the shuffle is |orders|·C(k,2) pairs of three
-    longs each. Item/pair counts fold map-side; the two item-count joins
-    key on partkey (dimension-sized ⇒ broadcast under AQE). Lift and
-    confidence are each ONE double division of exact integer products —
-    bit-identical across engines, so the top-100 cut (lift DESC, then
-    pair key) is deterministic.
+    The fact table is read ONCE: baskets materialize as one sorted
+    distinct-parts array per order (a single groupBy shuffle,
+    localCheckpoint so the three consumers — pair counts, item counts,
+    order count — never rescan the 100 TB input; this is the
+    transaction-list build every FP-growth first pass does). Pairs then
+    come from a double in-row explode bounded by the per-basket item
+    count (C(k,2), k ≤ ~13 here), NOT by the corpus; item/pair counts
+    fold map-side and the item-count joins key on partkey
+    (dimension-sized ⇒ broadcast under AQE). Lift and confidence are
+    each ONE double division of exact integer products — bit-identical
+    across engines, so the top-100 cut (lift DESC, then pair key) is
+    deterministic.
 
     Reference analog: none (exporter has no joins); this is an
     engine-category row — the standard FP-growth-lite first pass every
     retail/co-occurrence pipeline runs before rule mining.
     """
-    items = (
+    baskets = (
         table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=False)
     )
-    n_orders = items.select(F.countDistinct("okey").alias("n_orders"))
-    item_counts = items.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
-    a = items.select(F.col("okey"), F.col("pk").alias("pk_a"))
-    b = items.select(F.col("okey"), F.col("pk").alias("pk_b"))
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    item_counts = (
+        baskets.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
     pairs = (
-        a.join(b, ["okey"])
+        baskets.select(F.explode("parts").alias("pk_a"), "parts")
+        .select("pk_a", F.explode("parts").alias("pk_b"))
         .where(F.col("pk_a") < F.col("pk_b"))
         .groupBy("pk_a", "pk_b")
         .agg(F.count(F.lit(1)).alias("pair_orders"))
@@ -199,12 +206,19 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrade path as the quantile family.
     """
     o = table(spark, sf_dir, "orders")
-    m = o.groupBy(F.col("o_custkey").alias("k")).agg(
-        F.datediff(
-            F.lit("1998-12-01").cast("date"), F.max(F.col("o_orderdate").cast("date"))
-        ).alias("r"),
-        F.count(F.lit(1)).alias("f"),
-        F.sum(money(F.col("o_totalprice"))).alias("mon"),
+    # one fact pass: the per-customer aggregate feeds the three unpivot
+    # branches AND the scoring scan — checkpoint it instead of 4 rescans.
+    m = (
+        o.groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.datediff(
+                F.lit("1998-12-01").cast("date"),
+                F.max(F.col("o_orderdate").cast("date")),
+            ).alias("r"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(money(F.col("o_totalprice"))).alias("mon"),
+        )
+        .localCheckpoint(eager=False)
     )
     dec = "decimal(18,2)"
     u = (
