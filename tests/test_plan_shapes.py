@@ -201,3 +201,42 @@ def test_corr_moments_single_exchange_no_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_basket_pairs_single_fact_pass(spark):
+    """basket_pair_lift materializes baskets ONCE (localCheckpoint): the
+    final plan must contain NO parquet rescans of lineitem — all three
+    consumers (pair counts, item counts, order count) read the
+    checkpointed baskets, and the small sides broadcast."""
+    df = QUERIES["basket_pair_lift"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan  # leaf is the checkpoint, not the table
+    assert "SortMergeJoin" not in plan
+
+
+def test_rfm_single_fact_pass(spark):
+    """rfm_customer_segments checkpoints the per-customer aggregate; the
+    unpivot branches and scoring scan must not rescan orders."""
+    df = QUERIES["rfm_customer_segments"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pit_lookup_no_range_join(spark):
+    """scd2_pit_asof_lookup is the linear as-of recipe: union + ordered
+    windows — never a range/theta join (BroadcastNestedLoop or
+    cartesian), which is the quadratic form the oracle states."""
+    df = QUERIES["scd2_pit_asof_lookup"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" not in plan  # pure union + window + aggregate
+
+
+def test_rolling_distinct_is_linear_explode(spark):
+    """window_rolling_distinct_users must plan the bounded ×7 explode +
+    equi-join form, not a range join against the day list."""
+    df = QUERIES["window_rolling_distinct_users"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
