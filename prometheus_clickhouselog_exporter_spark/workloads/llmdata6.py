@@ -239,6 +239,106 @@ def sketch_minhash_source_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PI_ITERS = 3
+
+
+def _pi_iteration_sql(i: int) -> str:
+    """One unrolled power-iteration step in the oracle's CTE chain:
+    quantized per-row dot (1e9), quantized component sums (1e6),
+    quantized norm (1e12) — every cross-element summation is an exact
+    BIGINT fold, so reduction order cannot matter in either engine."""
+    dot = "xj * 0.125" if i == 1 else f"xj * v{i - 1}.v"
+    join = "" if i == 1 else f" JOIN v{i - 1} USING (j)"
+    return f"""
+    s{i} AS (
+      SELECT vec_id,
+             sum(CAST(floor({dot} * 1e9) AS BIGINT)) AS si
+      FROM x_long{join}
+      GROUP BY vec_id
+    ),
+    w{i} AS (
+      SELECT j, sum(CAST(floor(xj * (s{i}.si / 1e9) * 1e6) AS BIGINT)) AS wi
+      FROM x_long JOIN s{i} USING (vec_id) GROUP BY j
+    ),
+    n{i} AS (
+      SELECT sqrt(sum(CAST(floor((wi / 1e6) * (wi / 1e6) * 1e12) AS BIGINT))
+                  / 1e12) AS nrm
+      FROM w{i}
+    ),
+    v{i} AS (SELECT j, (wi / 1e6) / n{i}.nrm AS v FROM w{i}, n{i})"""
+
+
+@query(
+    "embedding_power_iteration_pc1",
+    oracle=f"""
+    WITH x_long AS (
+      SELECT vec_id, r.j, CAST(embedding[r.j + 1] AS DOUBLE) AS xj
+      FROM embeddings, range(64) r(j)
+    ),
+    {",".join(_pi_iteration_sql(i) for i in range(1, _PI_ITERS + 1))}
+    SELECT CAST(v{_PI_ITERS}.j AS INT) AS dim, v{_PI_ITERS}.v AS pc1,
+           n{_PI_ITERS}.nrm AS eigval_proxy
+    FROM v{_PI_ITERS}, n{_PI_ITERS}
+    ORDER BY dim
+    """,
+)
+def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix by MATRIX-FREE
+    power iteration — v ← normalize(Σ_rows x·(x·v)) for 3 fixed
+    iterations from v₀ = 1/√64 — the iterative-linear-algebra row next
+    to PageRank/BFS/CC: Gram matrix never materializes, each step is one
+    scan + one 64-group aggregate, which is exactly how Krylov methods
+    run on a 100 TB matrix (the per-iteration reduction is d numbers,
+    not d²).
+
+    Bit-reproducibility is the hard part and the point: EVERY
+    cross-element summation — the per-row dot, the per-dimension
+    component sums, the squared norm — folds exact BIGINTs (floor
+    quantization at 1e9/1e6/1e12), so neither Spark's partition order
+    nor DuckDB's aggregation order can perturb a single bit; the only
+    float ops are single multiplies/divides/sqrt evaluated identically
+    from identical inputs. The oracle unrolls all three iterations in
+    SQL and must land on the same 64-vector to the last bit.
+
+    Scale: the embedding scan is checkpointed once and re-read per
+    iteration (3 passes total); the shuffle per pass carries 64
+    partial-sum rows per task. Driver work is the 64-element normalize.
+    """
+    import math
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    ).localCheckpoint(eager=False)
+
+    d = 64
+    v = [0.125] * d
+    nrm = 0.0
+    for _ in range(_PI_ITERS):
+        v_lit = F.array(*[F.lit(float(c)) for c in v])
+        q_terms = F.zip_with(
+            F.col("e"), v_lit, lambda a, b: F.floor(a * b * 1e9).cast("long")
+        )
+        s_int = F.aggregate(q_terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+        rows = (
+            base.select((s_int / 1e9).alias("s"), F.posexplode("e").alias("j", "xj"))
+            .select("j", F.floor(F.col("xj") * F.col("s") * 1e6).cast("long").alias("q"))
+            .groupBy("j")
+            .agg(F.sum("q").alias("wi"))
+            .collect()
+        )
+        w = {r["j"]: r["wi"] / 1e6 for r in rows}
+        wv = [w.get(j, 0.0) for j in range(d)]
+        nrm = math.sqrt(sum(int(math.floor(c * c * 1e12)) for c in wv) / 1e12)
+        v = [c / nrm for c in wv]
+
+    out = [(j, v[j], nrm) for j in range(d)]
+    return spark.createDataFrame(
+        out, "dim int, pc1 double, eigval_proxy double"
+    ).orderBy("dim")
+
+
 @query(
     "multimodal_audio_resample",
     oracle="""

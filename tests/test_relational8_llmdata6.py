@@ -173,6 +173,35 @@ def test_wav_resample_preserves_tone(spark):
         assert r.dominant_freq_hz == 100.0 + (r.doc_id % 25) * 8.0
 
 
+def test_power_iteration_improves_rayleigh_and_normalizes(spark):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from prometheus_clickhouselog_exporter_spark.workloads.llmdata6 import (
+        embedding_power_iteration_pc1,
+    )
+
+    rows = embedding_power_iteration_pc1(spark, SF_DIR).collect()
+    v = np.array([r.pc1 for r in sorted(rows, key=lambda r: r.dim)])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    X = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    G = X.T @ X
+
+    def rayleigh(u):
+        return float(u @ G @ u) / float(u @ u)
+
+    v0 = np.full(64, 0.125)
+    evals = np.linalg.eigvalsh(G)
+    # 3 iterations from uniform must beat the start and the average mode
+    assert rayleigh(v) > rayleigh(v0)
+    assert rayleigh(v) > float(np.mean(evals))
+    # quantized arithmetic ⇒ bit-identical across runs
+    rows2 = embedding_power_iteration_pc1(spark, SF_DIR).collect()
+    assert [r.pc1 for r in rows] == [r.pc1 for r in rows2]
+
+
 def test_oov_rate_bounds(spark):
     rows = text_vocab_oov_rate(spark, SF_DIR).collect()
     assert rows
