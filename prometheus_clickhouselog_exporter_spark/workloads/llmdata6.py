@@ -339,6 +339,133 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("dim")
 
 
+_KM_C = 4  # centroids
+_KM_ITERS = 2
+
+
+def _km_iteration_sql(i: int) -> str:
+    """One unrolled Lloyd step: quantized squared distances (BIGINT), argmin
+    by (distance, centroid id), centroid update from quantized component
+    sums / exact counts. c{i-1} is the previous centroid table (j, cid, cj)."""
+    return f"""
+    d{i} AS (
+      SELECT x_long.vec_id, c.cid,
+             sum(CAST(floor((xj - c.cj) * (xj - c.cj) * 1e9) AS BIGINT)) AS qd
+      FROM x_long JOIN c{i - 1} c USING (j)
+      GROUP BY x_long.vec_id, c.cid
+    ),
+    a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY qd, cid) AS rk
+        FROM d{i}
+      ) WHERE rk = 1
+    ),
+    c{i} AS (
+      SELECT x_long.j, a.cid,
+             (sum(CAST(floor(xj * 1e9) AS BIGINT)) / 1e9) / count(*) AS cj
+      FROM x_long JOIN a{i} a USING (vec_id)
+      GROUP BY x_long.j, a.cid
+    )"""
+
+
+@query(
+    "embedding_kmeans_lloyd",
+    oracle=f"""
+    WITH x_long AS (
+      SELECT vec_id, r.j, CAST(embedding[r.j + 1] AS DOUBLE) AS xj
+      FROM embeddings, range(64) r(j)
+    ),
+    c0 AS (
+      SELECT j, CAST(vec_id AS INT) AS cid, xj AS cj
+      FROM x_long WHERE vec_id < {_KM_C}
+    ),
+    {",".join(_km_iteration_sql(i) for i in range(1, _KM_ITERS + 1))}
+    SELECT a.cid AS cid,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min(a.vec_id) AS min_member,
+           CAST((SELECT sum(CAST(floor(c.cj * 1e6) AS BIGINT))
+                   FROM c{_KM_ITERS} c WHERE c.cid = a.cid) AS BIGINT)
+             AS centroid_q6_sum
+    FROM a{_KM_ITERS} a
+    GROUP BY a.cid ORDER BY cid
+    """,
+)
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means: two unrolled Lloyd iterations from a
+    content-addressed init (centroids = the 4 lowest vec_ids), with
+    every cross-row accumulation quantized to exact BIGINTs — squared
+    distances fold floor-quantized terms, assignments break ties by
+    (distance, centroid id), and centroid updates divide exact component
+    sums by exact counts. Unlike MLlib's KMeans (RNG init, float
+    reduction order), this run is bit-reproducible and the oracle
+    replays both iterations in SQL: per cluster it must match the member
+    count, the smallest member id, AND a quantized checksum of all 64
+    centroid coordinates.
+
+    Scale: the per-iteration plan is posexplode → broadcast-centroid
+    join → two map-side-combined aggregates (assignment argmin over
+    k rows/vector, update over k·d cells) — no pairwise materialization,
+    centroids collect O(k·d) to the driver per iteration exactly like
+    IVF training. The iterative trio (PageRank / power iteration /
+    Lloyd) shares this one-scan-per-round shape.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    base = (
+        emb.select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    x_long = base.select("vec_id", F.posexplode("e").alias("j", "xj"))
+
+    cent = (
+        x_long.filter(F.col("vec_id") < _KM_C)
+        .select("j", F.col("vec_id").cast("int").alias("cid"), F.col("xj").alias("cj"))
+    )
+    assign = None
+    for _ in range(_KM_ITERS):
+        qd = (
+            x_long.join(F.broadcast(cent), "j")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    F.floor(
+                        (F.col("xj") - F.col("cj")) * (F.col("xj") - F.col("cj")) * 1e9
+                    ).cast("long")
+                ).alias("qd")
+            )
+        )
+        assign = qd.groupBy("vec_id").agg(
+            F.min_by("cid", F.struct("qd", "cid")).alias("cid")
+        )
+        cent = (
+            x_long.join(assign, "vec_id")
+            .groupBy("j", "cid")
+            .agg(
+                (
+                    (F.sum(F.floor(F.col("xj") * 1e9).cast("long")) / 1e9)
+                    / F.count(F.lit(1))
+                ).alias("cj")
+            )
+            .localCheckpoint(eager=False)
+        )
+    checksum = cent.groupBy("cid").agg(
+        F.sum(F.floor(F.col("cj") * 1e6).cast("long")).alias("centroid_q6_sum")
+    )
+    return (
+        assign.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_member"),
+        )
+        .join(checksum, "cid")
+        .select("cid", "n_members", "min_member", "centroid_q6_sum")
+        .orderBy("cid")
+    )
+
+
 @query(
     "multimodal_audio_resample",
     oracle="""

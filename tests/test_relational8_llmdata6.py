@@ -202,6 +202,18 @@ def test_power_iteration_improves_rayleigh_and_normalizes(spark):
     assert [r.pc1 for r in rows] == [r.pc1 for r in rows2]
 
 
+def test_kmeans_partitions_corpus_and_is_stable(spark):
+    from prometheus_clickhouselog_exporter_spark.workloads.llmdata6 import (
+        embedding_kmeans_lloyd,
+    )
+
+    rows = embedding_kmeans_lloyd(spark, SF_DIR).collect()
+    assert len(rows) == 4  # no cluster died on this corpus
+    assert sum(r.n_members for r in rows) == 500  # every vector assigned once
+    rows2 = embedding_kmeans_lloyd(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]  # bit-stable
+
+
 def test_oov_rate_bounds(spark):
     rows = text_vocab_oov_rate(spark, SF_DIR).collect()
     assert rows
