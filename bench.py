@@ -58,6 +58,12 @@ HEADLINE = [
     "cohort_retention_events",
     "text_bpe_merge_candidates",
     "layout_zorder_manifest",
+    # r3 session 4: single-pass checkpointed basket mining, matrix-free
+    # quantized power iteration (3 driver-looped jobs charged to the timed
+    # region), incremental SCD2 merge (seeded change-detect windows)
+    "basket_pair_lift",
+    "embedding_power_iteration_pc1",
+    "scd2_incremental_merge",
 ]
 
 
