@@ -189,9 +189,11 @@ def minhash_lsh_dedup(
     Returns (id_a, id_b, jaccard) confirmed near-dup pairs.
     """
     cands = minhash_lsh_candidates(df, text_col, id_col, k, bands, shingle_n)
+    # both verification sides read the same shingle table — materialize
+    # once instead of re-shingling the corpus per join side (plan audit).
     sh = shingle_hashes(df, text_col, id_col, shingle_n).select(
         F.col("_sid").alias("_jid"), F.col("_shingle_hashes").alias("_sh")
-    )
+    ).localCheckpoint(eager=False)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))

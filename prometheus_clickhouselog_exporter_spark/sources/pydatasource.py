@@ -1,0 +1,87 @@
+"""Custom Python DataSource (Spark 4 API) for ClickHouse server logs.
+
+``spark.read.format("clickhouse_log")`` — the engine-native way to mount
+the reference's input (main.go: tail of clickhouse-server.log) as a
+first-class source. What it adds over ``spark.read.text``:
+
+- per-line PROVENANCE: (path, line_no) columns — text/json sources drop
+  the line number, which the exporter's error diagnostics want;
+- source validation at plan time: archives and missing paths are
+  rejected with the same rules as ``logsource.check_log_path`` (the
+  reference's -log-path sniff, fixed to actually fail on directories);
+- one InputPartition per file: a directory of rotated logs fans out
+  across executors without a repartition.
+
+Deliberate scope: this source yields RAW lines. The typed projection
+stays in the JVM expression pipeline (``operators/parsing.parse_log_lines``
+— 2.25 M lines/s scan-stage regexes); pushing parsing into the Python
+reader would drag every line through row-at-a-time Python, the documented
+slow path. The Python DataSource API is the right tool for FORMATS Spark
+lacks, not for work its expressions already do: reader output is
+Arrow-batched back to the JVM, so the overhead here is bounded by raw
+line shipping, and everything downstream is whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_ARCHIVE_SUFFIXES = (".gz", ".zst", ".bz2", ".xz", ".zip", ".tar")
+
+
+class LogFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class ClickhouseLogDataSource(DataSource):
+    """``spark.dataSource.register(ClickhouseLogDataSource)`` then
+    ``spark.read.format("clickhouse_log").load(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "clickhouse_log"
+
+    def schema(self) -> str:
+        return "path string, line_no bigint, value string"
+
+    def reader(self, schema) -> "ClickhouseLogReader":
+        return ClickhouseLogReader(self.options)
+
+
+class ClickhouseLogReader(DataSourceReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("clickhouse_log: a path is required")
+        if any(path.endswith(s) for s in _ARCHIVE_SUFFIXES):
+            raise ValueError(
+                f"clickhouse_log: archived log {path!r} is not tailable — "
+                "decompress it first (reference -log-path contract)"
+            )
+        if not os.path.exists(path):
+            raise ValueError(f"clickhouse_log: path does not exist: {path!r}")
+        if os.path.isdir(path):
+            self.files = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".log")
+            )
+            if not self.files:
+                raise ValueError(f"clickhouse_log: no .log files under {path!r}")
+        else:
+            self.files = [path]
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # one partition per rotated file — a log directory parallelizes
+        # without a shuffle; a single huge file stays one split (tail
+        # semantics: lines are order-dependent within a file).
+        return [LogFilePartition(p) for p in self.files]
+
+    def read(self, partition: LogFilePartition) -> Iterator[tuple]:
+        with open(partition.path, "r", encoding="utf-8", errors="replace") as fh:
+            for i, line in enumerate(fh, start=1):
+                yield (partition.path, i, line.rstrip("\n"))

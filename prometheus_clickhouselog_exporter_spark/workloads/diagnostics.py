@@ -304,7 +304,10 @@ def graph_pagerank_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").select(
         "p_name", F.split("p_name", " ").getItem(1).alias("blk")
     )
-    nm = p.select("p_name", "blk").distinct()
+    # nm feeds endpoints, rank init, every iteration's outer join and the
+    # final projection; e feeds degrees + contributions — checkpoint both
+    # so the levenshtein block join runs once (plan audit: part rescans).
+    nm = p.select("p_name", "blk").distinct().localCheckpoint(eager=False)
     a = nm.select(F.col("p_name").alias("src"), "blk")
     b = nm.select(F.col("p_name").alias("dst"), "blk")
     e = (
@@ -314,6 +317,7 @@ def graph_pagerank_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.levenshtein(F.col("src"), F.col("dst")) <= 2)
         )
         .select("src", "dst")
+        .localCheckpoint(eager=False)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
     n_nodes = nm.count()  # vocabulary-sized by construction (distinct-first)

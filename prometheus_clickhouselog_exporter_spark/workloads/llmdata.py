@@ -206,7 +206,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot in as pre-join pruning when corpora grow.
     """
     d = fan_out(table(spark, sf_dir, "documents")).filter(F.size(F.split(F.col("text"), " ")) >= 3)
-    toks = d.select(F.col("doc_id").alias("_id"), word_shingles(F.col("text"), 3).alias("_t"))
+    toks = d.select(
+        F.col("doc_id").alias("_id"), word_shingles(F.col("text"), 3).alias("_t")
+    ).localCheckpoint(eager=False)  # shingle once; sizes + both join sides reuse
     sizes = toks.select("_id", F.size("_t").alias("_n"))
     posting = toks.select("_id", F.explode("_t").alias("g"))
     l, r = posting.alias("l"), posting.alias("r")

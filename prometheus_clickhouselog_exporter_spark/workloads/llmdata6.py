@@ -136,7 +136,7 @@ def dedup_containment_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = d.select(
         F.col("doc_id").alias("_id"), word_shingles(F.col("text"), 3).alias("_s")
-    )
+    ).localCheckpoint(eager=False)  # shingle once; sizes + both join sides reuse
     sizes = sh.select("_id", F.size("_s").alias("_n"))
     post = sh.select("_id", F.explode("_s").alias("g"))
     l, r = post.alias("l"), post.alias("r")

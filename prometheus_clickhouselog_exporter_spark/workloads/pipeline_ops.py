@@ -283,9 +283,14 @@ def dedup_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")) >= 3
     )
     sh = d.select(F.col("doc_id").alias("_id"), word_shingles(F.col("text"), 3).alias("_sh"))
-    posting = sh.select("_id", F.explode("_sh").alias("g"))
+    # posting feeds the df pass AND the prune; pruned feeds sizes and both
+    # self-join sides — checkpoint each so the corpus shingles once
+    # (plan audit: documents was scanned 8x through recomputed postings).
+    posting = sh.select("_id", F.explode("_sh").alias("g")).localCheckpoint(eager=False)
     keep = posting.groupBy("g").agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") <= 4)
-    pruned = posting.join(F.broadcast(keep.select("g")), "g", "left_semi")
+    pruned = posting.join(F.broadcast(keep.select("g")), "g", "left_semi").localCheckpoint(
+        eager=False
+    )
     sizes = pruned.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     l, r = pruned.alias("l"), pruned.alias("r")
     common = (

@@ -127,7 +127,9 @@ def graph_bfs_name_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").select(
         "p_name", F.split("p_name", " ").getItem(1).alias("blk")
     )
-    nm = p.distinct()
+    # nm and the levenshtein edge list feed multiple graph roles —
+    # checkpoint so the block join runs once (plan audit: part rescans).
+    nm = p.distinct().localCheckpoint(eager=False)
     a = nm.select(F.col("p_name").alias("src"), "blk")
     b = nm.select(F.col("p_name").alias("dst"), "blk")
     e = (
@@ -358,7 +360,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").select(
         "p_name", F.split("p_name", " ").getItem(1).alias("blk")
     )
-    nm = p.distinct()
+    # nm and the levenshtein edge list feed multiple graph roles —
+    # checkpoint so the block join runs once (plan audit: part rescans).
+    nm = p.distinct().localCheckpoint(eager=False)
     a = nm.select(F.col("p_name").alias("src"), "blk")
     b = nm.select(F.col("p_name").alias("dst"), "blk")
     e = (
@@ -368,6 +372,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.levenshtein(F.col("src"), F.col("dst")) <= 2)
         )
         .select("src", "dst")
+        .localCheckpoint(eager=False)
     )
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))

@@ -302,6 +302,7 @@ def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("vfrom"),
             F.row_number().over(w).alias("version"),
         )
+        .localCheckpoint(eager=False)  # feeds seeds, offsets, and the union
     )
     base_cur = base_changes.groupBy("k").agg(
         F.max("version").alias("base_v"),

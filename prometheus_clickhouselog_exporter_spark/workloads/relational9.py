@@ -233,6 +233,7 @@ def compliance_delete_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "customer")
         .where(F.col("c_custkey") % 97 == 0)
         .select(F.col("c_custkey").alias("k"))
+        .localCheckpoint(eager=False)  # one key-set build for all 4 probes
     )
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
