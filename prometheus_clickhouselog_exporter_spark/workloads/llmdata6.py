@@ -339,6 +339,166 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("dim")
 
 
+@query(
+    "embedding_covariance_matrix",
+    oracle="""
+    WITH x_long AS (
+      SELECT vec_id, r.j, CAST(embedding[r.j + 1] AS DOUBLE) AS xj
+      FROM embeddings, range(8) r(j)
+    ),
+    n AS (SELECT count(DISTINCT vec_id) AS n FROM x_long),
+    moments AS (
+      SELECT a.j AS j, b.j AS k,
+             sum(CAST(floor(a.xj * b.xj * 1e9) AS BIGINT)) AS sjk
+      FROM x_long a JOIN x_long b USING (vec_id)
+      GROUP BY a.j, b.j
+    ),
+    means AS (
+      SELECT j, sum(CAST(floor(xj * 1e9) AS BIGINT)) AS sj
+      FROM x_long GROUP BY j
+    )
+    SELECT CAST(m.j AS INT) AS dim_j, CAST(m.k AS INT) AS dim_k,
+           (m.sjk / 1e9) / n.n
+             - ((ma.sj / 1e9) / n.n) * ((mb.sj / 1e9) / n.n) AS cov
+    FROM moments m
+    JOIN means ma ON ma.j = m.j
+    JOIN means mb ON mb.j = m.k
+    CROSS JOIN n
+    ORDER BY dim_j, dim_k
+    """,
+)
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance of the first 8 embedding dimensions in ONE pass —
+    the second-moment statistic whitening/PCA/Mahalanobis all start
+    from, computed as quantized-BIGINT raw moments (Σxy, Σx, n) so the
+    result is bit-identical across engines and partitionings (the
+    power-iteration recipe applied to the d×d case). Restricted to 8
+    dims (64 cells) to keep the oracle's self-join test-sized; the Spark
+    side generates the upper-triangle-free full outer product IN-ROW
+    (one nested transform + one explode, d² cells per row), so the
+    shuffle carries 64 partial sums per task, never row pairs.
+
+    100 TB: this is the standard map-side outer-product reduce — cost is
+    d²·rows multiply-adds in the scan stage and an O(d²) aggregate; the
+    self-join form the ORACLE states (row × row on vec_id) is what you
+    must NOT run at scale.
+    """
+    d = 8
+    emb = table(spark, sf_dir, "embeddings")
+    e8 = F.slice(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")), 1, d
+    )
+    cells = F.flatten(
+        F.transform(
+            e8,
+            lambda xj, j: F.transform(
+                e8,
+                lambda xk, k: F.struct(
+                    j.alias("j"),
+                    k.alias("k"),
+                    F.floor(xj * xk * 1e9).cast("long").alias("q"),
+                    F.floor(xj * 1e9).cast("long").alias("qj"),
+                ),
+            ),
+        )
+    )
+    longf = emb.select(F.explode(cells).alias("c")).select(
+        F.col("c.j").alias("j"), F.col("c.k").alias("k"),
+        F.col("c.q").alias("q"), F.col("c.qj").alias("qj"),
+    )
+    moments = longf.groupBy("j", "k").agg(
+        F.sum("q").alias("sjk"),
+        # Σxj rides the same shuffle: the k==0 slice of qj is one j-sum
+        F.sum(F.when(F.col("k") == 0, F.col("qj"))).alias("sj_part"),
+    )
+    n_row = emb.agg(F.count(F.lit(1)).alias("n"))
+    means = moments.where(F.col("k") == 0).select(
+        F.col("j").alias("mj"), F.col("sj_part").alias("sj")
+    )
+    ma = means.select(F.col("mj").alias("j"), F.col("sj").alias("sja"))
+    mb = means.select(F.col("mj").alias("k"), F.col("sj").alias("sjb"))
+    return (
+        moments.join(F.broadcast(ma), "j")
+        .join(F.broadcast(mb), "k")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            F.col("j").cast("int").alias("dim_j"),
+            F.col("k").cast("int").alias("dim_k"),
+            (
+                (F.col("sjk") / 1e9) / F.col("n")
+                - ((F.col("sja") / 1e9) / F.col("n"))
+                * ((F.col("sjb") / 1e9) / F.col("n"))
+            ).alias("cov"),
+        )
+        .orderBy("dim_j", "dim_k")
+    )
+
+
+@query(
+    "window_running_distinct_types",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+               THEN 1 ELSE 0 END AS first_of_type
+      FROM events
+    ),
+    running AS (
+      SELECT user_id,
+             row_number() OVER w AS rn,
+             sum(first_of_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS seen
+      FROM flagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(max(rn) AS BIGINT) AS n_events,
+           CAST(max(seen) AS BIGINT) AS n_distinct_types,
+           CAST(min(CASE WHEN seen >= 3 THEN rn END) AS BIGINT)
+             AS events_to_third_type
+    FROM running GROUP BY user_id ORDER BY user_id
+    """,
+)
+def window_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count inside an ordered window — the
+    first-occurrence-flag recipe: rank each (user, type) pair once,
+    running-sum the flags on the user's timeline. Distinct isn't
+    frame-decomposable, so naive windows can't express this; the flag
+    trick makes it ONE extra window over the same sort. Reported per
+    user: event count, distinct event types, and how many events until
+    the third distinct type appeared (time-to-coverage, the engagement
+    metric this pattern usually feeds).
+
+    Scale: two windows sharing the user_id exchange ((user,type) rank
+    re-sorts within partitions only) + one rollup; no distinct-agg
+    shuffle, no set-carrying state.
+    """
+    ev = table(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        (F.row_number().over(wt) == 1).cast("int").alias("first_of_type"),
+        F.row_number().over(wu).alias("rn"),
+        F.sum((F.row_number().over(wt) == 1).cast("int"))
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("seen"),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.max("rn").cast("long").alias("n_events"),
+            F.max("seen").cast("long").alias("n_distinct_types"),
+            F.min(F.when(F.col("seen") >= 3, F.col("rn")))
+            .cast("long")
+            .alias("events_to_third_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
 _KM_C = 4  # centroids
 _KM_ITERS = 2
 

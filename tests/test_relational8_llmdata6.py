@@ -214,6 +214,52 @@ def test_kmeans_partitions_corpus_and_is_stable(spark):
     assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]  # bit-stable
 
 
+def test_covariance_matrix_properties(spark):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from prometheus_clickhouselog_exporter_spark.workloads.llmdata6 import (
+        embedding_covariance_matrix,
+    )
+
+    rows = embedding_covariance_matrix(spark, SF_DIR).collect()
+    C = np.zeros((8, 8))
+    for r in rows:
+        C[r.dim_j, r.dim_k] = r.cov
+    assert np.allclose(C, C.T, atol=1e-8)  # symmetric
+    assert (np.diag(C) >= -1e-9).all()  # variances non-negative
+    X = np.array(
+        pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])[
+            "embedding"
+        ].to_pylist(),
+        dtype=np.float64,
+    )[:, :8]
+    ref = np.cov(X, rowvar=False, bias=True)
+    assert np.allclose(C, ref, atol=1e-6)  # quantization error bounded
+
+
+def test_running_distinct_hand_values(spark, tmp_path):
+    import datetime
+
+    from prometheus_clickhouselog_exporter_spark.workloads.llmdata6 import (
+        window_running_distinct_types,
+    )
+
+    def ev(eid, sec, etype):
+        return Row(
+            event_id=eid,
+            ts=datetime.datetime(2024, 1, 1, 0, 0, sec),
+            user_id=1,
+            event_type=etype,
+        )
+
+    # types over time: a, a, b, c, b → distinct seen: 1,1,2,3,3
+    rows = [ev(1, 1, "a"), ev(2, 2, "a"), ev(3, 3, "b"), ev(4, 4, "c"), ev(5, 5, "b")]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    r = window_running_distinct_types(spark, str(tmp_path)).collect()[0]
+    assert (r.n_events, r.n_distinct_types, r.events_to_third_type) == (5, 3, 4)
+
+
 def test_oov_rate_bounds(spark):
     rows = text_vocab_oov_rate(spark, SF_DIR).collect()
     assert rows
