@@ -531,15 +531,19 @@ def graph_expand_topk(
     final re-rank exactly once per distinct candidate.
     """
     bucketer = _sign_buckets_udf(dim, n_planes, n_tables, seed)
+    # c_base feeds bucketing + both graph-edge vector sides + the final
+    # re-rank; c_ids feeds the base join and both edge-candidate sides —
+    # checkpoint each so the corpus is normalized/bucketed ONCE (plan
+    # audit: embeddings was rescanned 10x through recomputed lineage).
     c_base = corpus.select(
         F.col(id_col).alias("nbr_id"), normalize(F.col(vec_col)).alias("_cv")
-    )
+    ).localCheckpoint(eager=False)
     q_base = queries.select(
         F.col(query_id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qv")
-    )
+    ).localCheckpoint(eager=False)
     c_ids = c_base.withColumn("_bucket", F.explode(bucketer(F.col("_cv")))).select(
         "nbr_id", "_bucket"
-    )
+    ).localCheckpoint(eager=False)
     q_ids = q_base.withColumn("_bucket", F.explode(bucketer(F.col("_qv")))).select(
         "query_id", "_bucket"
     )
@@ -548,6 +552,7 @@ def graph_expand_topk(
         .filter(F.col("query_id") != F.col("nbr_id"))
         .select("query_id", "nbr_id")
         .dropDuplicates(["query_id", "nbr_id"])
+        .localCheckpoint(eager=False)
     )
 
     # kNN graph from the same buckets: distinct in-bucket pairs, exact
