@@ -121,10 +121,14 @@ def lsh_bucketed_topk(
     """
     c_buckets = _sign_buckets_udf(dim, n_planes, n_tables, seed)
     q_buckets = _sign_buckets_udf(dim, n_planes, n_tables, seed, n_probe=n_probe)
-    c_base = corpus.select(F.col(id_col).alias("nbr_id"), normalize(F.col(vec_col)).alias("_cv"))
+    # each side is read twice (bucketing + the re-rank rejoin) —
+    # checkpoint so the corpus is scanned/normalized once (plan audit).
+    c_base = corpus.select(
+        F.col(id_col).alias("nbr_id"), normalize(F.col(vec_col)).alias("_cv")
+    ).localCheckpoint(eager=False)
     q_base = queries.select(
         F.col(query_id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qv")
-    )
+    ).localCheckpoint(eager=False)
     # Bucket join + dedup carry ONLY ids — the float vectors never ride the
     # candidate-dedup shuffle (at 100 TB the exploded candidate stream is
     # L×(1+probe)× the corpus; shipping 64 doubles per row there dominates).
