@@ -189,6 +189,166 @@ def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stats_grouped_ols",
+    oracle="""
+    WITH xy AS (
+      SELECT lang,
+             CAST(n_chars AS BIGINT) AS x,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+      FROM documents
+    ),
+    m AS (
+      SELECT lang, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM xy GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+              * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS r_squared
+    FROM m ORDER BY lang
+    """,
+)
+def stats_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (token count ~ char count per
+    language) from EXACT integer moment sums — slope, intercept, and R²
+    each become one or two double operations on exact BIGINT
+    cross-products, the regression analog of stats_corr_moments: the
+    built-in regr_slope/corr aggregates hash-diverge under reduction
+    order, the moment form cannot. This is the per-segment trend fit
+    every dashboard "fit a line per group" feature needs.
+
+    Scale: ONE partial+final aggregate over the fact scan (five sums and
+    a count fold map-side); no window, no join. Moments are the
+    mergeable form — per-partition sums combine associatively, the same
+    property the sketch rows certify.
+    """
+    d = table(spark, sf_dir, "documents")
+    xy = d.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.split("text", " ")).cast("long").alias("y"),
+    )
+    m = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num.cast("double") / den.cast("double")
+    return m.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+        (
+            (num.cast("double") * num.cast("double"))
+            / (den.cast("double") * deny.cast("double"))
+        ).alias("r_squared"),
+    ).orderBy("lang")
+
+
+@query(
+    "stats_ab_test_zscore",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id, user_id % 2 AS grp,
+             max(CASE WHEN event_type = 'purchase' AND value > 200
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT grp, count(*) AS n, sum(converted) AS conv
+      FROM assigned GROUP BY grp
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN grp = 0 THEN n END) AS n0,
+        max(CASE WHEN grp = 0 THEN conv END) AS c0,
+        max(CASE WHEN grp = 1 THEN n END) AS n1,
+        max(CASE WHEN grp = 1 THEN conv END) AS c1
+      FROM g
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+           CAST(n1 AS BIGINT) AS n_treat, CAST(c1 AS BIGINT) AS conv_treat,
+           CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate_control,
+           CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate_treat,
+           (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+           / sqrt(
+               (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+               * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+               * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))
+             ) AS z_score
+    FROM w
+    """,
+)
+def stats_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B split (user-id parity as the
+    deterministic assignment; conversion = any high-value purchase): pooled
+    standard error, exact conversion counts, and a z statistic built
+    from the same literal float expression both engines evaluate on
+    identical exact inputs — reproducible experiment readouts, the md5
+    assignment discipline's consumer.
+
+    Scale: per-user conversion folds in one user-keyed aggregate, the
+    arm rollup is 2 rows, the statistic is scalar arithmetic. The
+    assignment column in production comes from the content-addressed
+    bucketing (operators/sampling.py) — same determinism argument.
+    """
+    ev = table(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("grp"), "converted")
+    g = assigned.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).alias("c1"),
+    )
+    n0d, c0d = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1d, c1d = F.col("n1").cast("double"), F.col("c1").cast("double")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    return w.select(
+        F.col("n0").alias("n_control"),
+        F.col("c0").alias("conv_control"),
+        F.col("n1").alias("n_treat"),
+        F.col("c1").alias("conv_treat"),
+        (c0d / n0d).alias("rate_control"),
+        (c1d / n1d).alias("rate_treat"),
+        (
+            (c1d / n1d - c0d / n0d)
+            / F.sqrt(pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n0d + F.lit(1.0) / n1d))
+        ).alias("z_score"),
+    )
+
+
 # Cumulative Poisson(1) thresholds scaled to 1e6: P(X <= k) for k = 0..6;
 # a uniform md5 bucket below threshold k yields count k (else 7). Both
 # engines evaluate the SAME literal CASE chain, so resample weights are
