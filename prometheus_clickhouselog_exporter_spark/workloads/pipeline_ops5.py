@@ -266,6 +266,105 @@ def stats_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_multivar_ols_2f",
+    oracle="""
+    WITH xy AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2,
+             CAST(n_chars AS BIGINT) AS y
+      FROM documents
+    ),
+    m AS (
+      SELECT lang, count(*) AS n,
+             sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
+             sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      FROM xy GROUP BY lang
+    ),
+    c AS (
+      SELECT lang, n, s1, s2, sy,
+             CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS a,
+             CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS b,
+             CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS cc,
+             CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS d1,
+             CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+               - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS d2
+      FROM m
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           (cc * d1 - b * d2) / (a * cc - b * b) AS beta_tokens,
+           (a * d2 - b * d1) / (a * cc - b * b) AS beta_distinct,
+           (CAST(sy AS DOUBLE)
+             - ((cc * d1 - b * d2) / (a * cc - b * b)) * CAST(s1 AS DOUBLE)
+             - ((a * d2 - b * d1) / (a * cc - b * b)) * CAST(s2 AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept
+    FROM c ORDER BY lang
+    """,
+)
+def stats_multivar_ols_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-feature least squares per language (chars ~ tokens + distinct
+    tokens) solved in closed form from exact integer moments: the 2×2
+    normal-equation inverse is expressible as plain arithmetic
+    ((C·D1−B·D2)/(AC−B²) …), so multivariate regression — normally an
+    MLlib/sklearn job — runs as ONE aggregate + scalar math, and the
+    oracle replays it exactly. Centered cross-moments are combined in
+    double (n·Σx² overflows BIGINT where DuckDB would silently promote
+    to HUGEINT — the stats_grouped_ols lesson applied from the start).
+
+    Scale: identical shape to stats_grouped_ols — one partial+final
+    aggregate of 9 sums + count, mergeable moments, no shuffle beyond
+    the group key. The d-feature generalization reduces to a d² moment
+    matrix per group with the solve on the driver (the power-iteration /
+    Lloyd driver-solve pattern).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    xy = d.select(
+        "lang",
+        F.size(toks).cast("long").alias("x1"),
+        F.size(F.array_distinct(toks)).cast("long").alias("x2"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    m = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+
+    def dd(c):
+        return F.col(c).cast("double")
+
+    a = dd("n") * dd("s11") - dd("s1") * dd("s1")
+    b = dd("n") * dd("s12") - dd("s1") * dd("s2")
+    cc = dd("n") * dd("s22") - dd("s2") * dd("s2")
+    d1 = dd("n") * dd("s1y") - dd("s1") * dd("sy")
+    d2 = dd("n") * dd("s2y") - dd("s2") * dd("sy")
+    det = a * cc - b * b
+    beta1 = (cc * d1 - b * d2) / det
+    beta2 = (a * d2 - b * d1) / det
+    return m.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        beta1.alias("beta_tokens"),
+        beta2.alias("beta_distinct"),
+        (
+            (dd("sy") - beta1 * dd("s1") - beta2 * dd("s2")) / dd("n")
+        ).alias("intercept"),
+    ).orderBy("lang")
+
+
+@query(
     "stats_ab_test_zscore",
     oracle="""
     WITH assigned AS (

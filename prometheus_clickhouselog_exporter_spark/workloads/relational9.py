@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import money, query, table
+from .core import fround, money, query, table
 
 
 @query(
@@ -184,6 +184,76 @@ def timeseries_active_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("backlog").alias("min_backlog"),
         )
         .orderBy("month")
+    )
+
+
+@query(
+    "timeseries_decompose_trend_seasonal",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+             CAST(month(o_orderdate) AS INT) AS moy,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    trended AS (
+      SELECT ym, moy, rev,
+             CAST(sum(rev) OVER w AS DOUBLE) / count(*) OVER w AS trend,
+             count(*) OVER w AS wn
+      FROM monthly
+      WINDOW w AS (ORDER BY ym ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    ),
+    ratios AS (
+      SELECT moy, CAST(rev AS DOUBLE) / trend AS ratio
+      FROM trended WHERE wn = 13
+    )
+    SELECT moy,
+           CAST(count(*) AS BIGINT) AS n_months,
+           floor((sum(ratio) / count(*)) * 1e6 + 0.5) / 1e6 AS seasonal_index
+    FROM ratios GROUP BY moy ORDER BY moy
+    """,
+)
+def timeseries_decompose_trend_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative decomposition, step one and two: trend =
+    centered 13-month moving average over the monthly revenue series
+    (full windows only — the edge months with truncated frames are
+    excluded exactly as textbook STL does), seasonal index = the mean
+    detrended ratio per calendar month. Index > 1 months sell above
+    their local trend — the demand-planning input seasonality_month_index
+    approximates without detrending.
+
+    Determinism: the series is exact DECIMAL; trend is one division of
+    an exact frame sum; the per-month ratio mean is a SMALL-N double sum
+    (≤7 ratios) absorbed by fround(6) — the drift_psi discipline, fine
+    because the hash compares rounded values. Scale: the series is
+    MONTH-cardinality (bounded), so the global-order window is a few
+    dozen rows riding one exchange; all fact-scale work is the monthly
+    rollup with map-side partials.
+    """
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.month("o_orderdate").cast("int").alias("moy"),
+    ).agg(F.sum(money(F.col("o_totalprice"))).alias("rev"))
+    wf = Window.orderBy("ym").rowsBetween(-6, 6)
+    trended = monthly.select(
+        "moy",
+        "rev",
+        (F.sum("rev").over(wf).cast("double") / F.count(F.lit(1)).over(wf)).alias(
+            "trend"
+        ),
+        F.count(F.lit(1)).over(wf).alias("wn"),
+    )
+    ratios = trended.where(F.col("wn") == 13).select(
+        "moy", (F.col("rev").cast("double") / F.col("trend")).alias("ratio")
+    )
+    return (
+        ratios.groupBy("moy")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            fround(F.sum("ratio") / F.count(F.lit(1)), 6).alias("seasonal_index"),
+        )
+        .orderBy("moy")
     )
 
 

@@ -69,3 +69,39 @@ def test_bootstrap_ci_brackets_mean(spark):
     assert r.ci_lo < r.ci_hi
     # the 95% interval of a 100-replicate bootstrap brackets the sample mean
     assert r.ci_lo <= r.sample_mean <= r.ci_hi
+
+
+def test_multivar_ols_matches_numpy(spark):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from prometheus_clickhouselog_exporter_spark.workloads.pipeline_ops5 import (
+        stats_multivar_ols_2f,
+    )
+
+    rows = {r.lang: r for r in stats_multivar_ols_2f(spark, SF_DIR).collect()}
+    tbl = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["lang", "text", "n_chars"]
+    ).to_pandas()
+    for lang, grp in tbl.groupby("lang"):
+        toks = grp["text"].str.split(" ")
+        x1 = toks.str.len().to_numpy(dtype=float)
+        x2 = toks.apply(lambda t: len(set(t))).to_numpy(dtype=float)
+        y = grp["n_chars"].to_numpy(dtype=float)
+        X = np.column_stack([np.ones_like(x1), x1, x2])
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        r = rows[lang]
+        assert abs(r.intercept - beta[0]) < 1e-6 * max(1, abs(beta[0]))
+        assert abs(r.beta_tokens - beta[1]) < 1e-6 * max(1, abs(beta[1]))
+        assert abs(r.beta_distinct - beta[2]) < 1e-6 * max(1, abs(beta[2]))
+
+
+def test_seasonal_decomposition_centers_on_one(spark):
+    from prometheus_clickhouselog_exporter_spark.workloads.relational9 import (
+        timeseries_decompose_trend_seasonal,
+    )
+
+    rows = timeseries_decompose_trend_seasonal(spark, SF_DIR).collect()
+    assert len(rows) == 12
+    mean_idx = sum(r.seasonal_index for r in rows) / len(rows)
+    assert 0.9 < mean_idx < 1.1  # multiplicative indices center on ~1
