@@ -1,0 +1,252 @@
+"""Relational battery, round 3 batch 9: variance-scaled embedding
+outliers, cohort lifetime-value curves, and market-concentration (HHI).
+
+Three analytics staples with the repo's exactness discipline: anomaly
+ranking by quantized z-distance (the diagonal-Mahalanobis screen run
+before expensive review), the cohort-age LTV matrix every growth team
+tracks, and the Herfindahl-Hirschman index computed as a ratio of exact
+DECIMAL sums — no per-share float accumulation at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import fround, money, query, table
+
+
+@query(
+    "embedding_outlier_zdist",
+    oracle="""
+    WITH x_long AS (
+      SELECT vec_id, r.j, CAST(embedding[r.j + 1] AS DOUBLE) AS xj
+      FROM embeddings, range(64) r(j)
+    ),
+    n AS (SELECT count(DISTINCT vec_id) AS n FROM x_long),
+    stats AS (
+      SELECT j,
+             (sum(CAST(floor(xj * 1e9) AS BIGINT)) / 1e9) / n.n AS mu,
+             (sum(CAST(floor(xj * xj * 1e9) AS BIGINT)) / 1e9) / n.n
+               - ((sum(CAST(floor(xj * 1e9) AS BIGINT)) / 1e9) / n.n)
+               * ((sum(CAST(floor(xj * 1e9) AS BIGINT)) / 1e9) / n.n) AS var
+      FROM x_long, n GROUP BY j, n.n
+    ),
+    dist AS (
+      SELECT vec_id,
+             sum(CAST(floor((xj - s.mu) * (xj - s.mu) / s.var * 1e6)
+                      AS BIGINT)) AS qdist
+      FROM x_long JOIN stats s USING (j)
+      GROUP BY vec_id
+    )
+    SELECT vec_id, CAST(qdist AS BIGINT) AS qdist,
+           CAST(qdist AS DOUBLE) / 1e6 AS zdist
+    FROM dist
+    ORDER BY qdist DESC, vec_id
+    LIMIT 20
+    """,
+)
+def embedding_outlier_zdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-scaled outlier ranking (diagonal Mahalanobis): per-dim
+    mean/variance from quantized-exact moments, per-vector distance
+    Σ(x−μ)²/σ², top-20 most anomalous vectors. The per-term quantization
+    (floor ·1e6 → BIGINT) makes the cross-dimension sum order-free, so
+    the ranking — the part a review queue consumes — is bit-stable
+    across engines and runs; the full-covariance refinement is
+    embedding_covariance_matrix + a driver-side solve.
+
+    Scale: the 64-row stats table broadcasts back onto ONE corpus pass
+    (the zscore recipe); the distance fold is scan-stage; top-20 is
+    TakeOrdered. No pairwise anything.
+    """
+    d = 64
+    emb = table(spark, sf_dir, "embeddings")
+    x_long = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("j", "xj"),
+    ).localCheckpoint(eager=False)  # stats pass + distance pass share it
+    n_row = x_long.agg(F.countDistinct("vec_id").alias("n"))
+    stats = (
+        x_long.groupBy("j")
+        .agg(
+            F.sum(F.floor(F.col("xj") * 1e9).cast("long")).alias("s1"),
+            F.sum(F.floor(F.col("xj") * F.col("xj") * 1e9).cast("long")).alias("s2"),
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "j",
+            ((F.col("s1") / 1e9) / F.col("n")).alias("mu"),
+            (
+                (F.col("s2") / 1e9) / F.col("n")
+                - ((F.col("s1") / 1e9) / F.col("n"))
+                * ((F.col("s1") / 1e9) / F.col("n"))
+            ).alias("var"),
+        )
+    )
+    term = F.floor(
+        (F.col("xj") - F.col("mu")) * (F.col("xj") - F.col("mu")) / F.col("var") * 1e6
+    ).cast("long")
+    return (
+        x_long.join(F.broadcast(stats), "j")
+        .groupBy("vec_id")
+        .agg(F.sum(term).alias("qdist"))
+        .select("vec_id", "qdist", (F.col("qdist").cast("double") / 1e6).alias("zdist"))
+        .orderBy(F.col("qdist").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+@query(
+    "cohort_ltv_curves",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(strftime(CAST(o_orderdate AS DATE), '%Y-%m')) AS cohort,
+             min(year(o_orderdate) * 12 + month(o_orderdate)) AS m0
+      FROM orders GROUP BY o_custkey
+    ),
+    sizes AS (SELECT cohort, count(*) AS n_customers FROM firsts GROUP BY cohort),
+    aged AS (
+      SELECT f.cohort,
+             CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.m0 AS INT)
+               AS age,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort, age,
+             sum(rev) OVER (PARTITION BY cohort ORDER BY age
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev
+      FROM aged
+    )
+    SELECT cum.cohort, cum.age,
+           CAST(s.n_customers AS BIGINT) AS n_customers,
+           CAST(cum.cum_rev AS DOUBLE) AS cum_revenue,
+           CAST(cum.cum_rev AS DOUBLE) / CAST(s.n_customers AS DOUBLE)
+             AS ltv_per_customer
+    FROM cum JOIN sizes s USING (cohort)
+    WHERE cum.age <= 24
+    ORDER BY cohort, age
+    """,
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue accumulated by months-since-acquisition (integer
+    month arithmetic, no date intervals), LTV = exact DECIMAL cumulative
+    revenue over the cohort's headcount — one division at the end. The
+    money companion to cohort_retention_events (which counts activity);
+    the age cap keeps the matrix readable.
+
+    Scale: first-order month is one customer-keyed aggregate (reused for
+    cohort sizes); the age rollup rides a fact join against that
+    checkpointed frame; the cumulative window partitions by cohort over
+    AGE-cardinality rows (≤ months², bounded).
+    """
+    o = table(spark, sf_dir, "orders")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    firsts = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min(F.date_format("o_orderdate", "yyyy-MM")).alias("cohort"),
+            F.min(ym).alias("m0"),
+        )
+        .localCheckpoint(eager=False)  # feeds sizes and the age join
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_customers"))
+    aged = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort", (ym - F.col("m0")).cast("int").alias("age")
+        )
+        .agg(F.sum(money(F.col("o_totalprice"))).alias("rev"))
+    )
+    wc = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = aged.select("cohort", "age", F.sum("rev").over(wc).alias("cum_rev"))
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .where(F.col("age") <= 24)
+        .select(
+            "cohort",
+            "age",
+            F.col("n_customers"),
+            F.col("cum_rev").cast("double").alias("cum_revenue"),
+            (
+                F.col("cum_rev").cast("double") / F.col("n_customers").cast("double")
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+@query(
+    "market_hhi_by_brand",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand AS brand, l.l_suppkey AS supp,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS r
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT brand,
+             count(*) AS n_suppliers,
+             sum(r) AS total,
+             sum(r * r) AS sum_sq
+      FROM rev GROUP BY brand
+    )
+    SELECT brand,
+           CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(total AS DOUBLE) AS total_revenue,
+           floor(CAST(sum_sq AS DOUBLE)
+                 / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) * 10000
+                 * 1e6 + 0.5) / 1e6 AS hhi
+    FROM agg ORDER BY brand
+    """,
+)
+def market_hhi_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market concentration per brand: HHI =
+    Σshare² ×10000, computed WITHOUT per-share floats — Σshare² =
+    Σr²/(Σr)², so both sums stay exact DECIMAL (squares of 2-decimal
+    money are exact 4-decimal values) and the only float work is one
+    division and one scale at the end, fround(6)-absorbed because a
+    DECIMAL(38,4) sum exceeds double's 53-bit exact range and the two
+    engines' decimal->double conversions can differ in the last ulp. HHI near 10000/n = competitive,
+    near 10000 = monopoly — the supplier-diversification risk metric.
+
+    Scale: one fact aggregate to (brand, supplier) cells with a
+    broadcast part join, then a brand rollup of count/sum/sum-of-squares
+    — all map-side-combining; output is brand-cardinality.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_suppkey").alias("supp"))
+        # re-pin the sum to DECIMAL(18,2): Spark widens sums to (28,2), and
+        # (28,2)^2 would exceed precision 38 and silently round — the square
+        # must happen at a width both engines keep exact.
+        .agg(F.sum(money(F.col("l_extendedprice"))).cast("decimal(18,2)").alias("r"))
+    )
+    agg = rev.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("r").alias("total"),
+        F.sum(F.col("r") * F.col("r")).alias("sum_sq"),
+    )
+    return agg.select(
+        "brand",
+        F.col("n_suppliers"),
+        F.col("total").cast("double").alias("total_revenue"),
+        fround(
+            F.col("sum_sq").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double"))
+            * 10000,
+            6,
+        ).alias("hhi"),
+    ).orderBy("brand")
