@@ -185,6 +185,156 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "growth_streak_customers",
+    oracle="""
+    WITH yearly AS (
+      SELECT o_custkey AS k, CAST(year(o_orderdate) AS INT) AS y,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT k, y, rev,
+             lag(y) OVER w AS py, lag(rev) OVER w AS prev,
+             lag(y, 2) OVER w AS ppy, lag(rev, 2) OVER w AS pprev
+      FROM yearly WINDOW w AS (PARTITION BY k ORDER BY y)
+    ),
+    streaks AS (
+      SELECT k, y FROM flagged
+      WHERE py = y - 1 AND ppy = y - 2
+        AND rev * 10 > prev * 12
+        AND prev * 10 > pprev * 12
+    )
+    SELECT y AS streak_year,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(k) AS BIGINT) AS example_custkey
+    FROM streaks GROUP BY y ORDER BY streak_year
+    """,
+)
+def growth_streak_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained-growth detection: customers whose yearly spend grew more
+    than 20% in each of TWO consecutive years (and the years are
+    actually adjacent — the lag-year guard most streak queries forget).
+    The growth test is `rev·10 > prev·12` in exact DECIMAL — no float
+    ratio ever exists, so the 1.2× boundary cannot flake cross-engine.
+    Output: customers entering a streak per year, the BI "fastest
+    sustained growers" feed.
+
+    Scale: one customer-year aggregate, one customer-partitioned window
+    carrying both lags on the same sort, then a year rollup — the
+    gaps-and-islands family with the island condition in exact
+    arithmetic.
+    """
+    o = table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.col("o_custkey").alias("k"), F.year("o_orderdate").cast("int").alias("y")
+    ).agg(F.sum(money(F.col("o_totalprice"))).alias("rev"))
+    w = Window.partitionBy("k").orderBy("y")
+    flagged = yearly.select(
+        "k",
+        "y",
+        "rev",
+        F.lag("y").over(w).alias("py"),
+        F.lag("rev").over(w).alias("prev"),
+        F.lag("y", 2).over(w).alias("ppy"),
+        F.lag("rev", 2).over(w).alias("pprev"),
+    )
+    streaks = flagged.where(
+        (F.col("py") == F.col("y") - 1)
+        & (F.col("ppy") == F.col("y") - 2)
+        & (F.col("rev") * 10 > F.col("prev") * 12)
+        & (F.col("prev") * 10 > F.col("pprev") * 12)
+    )
+    return (
+        streaks.groupBy(F.col("y").alias("streak_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("k").alias("example_custkey"),
+        )
+        .orderBy("streak_year")
+    )
+
+
+@query(
+    "dedup_weighted_jaccard",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    totals AS (SELECT doc_id, sum(tf) AS t FROM tf GROUP BY doc_id),
+    mins AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             sum(least(a.tf, b.tf)) AS smin
+      FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(smin AS BIGINT) AS sum_min,
+           CAST(ta.t + tb.t - smin AS BIGINT) AS sum_max,
+           CAST(smin AS DOUBLE) / CAST(ta.t + tb.t - smin AS DOUBLE)
+             AS weighted_jaccard
+    FROM mins
+    JOIN totals ta ON ta.doc_id = mins.id_a
+    JOIN totals tb ON tb.doc_id = mins.id_b
+    WHERE smin * 3 >= ta.t + tb.t
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED (multiset) Jaccard near-dup detection: similarity =
+    Σmin(tf_a,tf_b) / Σmax(tf_a,tf_b) over token FREQUENCIES, where the
+    binary shingle Jaccard saturates on repetitive documents (a doc of
+    "the the the…" matches any other such doc perfectly under sets; the
+    weighted form sees the frequency profile). The denominator needs no
+    union scan: Σmax = T_a + T_b − Σmin with per-doc token totals — so
+    everything is exact integers and the ≥0.5 cut is the cross-multiply
+    `3·Σmin ≥ T_a + T_b`.
+
+    Scale: the same inverted-index posting join as the binary family
+    (co-occurrence-bounded), with postings carrying one extra small int
+    (tf); totals are a doc-cardinality broadcast. The frequency-aware
+    MinHash analog at corpus scale is ICWS/consistent weighted sampling
+    — noted as the sketch path.
+    """
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # totals + both join sides reuse
+    )
+    totals = tf.groupBy("doc_id").agg(F.sum("tf").alias("t"))
+    a = tf.select(F.col("doc_id").alias("id_a"), "tok", F.col("tf").alias("tfa"))
+    b = tf.select(F.col("doc_id").alias("id_b"), "tok", F.col("tf").alias("tfb"))
+    mins = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("tfa", "tfb")).alias("smin"))
+    )
+    ta = totals.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    tb = totals.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    smax = F.col("ta") + F.col("tb") - F.col("smin")
+    return (
+        mins.join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(F.col("smin") * 3 >= F.col("ta") + F.col("tb"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("smin").alias("sum_min"),
+            smax.alias("sum_max"),
+            (F.col("smin").cast("double") / smax.cast("double")).alias(
+                "weighted_jaccard"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
     "market_hhi_by_brand",
     oracle="""
     WITH rev AS (
