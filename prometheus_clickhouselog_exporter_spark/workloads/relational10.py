@@ -185,6 +185,156 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_median_ci_rank_bounds",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    bounds AS (
+      SELECT lang, n_chars, rn, n,
+             greatest(1, CAST(floor((n - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2)
+                              AS BIGINT)) AS rlo,
+             least(n, CAST(ceil(1 + (n + 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2)
+                           AS BIGINT)) AS rhi
+      FROM ranked
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                         THEN n_chars END) AS BIGINT) AS median,
+           CAST(max(CASE WHEN rn = rlo THEN n_chars END) AS BIGINT) AS ci_lo,
+           CAST(max(CASE WHEN rn = rhi THEN n_chars END) AS BIGINT) AS ci_hi
+    FROM bounds GROUP BY lang ORDER BY lang
+    """,
+)
+def stats_median_ci_rank_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the MEDIAN by
+    binomial order-statistic rank bounds (normal approximation:
+    ranks (n ± z√n)/2) — no resampling, no distributional assumption,
+    just two extra rank selections on the same ordered window the
+    discrete median already uses. The bounds are corpus VALUES (like the
+    quantiles), so everything the driver hashes is integer-exact; the
+    only floats are the rank formulas, identical single-op chains both
+    engines. Complements stats_bootstrap_ci_mean: that resamples for the
+    mean, this rank-selects for the median — the two standard
+    uncertainty recipes for a data card.
+
+    Scale: one lang-partitioned window; degrade path for
+    data-cardinality groups is the same as the quantile family.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("lang")
+    z = 1.959964
+    n = F.col("n")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    rlo = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((n - z * F.sqrt(n.cast("double"))) / 2).cast("long"),
+    )
+    rhi = F.least(
+        n, F.ceil(1 + (n + z * F.sqrt(n.cast("double"))) / 2).cast("long")
+    )
+    bounds = ranked.select(
+        "lang", "n_chars", "rn", "n", rlo.alias("rlo"), rhi.alias("rhi")
+    )
+
+    def at(rank_col):
+        return F.max(
+            F.when(F.col("rn") == rank_col, F.col("n_chars"))
+        ).cast("long")
+
+    return (
+        bounds.groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            at(F.ceil(F.col("n") * 0.5).cast("long")).alias("median"),
+            at(F.col("rlo")).alias("ci_lo"),
+            at(F.col("rhi")).alias("ci_hi"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "search_prefix_autocomplete",
+    oracle="""
+    WITH pop AS (
+      SELECT p.p_name AS name,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_name
+    ),
+    pref AS (
+      SELECT substr(name, 1, lp.l) AS prefix, name, qty
+      FROM pop, (SELECT unnest([1, 2, 3]) AS l) lp
+      WHERE length(name) >= lp.l
+    ),
+    ranked AS (
+      SELECT prefix, name, qty,
+             row_number() OVER (PARTITION BY prefix
+                                ORDER BY qty DESC, name) AS rk
+      FROM pref
+    )
+    SELECT prefix, CAST(rk AS INT) AS rk, name, qty
+    FROM ranked WHERE rk <= 3
+    ORDER BY prefix, rk
+    """,
+)
+def search_prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete index build: for every name prefix of length 1-3, the
+    top-3 part names by units sold — the precomputed suggestion table a
+    search box serves from. Popularity is an exact integer (total
+    quantity), so the (qty DESC, name) ranking is deterministic and the
+    per-prefix top-3 plans as WindowGroupLimit — map-side top-N below
+    the prefix shuffle, the same trick as the quota/tf-idf rows.
+
+    Scale: names aggregate once against a broadcast part dim; the ×3
+    prefix explode is bounded; the index is prefix-cardinality. Deeper
+    prefixes extend the explode linearly — this is exactly how
+    production typeahead tables are refreshed.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pop = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    pref = pop.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(3)),
+                    lambda l: F.when(
+                        F.length("name") >= l, F.col("name").substr(F.lit(1), l)
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("prefix"),
+        "name",
+        "qty",
+    )
+    wr = Window.partitionBy("prefix").orderBy(F.col("qty").desc(), "name")
+    return (
+        pref.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 3)
+        .select("prefix", F.col("rk").cast("int").alias("rk"), "name", "qty")
+        .orderBy("prefix", "rk")
+    )
+
+
+@query(
     "growth_streak_customers",
     oracle="""
     WITH yearly AS (
