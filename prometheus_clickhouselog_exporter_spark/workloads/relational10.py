@@ -185,6 +185,89 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    k AS (
+      SELECT CAST(floor(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) + 1
+               AS kref
+      FROM daily
+    ),
+    pref AS (
+      SELECT d, c,
+             sum(c - k.kref) OVER (ORDER BY d
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS p
+      FROM daily, k
+    ),
+    cusum AS (
+      SELECT d, c, p,
+             p - least(0, coalesce(min(p) OVER (ORDER BY d
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)) AS s
+      FROM pref
+    )
+    SELECT strftime(d, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN s > 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_days,
+           CAST(max(s) AS BIGINT) AS max_cusum
+    FROM cusum GROUP BY 1 ORDER BY month
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily event-rate series,
+    computed WITHOUT the textbook recursion: S_t = max(0, S_{t−1} + x_t
+    − k) is not window-expressible, but its closed form S_t = P_t −
+    min(0, min_{j<t} P_j) over the drift-adjusted prefix sum P IS — one
+    running sum and one running min on the same sort. Reference rate k =
+    ⌊mean⌋+1 (integer), so the whole statistic is exact integers and the
+    alarm threshold (S > 20) cannot flake. Monthly rollup reports alarm
+    days and the peak statistic — the drift monitor that catches slow
+    rate creep a fixed z-score threshold misses.
+
+    Scale: the series is DAY-cardinality, so the global-order windows
+    ride a bounded exchange (the backlog sweep-line argument); the fact
+    scan folds to daily counts map-side. For per-key CUSUM the same
+    windows partition by key.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    k = daily.agg(
+        (
+            F.floor(F.sum("c").cast("double") / F.count(F.lit(1))).cast("long") + 1
+        ).alias("kref")
+    )
+    wp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wm = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    pref = daily.crossJoin(F.broadcast(k)).select(
+        "d", "c", F.sum(F.col("c") - F.col("kref")).over(wp).alias("p")
+    )
+    cusum = pref.select(
+        "d",
+        "c",
+        (
+            F.col("p")
+            - F.least(F.lit(0).cast("long"), F.coalesce(F.min("p").over(wm), F.lit(0)))
+        ).alias("s"),
+    )
+    return (
+        cusum.groupBy(F.date_format("d", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.when(F.col("s") > 20, 1).otherwise(0)).alias("n_alarm_days"),
+            F.max("s").alias("max_cusum"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
     "stats_median_ci_rank_bounds",
     oracle="""
     WITH ranked AS (

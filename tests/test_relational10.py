@@ -49,3 +49,29 @@ def test_outliers_ranked_desc_and_stable(spark):
     assert dists == sorted(dists, reverse=True)
     rows2 = embedding_outlier_zdist(spark, SF_DIR).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+
+
+def test_cusum_closed_form_equals_recursion(spark, tmp_path):
+    import datetime
+
+    from prometheus_clickhouselog_exporter_spark.workloads.relational10 import (
+        events_cusum_changepoint,
+    )
+
+    # daily counts: 3,3,3,30,30,3 -> mean 12 -> k=13; recursion:
+    # S = max(0, S + c - k): 0,0,0,17,34,24
+    counts = [3, 3, 3, 30, 30, 3]
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts, start=1):
+        for _ in range(c):
+            eid += 1
+            rows.append(
+                Row(event_id=eid, ts=datetime.datetime(2024, 1, day, 12), user_id=1)
+            )
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    out = events_cusum_changepoint(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # recursion peak 34; days with S>20 are day5 (34) and day6 (24)
+    assert r.max_cusum == 34 and r.n_alarm_days == 2 and r.n_days == 6
