@@ -410,7 +410,7 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").alias("sjk"),
         # Σxj rides the same shuffle: the k==0 slice of qj is one j-sum
         F.sum(F.when(F.col("k") == 0, F.col("qj"))).alias("sj_part"),
-    )
+    ).localCheckpoint(eager=False)  # d² rows feed the result AND both mean sides
     n_row = emb.agg(F.count(F.lit(1)).alias("n"))
     means = moments.where(F.col("k") == 0).select(
         F.col("j").alias("mj"), F.col("sj_part").alias("sj")
