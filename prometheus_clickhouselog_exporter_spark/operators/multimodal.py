@@ -551,6 +551,95 @@ def decode_y4m_features(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(op, out_schema)
 
 
+def synth_y4m_scenes(df: DataFrame, id_col: str) -> DataFrame:
+    """Like ``synth_y4m`` but with a SCENE CHANGE at frame tc = nf//2:
+    frames t < tc use the scene-A formula Y=(5x+3y+17t+id)%256, frames
+    t ≥ tc switch to scene B Y=(3x+5y+17t+id+100)%256 — the within-scene
+    motion stays small and arithmetically known while the A→B transition
+    jumps, giving cut detection a ground truth the oracle can replay
+    pixel-by-pixel."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h, nf = 16 + (i % 8) * 2, 8 + (i % 6) * 2, 3 + i % 4
+                tc = nf // 2
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+                for t in range(nf):
+                    if t < tc:
+                        y = (5 * xs + 3 * ys + 17 * t + i) % 256
+                    else:
+                        y = (3 * xs + 5 * ys + 17 * t + i + 100) % 256
+                    u = np.broadcast_to((xs + t) % 256, (h, w))
+                    v = np.broadcast_to((ys + 2 * t) % 256, (h, w))
+                    parts.append(b"FRAME\n")
+                    parts.append(y.astype(np.uint8).tobytes())
+                    parts.append(u.astype(np.uint8).tobytes())
+                    parts.append(v.astype(np.uint8).tobytes())
+                blobs.append(b"".join(parts))
+            pdf = pdf.copy()
+            pdf["media"] = blobs
+            yield pdf
+
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ", media binary"
+    )
+    return df.mapInPandas(op, out_schema)
+
+
+def detect_y4m_cuts(
+    df: DataFrame, media_col: str = "media", threshold: float = 60.0
+) -> DataFrame:
+    """Scene-cut detection on decoded y4m streams: per frame transition,
+    mean |ΔY|; a transition is a CUT when it exceeds ``threshold``
+    (within-scene pan/drift motion sits well below, hard scene changes
+    well above — the standard shot-boundary heuristic before ML-based
+    detectors). Emits per clip: frame count, cut count, the first cut's
+    index (-1 if none) and its motion value. Blobs dropped in-operator
+    (wide-row rule); integer sums stay below 2^53 so numpy's float mean
+    equals the exact-rational mean the oracle computes."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != media_col
+    ) + ", n_frames int, n_cuts int, cut_at int, cut_motion double"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for blob in pdf[media_col]:
+                _w, _h, frames = _parse_y4m(bytes(blob))
+                clip = np.stack(frames).astype(np.int64)
+                motions = [
+                    float(np.mean(np.abs(clip[t] - clip[t - 1])))
+                    for t in range(1, len(frames))
+                ]
+                cuts = [t for t, m in zip(range(1, len(frames)), motions) if m > threshold]
+                feats.append(
+                    {
+                        "n_frames": len(frames),
+                        "n_cuts": len(cuts),
+                        "cut_at": cuts[0] if cuts else -1,
+                        "cut_motion": motions[cuts[0] - 1] if cuts else 0.0,
+                    }
+                )
+            pdf = pdf.drop(columns=[media_col]).copy()
+            for key in ("n_frames", "n_cuts", "cut_at", "cut_motion"):
+                pdf[key] = [f[key] for f in feats]
+            yield pdf
+
+    return df.mapInPandas(op, out_schema)
+
+
 def sample_y4m_frames(
     df: DataFrame, media_col: str = "media", every_n: int = 2
 ) -> DataFrame:

@@ -627,6 +627,71 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_scene_cuts",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id, 16 + (doc_id % 8) * 2 AS w, 8 + (doc_id % 6) * 2 AS h,
+             3 + doc_id % 4 AS nf, (3 + doc_id % 4) // 2 AS tc
+      FROM documents WHERE doc_id < 48
+    ),
+    mo AS (
+      SELECT i.doc_id, t.t, i.tc,
+             avg(abs(
+               (CASE WHEN t.t >= i.tc
+                     THEN (3 * x.x + 5 * y.y + 17 * t.t + i.doc_id + 100) % 256
+                     ELSE (5 * x.x + 3 * y.y + 17 * t.t + i.doc_id) % 256 END)
+               -
+               (CASE WHEN t.t - 1 >= i.tc
+                     THEN (3 * x.x + 5 * y.y + 17 * (t.t - 1) + i.doc_id + 100) % 256
+                     ELSE (5 * x.x + 3 * y.y + 17 * (t.t - 1) + i.doc_id) % 256 END)
+             )) AS motion
+      FROM ids i,
+           unnest(range(1, i.nf)) AS t(t),
+           unnest(range(0, i.w)) AS x(x),
+           unnest(range(0, i.h)) AS y(y)
+      GROUP BY i.doc_id, t.t, i.tc
+    ),
+    mo2 AS (
+      SELECT *, min(CASE WHEN motion > 60 THEN t END)
+                  OVER (PARTITION BY doc_id) AS fc
+      FROM mo
+    )
+    SELECT doc_id,
+           CAST(count(*) + 1 AS INT) AS n_frames,
+           CAST(sum(CASE WHEN motion > 60 THEN 1 ELSE 0 END) AS INT) AS n_cuts,
+           CAST(coalesce(min(CASE WHEN motion > 60 THEN t END), -1) AS INT)
+             AS cut_at,
+           coalesce(max(CASE WHEN t = fc THEN motion END), 0.0) AS cut_motion
+    FROM mo2 GROUP BY doc_id
+    """,
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection on REAL video streams: clips synthesized
+    with a hard scene change at frame nf//2 (the formula switches), then
+    decoded and scanned for transitions whose mean |ΔY| exceeds the
+    threshold. The TRUE boundary always fires first (cut_at == nf//2 on
+    every clip, unit-pinned); some clips also fire later false positives
+    where the mod-256 wrap aligns badly — the honest behavior of a
+    threshold detector on high-frequency content, and the oracle replays
+    EVERY pixel of EVERY transition so it must agree on true cuts and
+    false alarms alike. Completes the video lane: features → frame
+    sampling → temporal segmentation.
+
+    100 TB: synth → detect are scan-stage mapInPandas; per clip the
+    operator holds one decoded frame pair at a time conceptually (numpy
+    does the clip at once here; a streaing decoder swaps in for long
+    clips); only slim per-clip features reach the plan.
+    """
+    from ..operators.multimodal import detect_y4m_cuts, synth_y4m_scenes
+
+    d = table(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 48)
+    vid = synth_y4m_scenes(d, "doc_id")
+    return detect_y4m_cuts(vid).select(
+        "doc_id", "n_frames", "n_cuts", "cut_at", "cut_motion"
+    )
+
+
+@query(
     "multimodal_audio_resample",
     oracle="""
     SELECT doc_id,

@@ -75,3 +75,17 @@ def test_cusum_closed_form_equals_recursion(spark, tmp_path):
     r = out[0]
     # recursion peak 34; days with S>20 are day5 (34) and day6 (24)
     assert r.max_cusum == 34 and r.n_alarm_days == 2 and r.n_days == 6
+
+
+def test_video_scene_cut_finds_true_boundary_first(spark):
+    from prometheus_clickhouselog_exporter_spark.workloads.llmdata6 import (
+        multimodal_video_scene_cuts,
+    )
+
+    rows = multimodal_video_scene_cuts(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # the injected scene change at nf//2 is always the FIRST detection;
+        # later threshold crossings (mod-wrap artifacts) may follow.
+        assert r.cut_at == r.n_frames // 2
+        assert r.n_cuts >= 1 and r.cut_motion > 60.0
