@@ -120,6 +120,7 @@ def sketch_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .groupBy("source", "w")
         .agg(F.least(F.count(F.lit(1)), F.lit(_W_CAP)).alias("wt"))
+        .localCheckpoint(eager=False)  # vocabulary-sized; feeds sigs/tot/inter
     )
     repl = tf.select(
         "source",
@@ -142,6 +143,7 @@ def sketch_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "perm")
         .agg(F.min("h").alias("sig"))
+        .localCheckpoint(eager=False)  # sketch-sized; self-joined a/b
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     est = (
@@ -267,7 +269,11 @@ def crosssource_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    sh = grams.select("source", _md5_long(F.col("g")).alias("h")).distinct()
+    sh = (
+        grams.select("source", _md5_long(F.col("g")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)  # one shingling pass; feeds sz + both join sides
+    )
     sz = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -378,8 +384,10 @@ def knn_mutual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("qcos"), "dst")
-    edges = scored.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= _KNN_K
+    edges = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNN_K)
+        .localCheckpoint(eager=False)  # k*N directed edges; scored ONCE, joined twice
     )
     e1, e2 = edges.alias("e1"), edges.alias("e2")
     return (
@@ -508,8 +516,10 @@ def events_cusum_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     'per-key CUSUM' item — same windows, keyed.
     """
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.count(F.lit(1)).alias("c")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # (type, day)-sized; feeds k + pref
     )
     k = daily.groupBy("event_type").agg(
         (
@@ -538,7 +548,7 @@ def events_cusum_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("long"), F.coalesce(F.min("p").over(wm), F.lit(0))
             )
         ).alias("s"),
-    )
+    ).localCheckpoint(eager=False)  # (type, day)-sized; feeds peak + final agg
     peak = cusum.groupBy("event_type").agg(F.max("s").alias("max_cusum"))
     return (
         cusum.join(F.broadcast(peak), "event_type")

@@ -122,6 +122,7 @@ def agg_bitmap_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_bucket = ev.groupBy(
         "event_type", F.expr("bitmap_bucket_number(user_id)").alias("b")
     ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    per_bucket = per_bucket.localCheckpoint(eager=False)  # bitmap rows; 2 consumers
     per_type = per_bucket.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users")
     )
@@ -530,7 +531,9 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("d")
     )
-    counts = digits.groupBy("d").agg(F.count("*").alias("n"))
+    counts = digits.groupBy("d").agg(F.count("*").alias("n")).localCheckpoint(
+        eager=False
+    )  # 9 rows; feeds total + output
     tot = counts.agg(F.sum("n").cast("double").alias("total"))
     benford = F.element_at(
         F.array(*[F.lit(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]),
