@@ -480,10 +480,10 @@ def text_hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cusum AS (
       SELECT event_type, d, p,
-             p - least(0, coalesce(min(p) OVER (PARTITION BY event_type
+             p - least(0, min(p) OVER (PARTITION BY event_type
                                    ORDER BY d
                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND 1 PRECEDING), 0)) AS s
+                                   AND CURRENT ROW)) AS s
       FROM pref
     ),
     peak AS (
@@ -503,7 +503,7 @@ def text_hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_cusum_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key CUSUM: the closed-form change-point statistic of
-    events_cusum_changepoint (S_t = P_t − min(0, min_{j<t} P_j))
+    events_cusum_changepoint (S_t = P_t − min(0, min_{j≤t} P_j))
     partitioned by event type, each type against ITS OWN reference
     rate ⌊mean⌋+1 — the fleet-of-monitors shape: one pass, every
     series monitored independently, integer-exact. Emits per type the
@@ -534,7 +534,7 @@ def events_cusum_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     wm = (
         Window.partitionBy("event_type")
         .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     pref = daily.join(F.broadcast(k), "event_type").select(
         "event_type", "d", "c", F.sum(F.col("c") - F.col("kref")).over(wp).alias("p")
@@ -544,9 +544,7 @@ def events_cusum_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         (
             F.col("p")
-            - F.least(
-                F.lit(0).cast("long"), F.coalesce(F.min("p").over(wm), F.lit(0))
-            )
+            - F.least(F.lit(0).cast("long"), F.min("p").over(wm))
         ).alias("s"),
     ).localCheckpoint(eager=False)  # (type, day)-sized; feeds peak + final agg
     peak = cusum.groupBy("event_type").agg(F.max("s").alias("max_cusum"))

@@ -205,9 +205,9 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cusum AS (
       SELECT d, c, p,
-             p - least(0, coalesce(min(p) OVER (ORDER BY d
+             p - least(0, min(p) OVER (ORDER BY d
                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND 1 PRECEDING), 0)) AS s
+                                   AND CURRENT ROW)) AS s
       FROM pref
     )
     SELECT strftime(d, '%Y-%m') AS month,
@@ -222,7 +222,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection on the daily event-rate series,
     computed WITHOUT the textbook recursion: S_t = max(0, S_{t−1} + x_t
     − k) is not window-expressible, but its closed form S_t = P_t −
-    min(0, min_{j<t} P_j) over the drift-adjusted prefix sum P IS — one
+    min(0, min_{j≤t} P_j) over the drift-adjusted prefix sum P IS — one
     running sum and one running min on the same sort. Reference rate k =
     ⌊mean⌋+1 (integer), so the whole statistic is exact integers and the
     alarm threshold (S > 20) cannot flake. Monthly rollup reports alarm
@@ -244,7 +244,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kref")
     )
     wp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    wm = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    wm = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     pref = daily.crossJoin(F.broadcast(k)).select(
         "d", "c", F.sum(F.col("c") - F.col("kref")).over(wp).alias("p")
     )
@@ -253,7 +253,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         (
             F.col("p")
-            - F.least(F.lit(0).cast("long"), F.coalesce(F.min("p").over(wm), F.lit(0)))
+            - F.least(F.lit(0).cast("long"), F.min("p").over(wm))
         ).alias("s"),
     )
     return (
