@@ -64,6 +64,12 @@ HEADLINE = [
     "basket_pair_lift",
     "embedding_power_iteration_pc1",
     "scd2_incremental_merge",
+    # r3 session 5: weighted-minhash replica fold (cap x postings explode
+    # into (source, perm) minima), source-pair leakage matrix (inverted
+    # shingle-hash join), recursive-CTE closure (UnionLoop iteration)
+    "sketch_weighted_minhash",
+    "crosssource_leakage_matrix",
+    "recursive_cte_subtree_rollup",
 ]
 
 
