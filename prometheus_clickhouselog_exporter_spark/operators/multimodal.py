@@ -704,3 +704,51 @@ def resize_bmp(df: DataFrame, media_col: str = "media", out_w: int = 8, out_h: i
         op,
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields),
     )
+
+
+def ahash_bmp(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Perceptual average-hash (aHash) over the REAL BMP lane: decode,
+    nearest-neighbor sample an 8×8 grid (sy = i·h div 8, sx = j·w div 8
+    in TOP-left coordinates), take integer luma 299R+587G+114B (×1000
+    scale, never divided — exactness), threshold each cell against the
+    64-cell mean WITHOUT dividing (bit = 64·lum > total), and pack the
+    64 bits row-major into TWO 32-bit halves carried as BIGINTs —
+    Hamming distance downstream is bit_count(hi⊕hi')+bit_count(lo⊕lo'),
+    pure JVM-side integer ops that DuckDB mirrors exactly (a single
+    64-bit key would overflow signed BIGINT construction at bit 63).
+    Blobs are dropped before the return (wide-row rule)."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != media_col
+    ) + ", h_hi bigint, h_lo bigint"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            his, los = [], []
+            for blob in pdf[media_col]:
+                w, h, bgr = _parse_bmp(bytes(blob))
+                img = bgr[:, :, ::-1].astype(np.int64)  # RGB, top-down
+                ii = np.arange(8, dtype=np.int64)
+                sy = (ii * h) // 8
+                sx = (ii * w) // 8
+                cells = img[np.ix_(sy, sx)]  # (8, 8, 3)
+                lum = (
+                    299 * cells[:, :, 0]
+                    + 587 * cells[:, :, 1]
+                    + 114 * cells[:, :, 2]
+                )
+                tot = int(lum.sum())
+                bits = (64 * lum.reshape(-1) > tot).astype(np.int64)
+                hi = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+                lo = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+                his.append(hi)
+                los.append(lo)
+            pdf = pdf.drop(columns=[media_col]).copy()
+            pdf["h_hi"] = his
+            pdf["h_lo"] = los
+            yield pdf
+
+    return df.mapInPandas(op, out_schema)

@@ -30,6 +30,7 @@ from . import llmdata4  # noqa: F401,E402
 from . import llmdata5  # noqa: F401,E402
 from . import llmdata6  # noqa: F401,E402
 from . import llmdata7  # noqa: F401,E402
+from . import llmdata8  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import pipeline_ops2  # noqa: F401,E402

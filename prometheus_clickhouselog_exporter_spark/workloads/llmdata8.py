@@ -1,0 +1,312 @@
+"""LLM-data battery, round 3 batch 16: perceptual-hash image dedup,
+shingle novelty profiling, and embedding dead-dimension pruning.
+
+The pHash row is the multimodal×dedup crossover the image lane was
+built for: a REAL decode → 8×8 aHash → Hamming candidate ranking,
+pixel-certified end to end by an oracle that re-derives every sampled
+cell from the synthesis formulas (the same discipline as
+multimodal_image_features/resize/scene_cuts). Shingle novelty measures
+each document's marginal contribution to the corpus — the decreasing-
+returns curve dataset curation tracks as ingestion proceeds. Dead-dim
+pruning turns the per-dimension variance screen into the actionable
+report (which dims to drop, what variance share survives) that sits
+in front of embedding_matryoshka_overlap's truncation decision.
+
+Float discipline per workloads/core.py; the pHash lane is INTEGER
+end-to-end (scaled luma, division-free mean threshold, bit_count
+Hamming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import fround, query, table
+
+
+@query(
+    "multimodal_image_phash_dedup",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id, 16 + doc_id % 16 AS w, 8 + (doc_id * 3) % 16 AS h
+      FROM documents WHERE doc_id < 64
+    ),
+    cells AS (
+      SELECT i.doc_id, gy.i AS gi, gx.j AS gj,
+             (gy.i * 8 + gx.j) AS pos,
+             299 * ((7 * ((gx.j * i.w) // 8) + i.doc_id) % 256)
+             + 587 * ((11 * ((gy.i * i.h) // 8) + i.doc_id) % 256)
+             + 114 * ((((gx.j * i.w) // 8) + ((gy.i * i.h) // 8)) % 256)
+               AS lum
+      FROM ids i, range(8) gy(i), range(8) gx(j)
+    ),
+    tot AS (
+      SELECT doc_id, sum(lum) AS t FROM cells GROUP BY doc_id
+    ),
+    bits AS (
+      SELECT c.doc_id, c.pos,
+             CASE WHEN 64 * c.lum > t.t THEN 1 ELSE 0 END AS bit
+      FROM cells c JOIN tot t ON c.doc_id = t.doc_id
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN pos < 32
+                           THEN bit * (CAST(1 AS BIGINT) << pos) ELSE 0 END)
+                  AS BIGINT) AS h_hi,
+             CAST(sum(CASE WHEN pos >= 32
+                           THEN bit * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END)
+                  AS BIGINT) AS h_lo
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h_hi, b.h_hi))
+                + bit_count(xor(a.h_lo, b.h_lo)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    ORDER BY hamming, id_a, id_b LIMIT 20
+    """,
+)
+def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the REAL image
+    lane: synthesize spec-correct BMPs, DECODE them (bottom-up/BGR/
+    padding traps live), aHash each into 64 bits (8×8 NN grid, integer
+    luma, division-free mean threshold), and rank pairs by Hamming
+    distance — the image-dedup primitive (aHash is the no-DCT member
+    of the pHash family). INTEGER end-to-end, and the oracle
+    re-derives every sampled cell, the threshold, the packed bit
+    halves, and every pairwise distance from the synthesis formulas —
+    a wrong flip, stride, sample index, or bit order anywhere in the
+    decode/hash chain shifts some Hamming distance and hash-diverges.
+
+    Scale: hashing is scan-stage mapInPandas (blobs never shuffle —
+    only two BIGINTs per image survive). The all-pairs ranking here is
+    the bounded-probe exact kernel; at corpus scale the SAME two-column
+    hash table feeds the banded-LSH bucket join (split the 64 bits
+    into 4×16-bit bands → dedup_minhash_lsh's plan shape) instead of
+    a pair join.
+    """
+    from ..operators.multimodal import ahash_bmp, synth_bmp
+
+    d = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 64
+    )
+    hashes = ahash_bmp(synth_bmp(d, "doc_id")).localCheckpoint(
+        eager=False
+    )  # 64 rows of (id, hi, lo); decoded ONCE, joined twice
+    a, b = hashes.alias("a"), hashes.alias("b")
+    ham = (
+        F.bit_count(F.col("a.h_hi").bitwiseXOR(F.col("b.h_hi")))
+        + F.bit_count(F.col("a.h_lo").bitwiseXOR(F.col("b.h_lo")))
+    ).cast("int")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .orderBy("hamming", "id_a", "id_b")
+        .limit(20)
+    )
+
+
+@query(
+    "text_shingle_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+               AS g
+      FROM toks
+    ),
+    owner AS (
+      SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM sh s JOIN owner o ON s.g = o.g
+      GROUP BY s.doc_id
+    ),
+    deciles AS (
+      SELECT doc_id, n_shingles, n_novel,
+             ntile(10) OVER (ORDER BY doc_id) AS decile
+      FROM per_doc
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_shingles) AS BIGINT) AS shingles,
+           CAST(sum(n_novel) AS BIGINT) AS novel,
+           floor((CAST(sum(n_novel) AS DOUBLE)
+                  / CAST(sum(n_shingles) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS novelty_rate
+    FROM deciles GROUP BY decile ORDER BY decile
+    """,
+)
+def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty curve of the corpus: for each ingestion decile
+    (by doc_id order), the share of its 3-gram shingles never seen in
+    any earlier document — the decreasing-returns measurement behind
+    'is more of this source still adding information?'. First-seen
+    ownership is min(doc_id) per shingle (the dedup_chunk_paragraph
+    first-doc-wins discipline), all counts exact.
+
+    Scale: one distinct (doc, shingle-hash) pass, one min-aggregate
+    keyed by shingle, one join back on the shingle key — the inverted-
+    index shape; the decile rollup rides the doc-cardinality result.
+    Incremental form: the owner table IS the state — new batches probe
+    and extend it.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at("t", i),
+                            F.element_at("t", i + 1),
+                            F.element_at("t", i + 2),
+                        ),
+                    )
+                )
+            ).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # shingle postings; feeds owner + join
+    )
+    owner = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    deciles = per_doc.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("doc_id"))
+    )
+    return (
+        deciles.groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_shingles").cast("bigint").alias("shingles"),
+            F.sum("n_novel").cast("bigint").alias("novel"),
+            fround(
+                F.sum("n_novel").cast("double")
+                / F.sum("n_shingles").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "embedding_dead_dims",
+    oracle="""
+    WITH x_long AS (
+      SELECT vec_id, r.j AS j, CAST(embedding[r.j + 1] AS DOUBLE) AS xj
+      FROM embeddings, range(64) r(j)
+    ),
+    stats AS (
+      SELECT j,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(floor(xj * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sx,
+             CAST(sum(CAST(floor(xj * xj * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+               AS sxx
+      FROM x_long GROUP BY j
+    ),
+    vr AS (
+      SELECT j, ((sxx / n) - ((sx / n) * (sx / n))) AS var FROM stats
+    ),
+    ranked AS (
+      SELECT j, var,
+             row_number() OVER (ORDER BY var, j) AS rk,
+             sum(var) OVER () AS vtot,
+             sum(var) OVER (ORDER BY var, j
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS vcum
+      FROM vr
+    )
+    SELECT CAST(j AS INT) AS dim, CAST(rk AS INT) AS variance_rank,
+           floor(var * 1e6 + 0.5) / 1e6 AS variance,
+           floor((vcum / vtot) * 1e6 + 0.5) / 1e6 AS cum_var_share_dropped,
+           (vcum / vtot < 0.01) AS prunable_at_1pct
+    FROM ranked WHERE rk <= 16 ORDER BY variance_rank
+    """,
+)
+def embedding_dead_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-dimension pruning report: the 16 LOWEST-variance embedding
+    dimensions, with the cumulative variance share lost if every dim
+    up to this rank were dropped, and a 1%-budget prunability flag —
+    the actionable front end to the truncation decision
+    embedding_matryoshka_overlap evaluates (that row asks 'does rank
+    survive truncation?'; this one asks 'which dims are safe to cut at
+    all?'). Variances come from the quantized-exact per-dim moment
+    fold (the embedding_outlier_zdist recipe), so ranking and
+    cumulative shares are deterministic.
+
+    Scale: one in-row explode + (dim)-keyed moment aggregate — 64
+    groups with map-side combine; everything after is 64-row window
+    arithmetic.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    x_long = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("j", "xv"),
+    ).select("vec_id", "j", F.col("xv").cast("double").alias("xj"))
+    stats = x_long.groupBy("j").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(F.floor(F.col("xj") * 1e9).cast("bigint")).cast("double") / 1e9).alias(
+            "sx"
+        ),
+        (
+            F.sum(F.floor(F.col("xj") * F.col("xj") * 1e9).cast("bigint")).cast(
+                "double"
+            )
+            / 1e9
+        ).alias("sxx"),
+    )
+    vr = stats.select(
+        "j",
+        (
+            (F.col("sxx") / F.col("n"))
+            - ((F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n")))
+        ).alias("var"),
+    )
+    wo = Window.orderBy("var", "j")
+    ranked = vr.select(
+        "j",
+        "var",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("var").over(Window.partitionBy()).alias("vtot"),
+        F.sum("var").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("vcum"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 16)
+        .select(
+            F.col("j").cast("int").alias("dim"),
+            F.col("rk").cast("int").alias("variance_rank"),
+            fround(F.col("var"), 6).alias("variance"),
+            fround(F.col("vcum") / F.col("vtot"), 6).alias("cum_var_share_dropped"),
+            (F.col("vcum") / F.col("vtot") < 0.01).alias("prunable_at_1pct"),
+        )
+        .orderBy("variance_rank")
+    )
