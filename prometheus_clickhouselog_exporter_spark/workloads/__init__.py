@@ -22,6 +22,7 @@ from . import relational12  # noqa: F401,E402
 from . import relational13  # noqa: F401,E402
 from . import relational14  # noqa: F401,E402
 from . import relational15  # noqa: F401,E402
+from . import relational16  # noqa: F401,E402
 from . import logpipe  # noqa: F401,E402
 from . import llmdata  # noqa: F401,E402
 from . import llmdata2  # noqa: F401,E402
