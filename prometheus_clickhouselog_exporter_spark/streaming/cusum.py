@@ -11,6 +11,17 @@ updates and one row (day, count, cusum, alarm) is emitted. Days with
 no events are skipped — matching the batch twin, whose daily series
 contains only observed days.
 
+Late-data policy (watermark-style, explicit): an event whose day
+precedes the key's OPEN day is DROPPED — a closed day's count is
+already folded into the statistic and its row emitted, so amending it
+would require retraction, which append-mode monitoring forgoes (the
+same policy as watermarked window close). Within a batch days sort
+before folding, so lateness only matters ACROSS batches. Likewise a
+processing-time timeout evicts a dormant key's state including its
+open partial day without emitting it — the day never closed. Feed
+in-order-by-day data (or accept day-granularity drop) for exact
+batch-twin parity; tests pin both behaviors.
+
 The reference rate ``kref`` is a parameter, not learned in-stream: in
 production the baseline comes from the batch monitor (or a config),
 which is exactly how CUSUM is deployed — the detector must not adapt
@@ -64,7 +75,8 @@ def _fold_cusum(
                 {"day": open_day, "n": n, "cusum": s, "alarm": s > threshold}
             )
             open_day, n = d, 1
-        # d < open_day cannot happen on (ts)-sorted input
+        # else d < open_day: a cross-batch straggler for an already-
+        # closed day — dropped per the module's late-data policy
     return out, (open_day, n, s)
 
 

@@ -95,3 +95,19 @@ def fround(col, digits: int):
 def money(col, scale: int = 2):
     """Cast a discrete-decimal double column to exact DECIMAL for summing."""
     return col.cast(f"decimal(18,{scale})")
+
+
+# --- engine-portable hash family ------------------------------------------
+# The 12-hex md5 recipe both engines can evaluate identically (the
+# operators/sampling.py family, canonical width for workload oracles).
+
+
+def md5_long(col):
+    """Engine-portable 48-bit hash: md5 hex prefix -> BIGINT. DuckDB
+    mirror: the MD5_SQL template below."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+MD5_SQL = "CAST(('0x' || substr(md5({x}), 1, 12)) AS UBIGINT)"

@@ -23,10 +23,10 @@ DuckDB can replay it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import fround, query, table
+from .core import MD5_SQL, fround, md5_long, query, table
 
 _N_PERMS = 32
 _W_CAP = 4
@@ -35,14 +35,10 @@ _KNN_SUBSET = 200
 _KNN_K = 5
 
 
-def _md5_long(col: Column) -> Column:
-    """Engine-portable 48-bit hash: md5 hex prefix → BIGINT (the
-    operators/sampling.py recipe; DuckDB: CAST('0x'||substr(md5(x),1,12)
-    AS UBIGINT))."""
-    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
-
-
-_MD5_SQL = "CAST(('0x' || substr(md5({x}), 1, 12)) AS UBIGINT)"
+# Canonical home is workloads.core (md5_long / MD5_SQL); kept under the
+# historical names for this module's oracles and older importers.
+_md5_long = md5_long
+_MD5_SQL = MD5_SQL
 
 
 @query(
@@ -526,12 +522,8 @@ def events_cusum_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum("c").cast("double") / F.count(F.lit(1))).cast("long") + 1
         ).alias("kref")
     )
+    # ONE frame serves both running aggregates since the j<=t fix
     wp = (
-        Window.partitionBy("event_type")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wm = (
         Window.partitionBy("event_type")
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -544,7 +536,7 @@ def events_cusum_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         (
             F.col("p")
-            - F.least(F.lit(0).cast("long"), F.min("p").over(wm))
+            - F.least(F.lit(0).cast("long"), F.min("p").over(wp))
         ).alias("s"),
     ).localCheckpoint(eager=False)  # (type, day)-sized; feeds peak + final agg
     peak = cusum.groupBy("event_type").agg(F.max("s").alias("max_cusum"))

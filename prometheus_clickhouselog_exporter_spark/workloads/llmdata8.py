@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import fround, query, table
+from .core import MD5_SQL as _MD5_SQL, fround, md5_long as _md5_long, query, table
 
 
 @query(
@@ -119,20 +119,21 @@ def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (
       SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, len(t) - 1),
-                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-               AS g
+             CAST(CAST(('0x' || substr(md5(
+               unnest(list_transform(range(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ), 1, 12)) AS UBIGINT) AS BIGINT) AS gh
       FROM toks
     ),
     owner AS (
-      SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g
+      SELECT gh, min(doc_id) AS first_doc FROM sh GROUP BY gh
     ),
     per_doc AS (
       SELECT s.doc_id,
              CAST(count(*) AS BIGINT) AS n_shingles,
              CAST(sum(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_novel
-      FROM sh s JOIN owner o ON s.g = o.g
+      FROM sh s JOIN owner o ON s.gh = o.gh
       GROUP BY s.doc_id
     ),
     deciles AS (
@@ -185,12 +186,13 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
+        .select("doc_id", _md5_long(F.col("g")).alias("gh"))
         .distinct()
-        .localCheckpoint(eager=False)  # shingle postings; feeds owner + join
+        .localCheckpoint(eager=False)  # 8-byte shingle postings; owner + join
     )
-    owner = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    owner = sh.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
-        sh.join(owner, "g")
+        sh.join(owner, "gh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
@@ -234,21 +236,27 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM x_long GROUP BY j
     ),
     vr AS (
-      SELECT j, ((sxx / n) - ((sx / n) * (sx / n))) AS var FROM stats
+      -- per-dim variance quantized to BIGINT so every cross-dim sum
+      -- (total + running) is order-free integer arithmetic
+      SELECT j, ((sxx / n) - ((sx / n) * (sx / n))) AS var,
+             CAST(floor(((sxx / n) - ((sx / n) * (sx / n))) * 1e12) AS BIGINT)
+               AS qvar
+      FROM stats
     ),
     ranked AS (
-      SELECT j, var,
-             row_number() OVER (ORDER BY var, j) AS rk,
-             sum(var) OVER () AS vtot,
-             sum(var) OVER (ORDER BY var, j
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      SELECT j, var, qvar,
+             row_number() OVER (ORDER BY qvar, j) AS rk,
+             sum(qvar) OVER () AS vtot,
+             sum(qvar) OVER (ORDER BY qvar, j
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS vcum
       FROM vr
     )
     SELECT CAST(j AS INT) AS dim, CAST(rk AS INT) AS variance_rank,
            floor(var * 1e6 + 0.5) / 1e6 AS variance,
-           floor((vcum / vtot) * 1e6 + 0.5) / 1e6 AS cum_var_share_dropped,
-           (vcum / vtot < 0.01) AS prunable_at_1pct
+           floor((CAST(vcum AS DOUBLE) / CAST(vtot AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS cum_var_share_dropped,
+           (vcum * 100 < vtot) AS prunable_at_1pct
     FROM ranked WHERE rk <= 16 ORDER BY variance_rank
     """,
 )
@@ -284,20 +292,21 @@ def embedding_dead_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e9
         ).alias("sxx"),
     )
-    vr = stats.select(
-        "j",
-        (
-            (F.col("sxx") / F.col("n"))
-            - ((F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n")))
-        ).alias("var"),
+    var = (F.col("sxx") / F.col("n")) - (
+        (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
     )
-    wo = Window.orderBy("var", "j")
+    # variance quantizes to BIGINT before ANY cross-dim sum (total or
+    # running) — the order-free fold rule; ranking also keys on qvar so
+    # rank, shares, and the prune flag are all integer-derived
+    vr = stats.select("j", var.alias("var"), F.floor(var * 1e12).cast("bigint").alias("qvar"))
+    wo = Window.orderBy("qvar", "j")
     ranked = vr.select(
         "j",
         "var",
+        "qvar",
         F.row_number().over(wo).alias("rk"),
-        F.sum("var").over(Window.partitionBy()).alias("vtot"),
-        F.sum("var").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("vcum"),
+        F.sum("qvar").over(Window.partitionBy()).alias("vtot"),
+        F.sum("qvar").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("vcum"),
     )
     return (
         ranked.filter(F.col("rk") <= 16)
@@ -305,8 +314,10 @@ def embedding_dead_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j").cast("int").alias("dim"),
             F.col("rk").cast("int").alias("variance_rank"),
             fround(F.col("var"), 6).alias("variance"),
-            fround(F.col("vcum") / F.col("vtot"), 6).alias("cum_var_share_dropped"),
-            (F.col("vcum") / F.col("vtot") < 0.01).alias("prunable_at_1pct"),
+            fround(
+                F.col("vcum").cast("double") / F.col("vtot").cast("double"), 6
+            ).alias("cum_var_share_dropped"),
+            (F.col("vcum") * 100 < F.col("vtot")).alias("prunable_at_1pct"),
         )
         .orderBy("variance_rank")
     )

@@ -243,8 +243,9 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum("c").cast("double") / F.count(F.lit(1))).cast("long") + 1
         ).alias("kref")
     )
+    # ONE frame serves both running aggregates since the j<=t fix:
+    # prefix sum and running min share UNBOUNDED..CURRENT ROW
     wp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    wm = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     pref = daily.crossJoin(F.broadcast(k)).select(
         "d", "c", F.sum(F.col("c") - F.col("kref")).over(wp).alias("p")
     )
@@ -253,7 +254,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         (
             F.col("p")
-            - F.least(F.lit(0).cast("long"), F.min("p").over(wm))
+            - F.least(F.lit(0).cast("long"), F.min("p").over(wp))
         ).alias("s"),
     )
     return (

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from .core import fround, money, query, table
 
-from .llmdata7 import _md5_long, _MD5_SQL
+from .core import MD5_SQL as _MD5_SQL, md5_long as _md5_long
 
 
 @query(
@@ -166,7 +166,7 @@ def stats_mahalanobis_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lags
     )
     SELECT CAST((SELECT count(*) FROM v0) AS BIGINT) AS n_viewers,
-           CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(count(*) AS BIGINT) AS n_converted,
            CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
                          THEN lag_sec END) AS BIGINT) AS p50_sec,
            CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
@@ -213,27 +213,29 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
     )
     n_viewers = v0.agg(F.count(F.lit(1)).alias("nv"))
-    return (
-        ranked.crossJoin(F.broadcast(n_viewers))
-        .agg(
-            F.max("nv").cast("bigint").alias("n_viewers"),
-            F.max("n").cast("bigint").alias("n_converted"),
-            F.max(
-                F.when(
-                    F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")), F.col("lag_sec")
-                )
-            )
-            .cast("bigint")
-            .alias("p50_sec"),
-            F.max(
-                F.when(
-                    F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")), F.col("lag_sec")
-                )
-            )
-            .cast("bigint")
-            .alias("p90_sec"),
-            F.max("lag_sec").cast("bigint").alias("max_sec"),
+    # aggregate the (possibly EMPTY) lag set alone — count() makes it one
+    # row with 0/NULLs — then attach the always-1-row viewer count, so an
+    # all-non-converting corpus still reports the true n_viewers
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")), F.col("lag_sec"))
         )
+        .cast("bigint")
+        .alias("p50_sec"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")), F.col("lag_sec"))
+        )
+        .cast("bigint")
+        .alias("p90_sec"),
+        F.max("lag_sec").cast("bigint").alias("max_sec"),
+    )
+    return F.broadcast(n_viewers).crossJoin(stats).select(
+        F.col("nv").cast("bigint").alias("n_viewers"),
+        "n_converted",
+        "p50_sec",
+        "p90_sec",
+        "max_sec",
     )
 
 

@@ -47,7 +47,7 @@ from .core import fround, money, query, table
              count(*) OVER () AS n
       FROM slopes
     )
-    SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
            CAST((SELECT count(*) FROM monthly) AS BIGINT) AS n_months,
            floor(max(CASE WHEN rn = (n + 1) // 2 THEN slope END)
                  * 1e4 + 0.5) / 1e4 AS theil_sen_slope,
@@ -96,21 +96,24 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_months = monthly.agg(F.count(F.lit(1)).alias("m"))
     pick = lambda cond: F.max(F.when(cond, F.col("slope")))  # noqa: E731
-    return (
-        ranked.crossJoin(F.broadcast(n_months))
-        .agg(
-            F.max("n").cast("bigint").alias("n_pairs"),
-            F.max("m").cast("bigint").alias("n_months"),
-            fround(pick(F.col("rn") == F.expr("(n + 1) DIV 2")), 4).alias(
-                "theil_sen_slope"
-            ),
-            fround(pick(F.col("rn") == F.expr("(n + 9) DIV 10")), 4).alias(
-                "slope_p10"
-            ),
-            fround(pick(F.col("rn") == F.expr("(9 * n + 9) DIV 10")), 4).alias(
-                "slope_p90"
-            ),
-        )
+    # aggregate the (possibly empty) pair set ALONE — always one row —
+    # then attach the month count, so a 1-month corpus still reports it
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        fround(pick(F.col("rn") == F.expr("(n + 1) DIV 2")), 4).alias(
+            "theil_sen_slope"
+        ),
+        fround(pick(F.col("rn") == F.expr("(n + 9) DIV 10")), 4).alias("slope_p10"),
+        fround(pick(F.col("rn") == F.expr("(9 * n + 9) DIV 10")), 4).alias(
+            "slope_p90"
+        ),
+    )
+    return F.broadcast(n_months).crossJoin(stats).select(
+        "n_pairs",
+        F.col("m").cast("bigint").alias("n_months"),
+        "theil_sen_slope",
+        "slope_p10",
+        "slope_p90",
     )
 
 
@@ -173,8 +176,9 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(prod < 0, 1).otherwise(0).alias("dd"),
     )
     nd = daily.agg(F.count(F.lit(1)).alias("ndays"))
-    return pairs.crossJoin(F.broadcast(nd)).agg(
-        F.max("ndays").cast("bigint").alias("n_days"),
+    # pair aggregate alone (always one row, even with <2 days), then the
+    # always-1-row day count attaches — no NULL n_days on tiny series
+    stats = pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum("c").cast("bigint").alias("concordant"),
         F.sum("dd").cast("bigint").alias("discordant"),
@@ -184,6 +188,14 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double"),
             6,
         ).alias("tau_a"),
+    )
+    return F.broadcast(nd).crossJoin(stats).select(
+        F.col("ndays").cast("bigint").alias("n_days"),
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "ties",
+        "tau_a",
     )
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .core import fround, money, query, table
-from .llmdata7 import _MD5_SQL, _md5_long
+from .core import MD5_SQL as _MD5_SQL, md5_long as _md5_long
 
 _TUNE_PERMS = 16  # signature width for the band-tuning report
 _TUNE_CONFIGS = [(8, 2), (4, 4), (2, 8)]  # (bands, rows-per-band), b*r = 16

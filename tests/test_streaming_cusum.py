@@ -134,3 +134,30 @@ def test_statistic_carries_across_batches(spark, tmp_path):
     )
     assert [r.cusum for r in got] == [3, 6, 9]
     assert [r.n for r in got] == [9, 9, 9]
+
+
+def test_late_day_after_close_is_dropped(spark, tmp_path):
+    """Cross-batch straggler for an already-closed day must be DROPPED
+    (the documented watermark-style policy), not re-open the day."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_events(in_dir / "b1.parquet", _series_rows({"k": [4, 4]}))  # days 0,1
+    q = _run(spark, in_dir, tmp_path, "cusum_late", kref=3, threshold=100,
+             per_file=True)
+    try:
+        q.processAllAvailable()  # closes day 0 (S=1); day 1 open
+        # straggler for day 0 plus a day-2 event that closes day 1
+        _write_events(
+            in_dir / "b2.parquet",
+            [
+                (800, T0, 1, "k", 1.0, "{}"),  # late: day 0 already closed
+                (801, T0 + dt.timedelta(days=2), 1, "k", 1.0, "{}"),
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(spark.sql("SELECT * FROM cusum_late").collect(),
+                 key=lambda r: r.day)
+    # day 0 emitted once with its ORIGINAL count; day 1 count unchanged
+    assert [(r.n, r.cusum) for r in got] == [(4, 1), (4, 2)]
