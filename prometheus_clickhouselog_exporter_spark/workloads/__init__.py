@@ -23,6 +23,7 @@ from . import relational13  # noqa: F401,E402
 from . import relational14  # noqa: F401,E402
 from . import relational15  # noqa: F401,E402
 from . import relational16  # noqa: F401,E402
+from . import relational17  # noqa: F401,E402
 from . import logpipe  # noqa: F401,E402
 from . import llmdata  # noqa: F401,E402
 from . import llmdata2  # noqa: F401,E402
@@ -32,6 +33,7 @@ from . import llmdata5  # noqa: F401,E402
 from . import llmdata6  # noqa: F401,E402
 from . import llmdata7  # noqa: F401,E402
 from . import llmdata8  # noqa: F401,E402
+from . import llmdata9  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import pipeline_ops2  # noqa: F401,E402
