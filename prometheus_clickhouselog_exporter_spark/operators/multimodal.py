@@ -752,3 +752,109 @@ def ahash_bmp(df: DataFrame, media_col: str = "media") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(op, out_schema)
+
+
+def synth_wav_gated(df: DataFrame, id_col: str, amp: float = 0.5) -> DataFrame:
+    """Synthesize a REAL PCM16 WAV whose signal is GATED into speech/
+    silence blocks: the 2000 samples split into 10 blocks of 200, and
+    block b carries the sine (f = 100 + id%25·8 Hz, like synth_wav)
+    only when (id + b) % 3 != 0 — every third block is digital silence
+    (exact zeros). The activity pattern is pure id arithmetic, so a
+    VAD stage downstream is fully oracle-predictable per document."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        t = np.arange(_WAV_N, dtype=np.float64) / _WAV_SR
+        block = _WAV_N // 10
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                f = 100.0 + (i % 25) * 8.0
+                x = amp * np.sin(2 * np.pi * f * t)
+                gate = np.repeat(
+                    np.array([(i + b) % 3 != 0 for b in range(10)]), block
+                )
+                pcm = (x * gate * 32767.0).astype("<i2")
+                blobs.append(_encode_wav(_WAV_SR, pcm))
+            pdf = pdf.copy()
+            pdf["media"] = blobs
+            yield pdf
+
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ", media binary"
+    )
+    return df.mapInPandas(op, out_schema)
+
+
+def vad_wav(
+    df: DataFrame,
+    media_col: str = "media",
+    frame: int = 200,
+    energy_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Energy-based voice-activity detection over PCM16 WAV blobs:
+    frame the signal, score each frame by EXACT integer energy
+    (Σ sample² in int64 — 200·32767² ≈ 2.1e11, far under the clamp),
+    threshold, then reduce the frame booleans to segment statistics
+    (count, longest run, first active frame) with a linear scan inside
+    the same Arrow batch. A digital-silence frame scores exactly 0 and
+    any ≥2-cycle sine frame scores ~amp²/2·32767²·frame ≈ 2.7e10, so
+    the threshold sits 4 orders of magnitude from both classes — no
+    boundary flake. Blobs are dropped before the return (wide-row
+    rule)."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != media_col
+    ) + (
+        ", n_frames int, n_active int, n_segments int,"
+        " longest_run int, first_active int"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf[media_col]:
+                _sr, x = _parse_wav(bytes(blob))
+                n = (len(x) // frame) * frame
+                e = (
+                    x[:n].astype(np.int64).reshape(-1, frame) ** 2
+                ).sum(axis=1)
+                act = e > energy_threshold
+                n_seg, longest, run, first = 0, 0, 0, -1
+                for k, a in enumerate(act):
+                    if a:
+                        if run == 0:
+                            n_seg += 1
+                        run += 1
+                        longest = max(longest, run)
+                        if first < 0:
+                            first = k
+                    else:
+                        run = 0
+                rows.append(
+                    {
+                        "n_frames": len(act),
+                        "n_active": int(act.sum()),
+                        "n_segments": n_seg,
+                        "longest_run": longest,
+                        "first_active": first,
+                    }
+                )
+            out = pdf.drop(columns=[media_col]).copy()
+            for k in (
+                "n_frames",
+                "n_active",
+                "n_segments",
+                "longest_run",
+                "first_active",
+            ):
+                out[k] = [r[k] for r in rows]
+            yield out
+
+    return df.mapInPandas(op, out_schema)

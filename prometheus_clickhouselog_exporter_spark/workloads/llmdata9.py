@@ -180,3 +180,75 @@ def curation_dedup_quality_impact(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("fate")
     )
+
+
+@query(
+    "multimodal_audio_vad",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id FROM documents WHERE doc_id < 60
+    ),
+    frames AS (
+      SELECT i.doc_id, b.b AS frame,
+             CASE WHEN (i.doc_id + b.b) % 3 <> 0 THEN 1 ELSE 0 END AS active
+      FROM ids i, range(10) b(b)
+    ),
+    runs AS (
+      SELECT doc_id, frame, active,
+             CASE WHEN active = 1
+                   AND coalesce(lag(active) OVER (PARTITION BY doc_id
+                                                  ORDER BY frame), 0) = 0
+                  THEN 1 ELSE 0 END AS seg_start
+      FROM frames
+    ),
+    segs AS (
+      SELECT doc_id, frame, active,
+             sum(seg_start) OVER (PARTITION BY doc_id ORDER BY frame) AS seg_id
+      FROM runs
+    ),
+    seg_lens AS (
+      SELECT doc_id, seg_id, count(*) AS len
+      FROM segs WHERE active = 1 GROUP BY doc_id, seg_id
+    )
+    SELECT f.doc_id,
+           CAST(10 AS INT) AS n_frames,
+           CAST(sum(f.active) AS INT) AS n_active,
+           CAST((SELECT count(*) FROM seg_lens s WHERE s.doc_id = f.doc_id)
+                AS INT) AS n_segments,
+           CAST((SELECT max(len) FROM seg_lens s WHERE s.doc_id = f.doc_id)
+                AS INT) AS longest_run,
+           CAST(min(CASE WHEN f.active = 1 THEN f.frame END) AS INT)
+             AS first_active
+    FROM frames f GROUP BY f.doc_id ORDER BY f.doc_id
+    """,
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over the REAL audio lane: synthesize
+    gated WAVs (every third 200-sample block is digital silence, the
+    pattern pure id arithmetic), DECODE them, score frames by exact
+    integer energy, and reduce to segment statistics — the
+    speech-segmentation primitive of any audio curation pipeline
+    (silence stripping, utterance splitting). The oracle replays the
+    gating formula and the gaps-and-islands segmentation in SQL — a
+    framing offset, threshold error, or run-length bug anywhere in
+    the decode/VAD chain diverges some document's row.
+
+    Scale: synth+decode+VAD are ONE scan-stage mapInPandas chain —
+    blobs never shuffle; only five small integers per document
+    survive. Frame energy in int64 stays 7 orders of magnitude under
+    the overflow clamp (SCALE.md floor rule applied to sums).
+    """
+    from ..operators.multimodal import synth_wav_gated, vad_wav
+
+    d = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 60
+    )
+    out = vad_wav(synth_wav_gated(d, "doc_id"))
+    return out.select(
+        "doc_id",
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.col("n_active").cast("int").alias("n_active"),
+        F.col("n_segments").cast("int").alias("n_segments"),
+        F.col("longest_run").cast("int").alias("longest_run"),
+        F.col("first_active").cast("int").alias("first_active"),
+    ).orderBy("doc_id")

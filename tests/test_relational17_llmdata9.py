@@ -82,3 +82,30 @@ def test_dedup_impact_counts_reconcile(spark):
     # keepers are one per group; dropped must be fewer than kept-groups' dups
     assert rows["dropped"].n_docs < n_docs
     assert rows["kept"].mean_chars > 0 and rows["dropped"].mean_chars > 0
+
+
+def test_audio_vad_round_trip_hand_ids(spark):
+    """The VAD chain on real decoded WAVs matches the gating formula
+    for hand-checked ids."""
+    from prometheus_clickhouselog_exporter_spark.workloads.llmdata9 import (
+        multimodal_audio_vad,
+    )
+
+    rows = {r.doc_id: r for r in multimodal_audio_vad(spark, SF_DIR).collect()}
+    assert len(rows) == 60
+    for i in (0, 1, 2, 7):
+        active = [(i + b) % 3 != 0 for b in range(10)]
+        segs, run, longest, first = 0, 0, 0, -1
+        for k, a in enumerate(active):
+            if a:
+                if run == 0:
+                    segs += 1
+                run += 1
+                longest = max(longest, run)
+                if first < 0:
+                    first = k
+            else:
+                run = 0
+        r = rows[i]
+        assert (r.n_frames, r.n_active, r.n_segments, r.longest_run,
+                r.first_active) == (10, sum(active), segs, longest, first)
