@@ -1,0 +1,84 @@
+"""Hand-value and invariant tests for relational18 (pipe syntax,
+Brown–Forsythe, keyness)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Row
+
+from prometheus_clickhouselog_exporter_spark.workloads.relational18 import (
+    sql_pipe_syntax_surface,
+    stats_levene_bf,
+    text_keyness_chi2,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pipe_equals_classic_q1_shape(spark):
+    """The pipe form must equal the classic DataFrame form row-for-row."""
+    from pyspark.sql import functions as F
+    from prometheus_clickhouselog_exporter_spark.workloads.core import table
+
+    li = table(spark, SF_DIR, "lineitem").filter(F.col("l_quantity") < 45)
+    classic = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+        .collect()
+    )
+    piped = sql_pipe_syntax_surface(spark, SF_DIR).collect()
+    assert [tuple(r) for r in piped] == [tuple(r) for r in classic]
+
+
+def test_brown_forsythe_matches_scipy_formula(spark):
+    """W equals the textbook computation replayed in numpy."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT c_mktsegment, CAST(floor(c_acctbal * 100) AS BIGINT)
+            FROM '{SF_DIR}/customer.parquet'"""
+    ).fetchall()
+    groups: dict[str, list] = {}
+    for seg, x in rows:
+        groups.setdefault(seg, []).append(x)
+    z_groups = []
+    for seg in groups:
+        xs = np.array(sorted(groups[seg]), dtype=np.int64)
+        med = xs[(len(xs) + 1) // 2 - 1]  # lower median, the rank rule
+        z_groups.append(np.abs(np.array(groups[seg]) - med).astype(np.float64))
+    k = len(z_groups)
+    nt = sum(len(z) for z in z_groups)
+    grand = sum(z.sum() for z in z_groups) / nt
+    ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in z_groups)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in z_groups)
+    w = (ssb / (k - 1)) / (ssw / (nt - k))
+    out = stats_levene_bf(spark, SF_DIR).collect()[0]
+    assert out.n_obs == nt and out.n_groups == k
+    assert abs(out.bf_w - w) < 1e-3
+
+
+def test_keyness_hand_corpus(spark, tmp_path):
+    """A token exclusive to one source and frequent must key for it."""
+    rows = []
+    common = "alpha beta gamma delta " * 20
+    for i in range(30):
+        rows.append(Row(doc_id=i, text=common.strip(), lang="en",
+                        source="plain", n_chars=1))
+    for i in range(30, 60):
+        rows.append(Row(doc_id=i, text=(common + "zebra " * 10).strip(),
+                        lang="en", source="spiky", n_chars=1))
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    out = text_keyness_chi2(spark, str(tmp_path)).collect()
+    spiky_top = [r.token for r in out if r.source == "spiky" and r.rank == 1]
+    assert spiky_top == ["zebra"]
+    for r in out:
+        assert r.chi2 >= 0 and 1 <= r.rank <= 3
