@@ -321,3 +321,134 @@ def embedding_dead_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variance_rank")
     )
+
+
+@query(
+    "multimodal_phash_banded_candidates",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id, 16 + doc_id % 16 AS w, 8 + (doc_id * 3) % 16 AS h
+      FROM documents WHERE doc_id < 64
+    ),
+    cells AS (
+      SELECT i.doc_id, (gy.i * 8 + gx.j) AS pos,
+             299 * ((7 * ((gx.j * i.w) // 8) + i.doc_id) % 256)
+             + 587 * ((11 * ((gy.i * i.h) // 8) + i.doc_id) % 256)
+             + 114 * ((((gx.j * i.w) // 8) + ((gy.i * i.h) // 8)) % 256)
+               AS lum
+      FROM ids i, range(8) gy(i), range(8) gx(j)
+    ),
+    tot AS (SELECT doc_id, sum(lum) AS t FROM cells GROUP BY doc_id),
+    bits AS (
+      SELECT c.doc_id, c.pos,
+             CASE WHEN 64 * c.lum > t.t THEN 1 ELSE 0 END AS bit
+      FROM cells c JOIN tot t ON c.doc_id = t.doc_id
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN pos < 32
+                           THEN bit * (CAST(1 AS BIGINT) << pos) ELSE 0 END)
+                  AS BIGINT) AS h_hi,
+             CAST(sum(CASE WHEN pos >= 32
+                           THEN bit * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END)
+                  AS BIGINT) AS h_lo
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b.band,
+             CASE WHEN b.band = 0 THEN h_lo & 65535
+                  WHEN b.band = 1 THEN (h_lo >> 16) & 65535
+                  WHEN b.band = 2 THEN h_hi & 65535
+                  ELSE (h_hi >> 16) & 65535 END AS bh
+      FROM hashes, range(4) b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             CAST(bit_count(xor(x.h_hi, y.h_hi))
+                  + bit_count(xor(x.h_lo, y.h_lo)) AS INT) AS hamming
+      FROM cand c
+      JOIN hashes x ON x.doc_id = c.id_a
+      JOIN hashes y ON y.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, hamming
+    FROM verified WHERE hamming <= 12
+    ORDER BY hamming, id_a, id_b
+    """,
+)
+def multimodal_phash_banded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path multimodal_image_phash_dedup's docstring promises:
+    Hamming-LSH over the same aHash table — split the 64 bits into four
+    16-bit bands, bucket-join on (band, band value) so only images
+    sharing an EXACT 16-bit slice ever pair (pigeonhole guarantee:
+    any pair with Hamming < 4 — fewer differing bits than bands —
+    MUST share an untouched band; beyond that, candidacy is
+    probabilistic, the standard LSH recall/cost trade), then verify
+    candidates with the true bit_count distance and keep ≤ 12. Same plan
+    family as dedup_minhash_lsh, instantiated for Hamming space.
+
+    Scale: the pair join is over band buckets, never all-pairs; the
+    candidate dedup carries ids only and the hash table joins back at
+    sketch size (two BIGINTs per image). Verification is scan-stage
+    integer ops.
+    """
+    from ..operators.multimodal import ahash_bmp, synth_bmp
+
+    d = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 64
+    )
+    hashes = ahash_bmp(synth_bmp(d, "doc_id")).localCheckpoint(
+        eager=False
+    )  # (id, hi, lo); feeds bands + both verify sides
+    bands = hashes.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        "h_hi",
+        "h_lo",
+    ).select(
+        "doc_id",
+        "band",
+        F.when(F.col("band") == 0, F.col("h_lo").bitwiseAND(65535))
+        .when(F.col("band") == 1, F.shiftright("h_lo", 16).bitwiseAND(65535))
+        .when(F.col("band") == 2, F.col("h_hi").bitwiseAND(65535))
+        .otherwise(F.shiftright("h_hi", 16).bitwiseAND(65535))
+        .alias("bh"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    x = hashes.select(
+        F.col("doc_id").alias("xid"),
+        F.col("h_hi").alias("xhi"),
+        F.col("h_lo").alias("xlo"),
+    )
+    y = hashes.select(
+        F.col("doc_id").alias("yid"),
+        F.col("h_hi").alias("yhi"),
+        F.col("h_lo").alias("ylo"),
+    )
+    ham = (
+        F.bit_count(F.col("xhi").bitwiseXOR(F.col("yhi")))
+        + F.bit_count(F.col("xlo").bitwiseXOR(F.col("ylo")))
+    ).cast("int")
+    return (
+        cand.join(F.broadcast(x), F.col("id_a") == F.col("xid"))
+        .join(F.broadcast(y), F.col("id_b") == F.col("yid"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 12)
+        .orderBy("hamming", "id_a", "id_b")
+    )

@@ -92,3 +92,35 @@ def test_dead_dims_synthetic_constant_dim(spark, tmp_path):
     assert out[0].variance <= 1e-6
     shares = [r.cum_var_share_dropped for r in out]
     assert shares == sorted(shares)
+
+
+def test_banded_phash_subset_of_bruteforce_and_pigeonhole_recall(spark):
+    """Banded output ⊆ brute-force ≤12 pairs; pairs with hamming < 4
+    are GUARANTEED retrieved (pigeonhole over 4 bands)."""
+    from prometheus_clickhouselog_exporter_spark.workloads.llmdata8 import (
+        multimodal_phash_banded_candidates,
+    )
+
+    hashes = {}
+    for i in range(64):
+        w, h = 16 + i % 16, 8 + (i * 3) % 16
+        sy = (np.arange(8) * h) // 8
+        sx = (np.arange(8) * w) // 8
+        r = (7 * sx[None, :] + i) % 256
+        g = (11 * sy[:, None] + i) % 256
+        b = (sx[None, :] + sy[:, None]) % 256
+        lum = (299 * np.broadcast_to(r, (8, 8))
+               + 587 * np.broadcast_to(g, (8, 8)) + 114 * b)
+        bits = (64 * lum.reshape(-1) > lum.sum()).astype(np.int64)
+        hashes[i] = bits
+    brute = {}
+    for a in range(64):
+        for b2 in range(a + 1, 64):
+            brute[(a, b2)] = int((hashes[a] != hashes[b2]).sum())
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in multimodal_phash_banded_candidates(spark, SF_DIR).collect()}
+    for pair, hm in got.items():
+        assert brute[pair] == hm and hm <= 12
+    for pair, hm in brute.items():
+        if hm < 4:
+            assert pair in got  # pigeonhole guarantee
