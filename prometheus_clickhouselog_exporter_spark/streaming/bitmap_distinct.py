@@ -29,24 +29,10 @@ sketch with zero error.
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _latest_state(spark: SparkSession, state_dir: str, before_batch: int):
-    """Newest state version with id < before_batch, or None."""
-    if not os.path.isdir(state_dir):
-        return None
-    versions = [
-        int(name[1:])
-        for name in os.listdir(state_dir)
-        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < before_batch
-    ]
-    if not versions:
-        return None
-    return f"{state_dir}/v{max(versions)}"
+from .merge_state import merge_versioned_state
 
 
 def merge_bitmap_batch(
@@ -54,23 +40,24 @@ def merge_bitmap_batch(
 ) -> None:
     """The foreachBatch body (public so tests can replay it directly):
     fold the batch to (event_type, bucket) bitmaps, OR into the latest
-    prior state, write state v{batch_id} and the counts partition."""
-    spark = batch.sparkSession
-    fresh = batch.groupBy(
-        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("b")
-    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
-    prev_path = _latest_state(spark, state_dir, batch_id)
-    if prev_path is not None:
-        prev = spark.read.parquet(prev_path)
-        fresh = (
-            fresh.unionByName(prev)
-            .groupBy("event_type", "b")
-            .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+    prior state via the shared versioned-merge recipe, write the
+    counts partition."""
+
+    def fold(b: DataFrame) -> DataFrame:
+        return b.groupBy(
+            "event_type", F.expr("bitmap_bucket_number(user_id)").alias("b")
+        ).agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
         )
-    fresh.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    def merge(u: DataFrame) -> DataFrame:
+        return u.groupBy("event_type", "b").agg(
+            F.expr("bitmap_or_agg(bm)").alias("bm")
+        )
+
+    state = merge_versioned_state(batch, batch_id, state_dir, fold, merge)
     counts = (
-        spark.read.parquet(f"{state_dir}/v{batch_id}")
-        .groupBy("event_type")
+        state.groupBy("event_type")
         .agg(F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users"))
         .withColumn("batch_id", F.lit(batch_id).cast("long"))
     )

@@ -1,0 +1,59 @@
+"""Versioned idempotent-merge state for foreachBatch sinks — the
+shared recipe under streaming/bitmap_distinct.py and the MinHash sink.
+
+The pattern: aggregate state whose MERGE operator is idempotent and
+commutative (bitwise OR, elementwise MIN, ...) can live as versioned
+parquet (``state_dir/v{batch_id}``). Each batch reads the newest
+version strictly before its own id, merges the batch's partial in,
+and overwrites its own version — replaying a failed batch re-reads
+the same predecessor and rewrites the same successor, so the sink is
+exactly-once WITHOUT a transaction log: idempotence of the merge IS
+the commit protocol. (Counter-like state — sums, counts — is NOT
+idempotent and needs the epoch-partition ledger of
+streaming/medallion.py instead; this module is for sketch-shaped
+state.)
+
+100 TB: state size is sketch-bounded (bitmaps by id-space, signatures
+by |keys|·|perms|), never stream-length-bounded; each merge shuffles
+state rows + one batch's partials on the state key.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def latest_state(spark: SparkSession, state_dir: str, before_batch: int):
+    """Path of the newest state version with id < before_batch, or None."""
+    if not os.path.isdir(state_dir):
+        return None
+    versions = [
+        int(name[1:])
+        for name in os.listdir(state_dir)
+        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < before_batch
+    ]
+    if not versions:
+        return None
+    return f"{state_dir}/v{max(versions)}"
+
+
+def merge_versioned_state(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    fold: Callable[[DataFrame], DataFrame],
+    merge: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """fold(batch) → this batch's partial state; merge(partial ∪ prior)
+    → new state, written as v{batch_id} and returned (re-read, so the
+    caller sees exactly what landed)."""
+    spark = batch.sparkSession
+    fresh = fold(batch)
+    prev_path = latest_state(spark, state_dir, batch_id)
+    if prev_path is not None:
+        fresh = merge(fresh.unionByName(spark.read.parquet(prev_path)))
+    fresh.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+    return spark.read.parquet(f"{state_dir}/v{batch_id}")
