@@ -82,3 +82,80 @@ def test_keyness_hand_corpus(spark, tmp_path):
     assert spiky_top == ["zebra"]
     for r in out:
         assert r.chi2 >= 0 and 1 <= r.rank <= 3
+
+
+def test_autocorr_detects_weekly_cycle(spark, tmp_path):
+    """A strict 7-day periodic series must peak ACF at lag 7."""
+    import datetime as dt
+    from pyspark.sql import Row
+    from prometheus_clickhouselog_exporter_spark.workloads.relational19 import (
+        timeseries_autocorr_daily,
+    )
+
+    rows, eid = [], 0
+    base = dt.datetime(2024, 1, 1)
+    for day in range(49):
+        n = 20 if day % 7 == 0 else 3
+        for _ in range(n):
+            rows.append(Row(event_id=eid, ts=base + dt.timedelta(days=day),
+                            user_id=1, event_type="view", value=1.0, props="{}"))
+            eid += 1
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    out = {r.lag: r.acf for r in timeseries_autocorr_daily(spark, str(tmp_path)).collect()}
+    assert out[7] == max(out.values())
+    assert out[7] > 0.9
+    assert out[1] < 0.2
+
+
+def test_duplicate_event_screen_hand_corpus(spark, tmp_path):
+    import datetime as dt
+    from pyspark.sql import Row
+    from prometheus_clickhouselog_exporter_spark.workloads.relational19 import (
+        dq_duplicate_event_screen,
+    )
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(event_id=1, ts=t, user_id=1, event_type="view", value=1.0, props="{}"),
+        Row(event_id=2, ts=t + dt.timedelta(seconds=30), user_id=1,
+            event_type="view", value=1.0, props="{}"),       # dup pair (1,2)
+        Row(event_id=3, ts=t + dt.timedelta(hours=2), user_id=1,
+            event_type="view", value=1.0, props="{}"),       # too late
+        Row(event_id=4, ts=t, user_id=1, event_type="click",
+            value=1.0, props="{}"),                          # other type
+        Row(event_id=5, ts=t, user_id=2, event_type="view",
+            value=1.0, props="{}"),                          # other user
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    got = [(r.event_a, r.event_b, r.gap_sec)
+           for r in dq_duplicate_event_screen(spark, str(tmp_path)).collect()]
+    assert got == [(1, 2, 30)]
+
+
+def test_cohens_d_zero_for_identical_groups(spark, tmp_path):
+    from pyspark.sql import Row
+    from prometheus_clickhouselog_exporter_spark.workloads.relational19 import (
+        stats_cohens_d,
+    )
+
+    rows = [
+        Row(c_custkey=i, c_name=f"c{i}", c_nationkey=0,
+            c_acctbal=float(100 + (i // 2) % 10), c_mktsegment="X")
+        for i in range(200)  # parity pairs share the same value
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/customer.parquet")
+    out = stats_cohens_d(spark, str(tmp_path)).collect()[0]
+    assert out.n_a == out.n_b == 100
+    assert out.mean_a == out.mean_b
+    assert out.cohens_d == 0.0
+
+
+def test_copurchase_degree_buckets_consistent(spark):
+    from prometheus_clickhouselog_exporter_spark.workloads.relational19 import (
+        graph_copurchase_degree,
+    )
+
+    rows = graph_copurchase_degree(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (1 << (r.bucket - 1)) <= r.min_deg <= r.max_deg < (1 << r.bucket)
