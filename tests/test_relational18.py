@@ -159,3 +159,43 @@ def test_copurchase_degree_buckets_consistent(spark):
     assert rows
     for r in rows:
         assert (1 << (r.bucket - 1)) <= r.min_deg <= r.max_deg < (1 << r.bucket)
+
+
+def test_interarrival_cv_poisson_vs_scheduled(spark, tmp_path):
+    """A perfectly regular series has CV ~= 0; the real corpus is near
+    1 (Poisson-ish synthetic arrivals)."""
+    import datetime as dt
+    from pyspark.sql import Row
+    from prometheus_clickhouselog_exporter_spark.workloads.llmdata10 import (
+        events_interarrival_cv,
+    )
+
+    rows = [
+        Row(event_id=i, ts=dt.datetime(2024, 1, 1) + dt.timedelta(minutes=10 * i),
+            user_id=1, event_type="cron", value=1.0, props="{}")
+        for i in range(50)
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    out = events_interarrival_cv(spark, str(tmp_path)).collect()[0]
+    assert out.event_type == "cron" and out.n == 49
+    assert out.cv == 0.0 and out.mean_gap_sec == 600
+    real = {r.event_type: r.cv for r in events_interarrival_cv(spark, SF_DIR).collect()}
+    assert all(0.5 < cv < 2.0 for cv in real.values())
+
+
+def test_collocation_lift_finds_glued_pair(spark, tmp_path):
+    """A bigram that ALWAYS co-occurs ('new york') outranks free pairs."""
+    from pyspark.sql import Row
+    from prometheus_clickhouselog_exporter_spark.workloads.llmdata10 import (
+        text_collocations_lift,
+    )
+
+    filler = "the cat sat on the mat near the dog and the bird "
+    rows = []
+    for i in range(20):
+        rows.append(Row(doc_id=i, text=(filler + "new york ") * 2, lang="en",
+                        source="s", n_chars=1))
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    out = text_collocations_lift(spark, str(tmp_path)).collect()
+    assert out[0].bigram == "new york"
+    assert out[0].lift == max(r.lift for r in out)
