@@ -190,11 +190,14 @@ def test_collocation_lift_finds_glued_pair(spark, tmp_path):
         text_collocations_lift,
     )
 
-    filler = "the cat sat on the mat near the dog and the bird "
+    words = ["the", "cat", "sat", "on", "mat", "near", "dog", "and", "bird"]
     rows = []
     for i in range(20):
-        rows.append(Row(doc_id=i, text=(filler + "new york ") * 2, lang="en",
-                        source="s", n_chars=1))
+        # rotate the filler per doc so filler adjacencies VARY while
+        # 'new york' is always glued
+        rot = words[i % len(words):] + words[: i % len(words)]
+        text = " ".join(rot) + " new york " + " ".join(reversed(rot)) + " new york"
+        rows.append(Row(doc_id=i, text=text, lang="en", source="s", n_chars=1))
     spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
     out = text_collocations_lift(spark, str(tmp_path)).collect()
     assert out[0].bigram == "new york"
