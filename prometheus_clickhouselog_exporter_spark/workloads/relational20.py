@@ -1,0 +1,183 @@
+"""Relational battery, round 3 batch 23: service-level ship-delay
+quantiles and the audience-overlap matrix.
+
+The SLA report is the operations staple: how long after the order do
+lines actually ship, by priority, at the percentiles the contract
+names? Exact integer-day quantiles by rank arithmetic. The audience
+matrix computes |A∩B| for every pair of event types WITHOUT ever
+materializing user sets pairwise: the bitmap lane
+(agg_bitmap_distinct_exact) gives exact |A|, |B|, and |A∪B| by OR,
+and inclusion–exclusion does the rest — set algebra on fixed-size
+sketches with zero error, the audience-planning primitive.
+
+Float discipline per workloads/core.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import fround, query, table
+
+
+@query(
+    "sla_ship_delay_quantiles",
+    oracle="""
+    WITH d AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS delay
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+      SELECT priority, delay,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY delay, priority) AS rn,
+             count(*) OVER (PARTITION BY priority) AS n
+      FROM d
+    )
+    SELECT priority, CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                         THEN delay END) AS BIGINT) AS p50_days,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                         THEN delay END) AS BIGINT) AS p90_days,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                         THEN delay END) AS BIGINT) AS p99_days,
+           CAST(max(delay) AS BIGINT) AS max_days
+    FROM ranked GROUP BY priority ORDER BY priority
+    """,
+)
+def sla_ship_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-level ship-delay report: days from order to line
+    shipment, by priority, at the contract percentiles (p50/p90/p99)
+    — exact discrete quantiles by rank arithmetic over integer days
+    (the quantile_disc/funnel_time_to_convert recipe, partitioned).
+    The per-priority tail (p99, max) is the SLA breach evidence a
+    sampled sketch could misplace — exactness is the point here.
+
+    Scale: one fact join (orders side broadcast-eligible per AQE), one
+    shuffle on priority shared by the rank window and the aggregate.
+    Rank selection needs no second pass — the CASE-at-rank trick reads
+    the quantile off the same window.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("delay"),
+    )
+    w = Window.partitionBy("priority").orderBy("delay", "priority")
+    ranked = d.select(
+        "priority",
+        "delay",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("priority")).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("delay"))
+    )
+    return (
+        ranked.groupBy("priority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_lines"),
+            pick(0.5).cast("bigint").alias("p50_days"),
+            pick(0.9).cast("bigint").alias("p90_days"),
+            pick(0.99).cast("bigint").alias("p99_days"),
+            F.max("delay").cast("bigint").alias("max_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "audience_overlap_matrix",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sz AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM u a JOIN u b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, za.n AS n_a, zb.n AS n_b, i.n_both,
+           floor((CAST(i.n_both AS DOUBLE)
+                  / CAST(za.n + zb.n - i.n_both AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS jaccard
+    FROM inter i
+    JOIN sz za ON za.event_type = i.type_a
+    JOIN sz zb ON zb.event_type = i.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types — exact |A∩B| for every
+    type pair WITHOUT a pairwise join over users: per-type bitmaps
+    (the agg_bitmap_distinct_exact lane) give |A| and, OR-merged
+    pairwise, |A∪B|; inclusion–exclusion yields the intersection —
+    set algebra on fixed-size binaries with zero error. The oracle
+    computes the same matrix the naive way (distinct user self-join),
+    certifying the bitmap algebra end to end.
+
+    Scale: ONE distinct pass builds |types|·|buckets| bitmap rows;
+    every pair's union is bucket-aligned OR over those rows — the
+    shuffle carries bitmaps, never user ids, and adding a type costs
+    one column of bitmaps, not a rescan. |types|² stays tiny while
+    |users| is the big number — exactly the asymmetry bitmaps exploit.
+    """
+    ev = table(spark, sf_dir, "events")
+    per = (
+        ev.groupBy("event_type", F.expr("bitmap_bucket_number(user_id)").alias("b"))
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+        )
+        .localCheckpoint(eager=False)  # bitmap rows; sizes + both pair sides
+    )
+    sz = per.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n")
+    )
+    ta = sz.select(F.col("event_type").alias("type_a"))
+    tb = sz.select(F.col("event_type").alias("type_b"))
+    pairs = ta.crossJoin(tb).filter(F.col("type_a") < F.col("type_b"))
+    # tag every bitmap row with each pair it belongs to (a bitmap row
+    # joins at most |types|-1 pairs), then OR per (pair, bucket): buckets
+    # present in only one member still carry their bits into the union
+    expanded = per.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    )
+    union = (
+        expanded.groupBy("type_a", "type_b", "b")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .select(
+            "type_a", "type_b", F.expr("bitmap_count(bm)").alias("cnt")
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.sum("cnt").cast("bigint").alias("n_union"))
+    )
+    za = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    n_both = (F.col("n_a") + F.col("n_b") - F.col("n_union")).cast("bigint")
+    return (
+        union.join(F.broadcast(za), "type_a")
+        .join(F.broadcast(zb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            n_both.alias("n_both"),
+            fround(n_both.cast("double") / F.col("n_union").cast("double"), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )

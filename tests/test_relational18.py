@@ -202,3 +202,34 @@ def test_collocation_lift_finds_glued_pair(spark, tmp_path):
     out = text_collocations_lift(spark, str(tmp_path)).collect()
     assert out[0].bigram == "new york"
     assert out[0].lift == max(r.lift for r in out)
+
+
+def test_sla_quantiles_ordered_and_bounded(spark):
+    from prometheus_clickhouselog_exporter_spark.workloads.relational20 import (
+        sla_ship_delay_quantiles,
+    )
+
+    rows = sla_ship_delay_quantiles(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.p50_days <= r.p90_days <= r.p99_days <= r.max_days
+        assert r.n_lines > 0
+
+
+def test_audience_overlap_matches_set_algebra(spark):
+    from prometheus_clickhouselog_exporter_spark.workloads.relational20 import (
+        audience_overlap_matrix,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    sets: dict[str, set] = {}
+    for e in ev:
+        sets.setdefault(e.event_type, set()).add(e.user_id)
+    got = {(r.type_a, r.type_b): (r.n_a, r.n_b, r.n_both)
+           for r in audience_overlap_matrix(spark, SF_DIR).collect()}
+    types = sorted(sets)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            assert got[(a, b)] == (
+                len(sets[a]), len(sets[b]), len(sets[a] & sets[b])
+            )
