@@ -181,3 +181,122 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "setops_bag_semantics",
+    oracle="""
+    WITH a AS (SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+    b AS (SELECT l_partkey AS k FROM lineitem WHERE l_linestatus = 'F'),
+    ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+    ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+           CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+    FROM ia
+    UNION ALL
+    SELECT 'except_all' AS op, CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT k) AS BIGINT),
+           CAST(min(k) AS BIGINT), CAST(max(k) AS BIGINT)
+    FROM ea
+    ORDER BY op
+    """,
+)
+def setops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations — INTERSECT ALL and EXCEPT ALL
+    over two overlapping multisets of part keys: INTERSECT ALL keeps
+    min(m_a, m_b) copies per key and EXCEPT ALL keeps m_a − m_b — the
+    multiplicity arithmetic that DISTINCT-flavored set ops erase (and
+    that the earlier setops rows never certified: relational.py uses
+    exceptAll but immediately distincts it). Row counts vs distinct
+    key counts in the output expose the multiplicities directly.
+
+    Scale: Spark plans both as aggregate-count-then-replicate on the
+    key — one shuffle each, no pair join; multiplicities travel as
+    counts, not duplicated rows, until the final generate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("k")
+    )
+    b = li.filter(F.col("l_linestatus") == "F").select(
+        F.col("l_partkey").alias("k")
+    )
+
+    def stats(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("k").cast("bigint").alias("n_keys"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        ).select(F.lit(op).alias("op"), "n_rows", "n_keys", "min_k", "max_k")
+
+    return (
+        stats(a.intersectAll(b), "intersect_all")
+        .unionByName(stats(a.exceptAll(b), "except_all"))
+        .orderBy("op")
+    )
+
+
+@query(
+    "ml_target_encoding_loo",
+    oracle="""
+    WITH g AS (
+      SELECT c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s
+      FROM customer GROUP BY 1
+    ),
+    enc AS (
+      SELECT c.c_custkey, c.c_mktsegment AS seg,
+             CAST(c.c_acctbal AS DECIMAL(18,2)) AS y,
+             g.n, g.s
+      FROM customer c JOIN g ON c.c_mktsegment = g.seg
+    )
+    SELECT c_custkey, seg,
+           floor((CAST(s - y AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                 * 1e4 + 0.5) / 1e4 AS loo_encoding
+    FROM enc WHERE n > 1
+    ORDER BY c_custkey
+    """,
+)
+def ml_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the ML featurizer that replaces
+    a categorical (market segment) with the mean target (balance) of
+    its OTHER members: (S_g − y_i)/(n_g − 1). LOO is the leakage-aware
+    form — plain mean encoding leaks each row's own target into its
+    feature, inflating validation scores. Group sums ride exact
+    DECIMAL, so every per-row encoding divides exact quantities,
+    frounded.
+
+    Scale: one group aggregate + one broadcast join back — the
+    encoding never shuffles the fact table twice; singleton groups
+    drop (undefined LOO), matching every production implementation.
+    """
+    c = table(spark, sf_dir, "customer")
+    g = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("s"),
+    )
+    enc = c.join(
+        F.broadcast(g), c.c_mktsegment == F.col("seg")
+    ).select(
+        "c_custkey",
+        "seg",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("y"),
+        "n",
+        "s",
+    )
+    return (
+        enc.filter(F.col("n") > 1)
+        .select(
+            "c_custkey",
+            "seg",
+            fround(
+                (F.col("s") - F.col("y")).cast("double")
+                / (F.col("n") - 1).cast("double"),
+                4,
+            ).alias("loo_encoding"),
+        )
+        .orderBy("c_custkey")
+    )

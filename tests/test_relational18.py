@@ -233,3 +233,51 @@ def test_audience_overlap_matches_set_algebra(spark):
             assert got[(a, b)] == (
                 len(sets[a]), len(sets[b]), len(sets[a] & sets[b])
             )
+
+
+def test_bag_semantics_multiplicity_hand_corpus(spark, tmp_path):
+    """intersectAll keeps min multiplicity; exceptAll keeps the excess."""
+    import datetime as dt
+    from pyspark.sql import Row
+    from prometheus_clickhouselog_exporter_spark.workloads.relational20 import (
+        setops_bag_semantics,
+    )
+
+    rows = []
+    okey = 0
+    # part 1: 3 'R' rows, 1 'F' row -> intersect 1 copy, except 2 copies
+    for flag, status, cnt in [("R", "O", 3), ("N", "F", 1)]:
+        for _ in range(cnt):
+            rows.append(Row(l_orderkey=okey, l_partkey=1, l_suppkey=1,
+                            l_linenumber=1, l_quantity=1.0,
+                            l_extendedprice=1.0, l_discount=0.0, l_tax=0.0,
+                            l_returnflag=flag, l_linestatus=status,
+                            l_shipdate=dt.datetime(2024, 1, 1)))
+            okey += 1
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/lineitem.parquet")
+    out = {r.op: r for r in setops_bag_semantics(spark, str(tmp_path)).collect()}
+    assert out["intersect_all"].n_rows == 1
+    assert out["except_all"].n_rows == 2  # 3 R-copies minus 1 F-copy
+    assert out["except_all"].n_keys == 1
+
+
+def test_loo_encoding_excludes_own_target(spark, tmp_path):
+    from pyspark.sql import Row
+    from prometheus_clickhouselog_exporter_spark.workloads.relational20 import (
+        ml_target_encoding_loo,
+    )
+
+    rows = [
+        Row(c_custkey=1, c_name="a", c_nationkey=0, c_acctbal=10.0,
+            c_mktsegment="X"),
+        Row(c_custkey=2, c_name="b", c_nationkey=0, c_acctbal=20.0,
+            c_mktsegment="X"),
+        Row(c_custkey=3, c_name="c", c_nationkey=0, c_acctbal=60.0,
+            c_mktsegment="X"),
+        Row(c_custkey=4, c_name="d", c_nationkey=0, c_acctbal=5.0,
+            c_mktsegment="SOLO"),  # singleton -> dropped
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/customer.parquet")
+    got = {r.c_custkey: r.loo_encoding
+           for r in ml_target_encoding_loo(spark, str(tmp_path)).collect()}
+    assert got == {1: 40.0, 2: 35.0, 3: 15.0}
