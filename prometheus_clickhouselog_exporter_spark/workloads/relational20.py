@@ -300,3 +300,108 @@ def ml_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+    ),
+    halves AS (
+      SELECT o_custkey,
+             CASE WHEN epoch_us(o_orderdate) * 2
+                       <= epoch_us(b.lo) + epoch_us(b.hi)
+                  THEN 1 ELSE 2 END AS half,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders, bounds b
+    ),
+    spend AS (
+      SELECT o_custkey,
+             sum(CASE WHEN half = 1 THEN cents ELSE 0 END) AS s1,
+             sum(CASE WHEN half = 2 THEN cents ELSE 0 END) AS s2
+      FROM halves GROUP BY o_custkey
+      HAVING sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) > 0
+    ),
+    diffs AS (
+      SELECT o_custkey, s2 - s1 AS d, abs(s2 - s1) AS ad
+      FROM spend WHERE s2 <> s1
+    ),
+    ranked AS (
+      SELECT d,
+             2 * rank() OVER (ORDER BY ad)
+               + count(*) OVER (PARTITION BY ad) - 1 AS r2
+      FROM diffs
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w_plus_x2,
+           CAST(sum(CASE WHEN d < 0 THEN r2 ELSE 0 END) AS BIGINT) AS w_minus_x2,
+           floor((CAST(sum(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS DOUBLE)
+                  / CAST(sum(r2) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS w_plus_share
+    FROM ranked
+    """,
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test — the PAIRED member of the rank-test
+    family (Mann–Whitney compares independent samples; this compares
+    each customer's second-half spend against their OWN first half):
+    rank |d| with the doubled tie-averaged ranks (2r+c−1, exact
+    integers), sum ranks by sign of d. W⁺ ≈ W⁻ under no shift;
+    w_plus_share far from 0.5 signals systematic growth/decline.
+    Zero diffs drop per the textbook procedure; doubled rank sums
+    keep everything BIGINT.
+
+    Scale: one (customer, half) aggregate, one global rank window
+    over the customer-sized diff set (bounded-series discipline),
+    three conditional sums.
+    """
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    us = lambda col: F.unix_micros(F.col(col).cast("timestamp"))  # noqa: E731
+    halves = o.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        F.when(us("o_orderdate") * 2 <= us("lo") + us("hi"), 1)
+        .otherwise(2)
+        .alias("half"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    spend = (
+        halves.groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("half") == 1, F.col("cents")).otherwise(0)).alias(
+                "s1"
+            ),
+            F.sum(F.when(F.col("half") == 2, F.col("cents")).otherwise(0)).alias(
+                "s2"
+            ),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("n2"),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    )
+    diffs = spend.filter(F.col("s2") != F.col("s1")).select(
+        (F.col("s2") - F.col("s1")).alias("d"),
+        F.abs(F.col("s2") - F.col("s1")).alias("ad"),
+    )
+    ranked = diffs.select(
+        "d",
+        (
+            F.lit(2) * F.rank().over(Window.orderBy("ad"))
+            + F.count(F.lit(1)).over(Window.partitionBy("ad"))
+            - 1
+        ).alias("r2"),
+    )
+    wp = F.sum(F.when(F.col("d") > 0, F.col("r2")).otherwise(0))
+    wm = F.sum(F.when(F.col("d") < 0, F.col("r2")).otherwise(0))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        wp.cast("bigint").alias("w_plus_x2"),
+        wm.cast("bigint").alias("w_minus_x2"),
+        fround(wp.cast("double") / F.sum("r2").cast("double"), 6).alias(
+            "w_plus_share"
+        ),
+    )

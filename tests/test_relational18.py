@@ -281,3 +281,28 @@ def test_loo_encoding_excludes_own_target(spark, tmp_path):
     got = {r.c_custkey: r.loo_encoding
            for r in ml_target_encoding_loo(spark, str(tmp_path)).collect()}
     assert got == {1: 40.0, 2: 35.0, 3: 15.0}
+
+
+def test_wilcoxon_balanced_and_shifted(spark, tmp_path):
+    """Symmetric growth/decline -> W+ ~ W-; uniform growth -> W- == 0."""
+    import datetime as dt
+    from pyspark.sql import Row
+    from prometheus_clickhouselog_exporter_spark.workloads.relational20 import (
+        stats_wilcoxon_signed_rank,
+    )
+
+    rows, okey = [], 0
+    lo, hi = dt.datetime(2024, 1, 1), dt.datetime(2024, 12, 31)
+    for cust in range(20):
+        # first half: 100; second half: 100 + (cust+1)*10 -> ALL grow
+        for ts, amt in [(lo, 100.0), (hi, 100.0 + (cust + 1) * 10)]:
+            rows.append(Row(o_orderkey=okey, o_custkey=cust, o_orderstatus="F",
+                            o_totalprice=amt, o_orderdate=ts,
+                            o_orderpriority="1-URGENT"))
+            okey += 1
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/orders.parquet")
+    out = stats_wilcoxon_signed_rank(spark, str(tmp_path)).collect()[0]
+    assert out.n_pairs == 20
+    assert out.w_minus_x2 == 0 and out.w_plus_share == 1.0
+    # doubled rank sums total n(n+1)
+    assert out.w_plus_x2 + out.w_minus_x2 == 20 * 21
