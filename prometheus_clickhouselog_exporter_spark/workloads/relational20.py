@@ -405,3 +405,108 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_plus_share"
         ),
     )
+
+
+@query(
+    "agg_filter_clause_battery",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS rev_open,
+           CAST(max(CAST(o_orderdate AS DATE))
+                FILTER (WHERE o_orderstatus = 'P') AS VARCHAR) AS last_pending,
+           CAST(count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000)
+                AS BIGINT) AS big_spenders
+    FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def agg_filter_clause_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2003 FILTER (WHERE ...) aggregate modifier — five
+    filtered aggregates (count/sum/max/count-distinct) in ONE pass
+    over one grouping, the declarative form of the CASE-WHEN
+    conditional-aggregate idiom used across this repo
+    (agg_conditional_battery is the CASE spelling; this row certifies
+    the modifier itself, identical text on both engines). A NULL
+    filtered-max (no 'P' rows in a group) must survive the hash as
+    NULL — part of the semantics under test.
+
+    Scale: desugars to the same partial+final aggregate as the CASE
+    form — one scan, one shuffle, per-group state per aggregate.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("fc_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n_all,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                 AS n_f,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS rev_open,
+               CAST(max(CAST(o_orderdate AS DATE))
+                    FILTER (WHERE o_orderstatus = 'P') AS STRING)
+                 AS last_pending,
+               CAST(count(DISTINCT o_custkey)
+                    FILTER (WHERE o_totalprice > 100000) AS BIGINT)
+                 AS big_spenders
+        FROM fc_orders GROUP BY o_orderpriority ORDER BY priority
+        """
+    )
+
+
+@query(
+    "generator_outer_explode",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN []
+                  ELSE string_split(lower(text), ' ')[1:3] END AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    exploded AS (
+      SELECT d.doc_id, u.tok
+      FROM docs d LEFT JOIN LATERAL unnest(d.toks) AS u(tok) ON true
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(tok) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty_docs,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM exploded
+    """,
+)
+def generator_outer_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER generator semantics: explode_outer keeps a NULL row for
+    documents whose token array is EMPTY (every 7th doc here, by
+    construction) — the left-join-lateral behavior plain explode
+    silently violates by DROPPING those parents, which corrupts any
+    downstream per-document aggregate ('docs with zero entities'
+    becomes 'docs that vanished'). The counts prove the contract:
+    n_docs is the full input count, n_rows = n_tokens + n_empty_docs.
+    Companion to generator_posexplode_terms (which certified ordinal
+    parity on the non-empty path).
+
+    Scale: Generate runs scan-stage either way; OUTER adds only the
+    null-row branch.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.array().cast("array<string>")
+        )
+        .otherwise(F.slice(F.split(F.lower("text"), " "), 1, 3))
+        .alias("toks"),
+    )
+    exploded = docs.select(
+        "doc_id", F.explode_outer(F.col("toks")).alias("tok")
+    )
+    return exploded.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("tok").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("tok").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_empty_docs"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
