@@ -1,0 +1,78 @@
+"""Hand-value tests for relational21 (k-core peel, Friedman)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from prometheus_clickhouselog_exporter_spark.workloads.relational21 import (
+    graph_kcore_peel,
+    stats_friedman_quarters,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_kcore_hand_graph(spark, tmp_path):
+    """K4 clique + a tendril: the clique survives 3-core peeling, the
+    tendril (and the node it hangs off keeps degree>=3) — classic."""
+    # orders as hyperedges: one order per graph edge (2 parts each)
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]  # clique on 1-4
+    tendril = [(4, 5), (5, 6)]  # 5,6 peel away; 4 keeps clique degree 3
+    rows, okey = [], 0
+    for a, b in k4 + tendril:
+        for p in (a, b):
+            rows.append(Row(l_orderkey=okey, l_partkey=p, l_suppkey=1,
+                            l_linenumber=p, l_quantity=1.0,
+                            l_extendedprice=1.0, l_discount=0.0, l_tax=0.0,
+                            l_returnflag="N", l_linestatus="O",
+                            l_shipdate=dt.datetime(2024, 1, 1)))
+        okey += 1
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/lineitem.parquet")
+    out = {r.round: r for r in graph_kcore_peel(spark, str(tmp_path)).collect()}
+    assert out[0].n_nodes == 6
+    # SIMULTANEOUS peel: round 1 removes 6 (deg 1) AND 5 (deg 2) together;
+    # the K4 clique is stable from round 1 on
+    assert out[1].n_nodes == 4
+    assert out[2].n_nodes == 4 and out[3].n_nodes == 4 and out[4].n_nodes == 4
+    assert out[4].converged
+
+
+def test_friedman_zero_when_quarters_identical(spark, tmp_path):
+    """Identical per-quarter spend for every customer -> all ranks tie
+    -> Q == 0."""
+    rows, okey = [], 0
+    for cust in range(12):
+        for q_month in (2, 5, 8, 11):
+            rows.append(Row(o_orderkey=okey, o_custkey=cust,
+                            o_orderstatus="F", o_totalprice=500.0,
+                            o_orderdate=dt.datetime(2024, q_month, 15),
+                            o_orderpriority="1-URGENT"))
+            okey += 1
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/orders.parquet")
+    out = stats_friedman_quarters(spark, str(tmp_path)).collect()[0]
+    assert out.n_subjects == 12
+    # tied quadruple: each doubled rank is 2*1 + 4 - 1 = 5 -> sums equal
+    assert out.r1_x2 == out.r2_x2 == out.r3_x2 == out.r4_x2 == 12 * 5
+    assert out.friedman_q == 0.0
+
+
+def test_friedman_detects_dominant_quarter(spark, tmp_path):
+    """Q4 always largest -> its rank sum is maximal and Q > critical."""
+    rows, okey = [], 0
+    for cust in range(12):
+        for i, q_month in enumerate((2, 5, 8, 11)):
+            amt = 100.0 + 10 * i + (1000.0 if q_month == 11 else 0.0)
+            rows.append(Row(o_orderkey=okey, o_custkey=cust,
+                            o_orderstatus="F", o_totalprice=amt,
+                            o_orderdate=dt.datetime(2024, q_month, 15),
+                            o_orderpriority="1-URGENT"))
+            okey += 1
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/orders.parquet")
+    out = stats_friedman_quarters(spark, str(tmp_path)).collect()[0]
+    # strictly increasing quarters: doubled ranks 2,4,6,8 per customer
+    assert (out.r1_x2, out.r2_x2, out.r3_x2, out.r4_x2) == (
+        12 * 2, 12 * 4, 12 * 6, 12 * 8)
+    # perfect ordering: Q = 3/(n*k*(k+1)) * sum R'^2 - 3n(k+1) = 9n/... > 7.8
+    assert out.friedman_q > 7.81  # chi2(3) 95% critical value
