@@ -216,11 +216,15 @@ def setops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, not duplicated rows, until the final generate.
     """
     li = table(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_partkey").alias("k")
+    a = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_partkey").alias("k"))
+        .localCheckpoint(eager=False)  # 1-column side; both set ops read it
     )
-    b = li.filter(F.col("l_linestatus") == "F").select(
-        F.col("l_partkey").alias("k")
+    b = (
+        li.filter(F.col("l_linestatus") == "F")
+        .select(F.col("l_partkey").alias("k"))
+        .localCheckpoint(eager=False)
     )
 
     def stats(df: DataFrame, op: str) -> DataFrame:

@@ -186,12 +186,15 @@ def stats_friedman_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy(
         "o_custkey", F.quarter("o_orderdate").cast("int").alias("q")
-    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("s"))
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("s")
+    ).localCheckpoint(eager=False)  # (customer, quarter)-sized; 2 consumers
     complete = (
         spend.groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("nq"))
         .filter(F.col("nq") == 4)
         .select("o_custkey")
+        .localCheckpoint(eager=False)  # customer-sized; join + count
     )
     ranked = spend.join(complete, "o_custkey").select(
         "o_custkey",
