@@ -28,9 +28,10 @@ _KCORE_ROUNDS = 4
 
 def _kcore_round_sql(r: int) -> str:
     """nodes_{r} = nodes_{r-1} minus degree<k nodes (degree within the
-    surviving subgraph)."""
+    surviving subgraph). MATERIALIZED so DuckDB evaluates each round
+    ONCE — inlined CTEs would re-run the whole chain per consumer."""
     return f"""
-    deg{r} AS (
+    deg{r} AS MATERIALIZED (
       SELECT p, count(*) AS d FROM (
         SELECT e.pa AS p FROM edges e
         JOIN nodes{r - 1} x ON e.pa = x.p JOIN nodes{r - 1} y ON e.pb = y.p
@@ -39,7 +40,7 @@ def _kcore_round_sql(r: int) -> str:
         JOIN nodes{r - 1} x ON e.pa = x.p JOIN nodes{r - 1} y ON e.pb = y.p
       ) GROUP BY p
     ),
-    nodes{r} AS (
+    nodes{r} AS MATERIALIZED (
       SELECT p FROM deg{r} WHERE d >= {_KCORE_K}
     )"""
 
@@ -50,24 +51,27 @@ def _kcore_round_sql(r: int) -> str:
     WITH lines AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
       FROM lines a JOIN lines b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
-    nodes0 AS (
+    nodes0 AS MATERIALIZED (
       SELECT DISTINCT p FROM (SELECT pa AS p FROM edges
                               UNION ALL SELECT pb FROM edges)
     ),
-    {",".join(_kcore_round_sql(r) for r in range(1, _KCORE_ROUNDS + 1))}
-    SELECT r.round,
-           CASE r.round
-             {" ".join(f"WHEN {r} THEN (SELECT CAST(count(*) AS BIGINT) FROM nodes{r})" for r in range(_KCORE_ROUNDS + 1))}
-           END AS n_nodes,
-           ((SELECT count(*) FROM nodes{_KCORE_ROUNDS})
-            = (SELECT count(*) FROM nodes{_KCORE_ROUNDS - 1})) AS converged
-    FROM range({_KCORE_ROUNDS + 1}) r(round)
-    ORDER BY r.round
+    {",".join(_kcore_round_sql(r) for r in range(1, _KCORE_ROUNDS + 1))},
+    census AS MATERIALIZED (
+      {" UNION ALL ".join(f"SELECT {r} AS round, CAST(count(*) AS BIGINT) AS n_nodes FROM nodes{r}" for r in range(_KCORE_ROUNDS + 1))}
+    ),
+    conv AS (
+      SELECT (max(CASE WHEN round = {_KCORE_ROUNDS} THEN n_nodes END)
+              = max(CASE WHEN round = {_KCORE_ROUNDS - 1} THEN n_nodes END))
+               AS converged
+      FROM census
+    )
+    SELECT c.round, c.n_nodes, v.converged
+    FROM census c, conv v ORDER BY c.round
     """,
 )
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
