@@ -240,3 +240,32 @@ def test_rolling_distinct_is_linear_explode(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate explode" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_join_strategy_hints_honored(spark):
+    """The three join-strategy hints must each land their physical
+    operator — the knob a 100 TB tuning session reaches for when AQE's
+    choice is wrong."""
+    from prometheus_clickhouselog_exporter_spark.workloads.core import table
+
+    o = table(spark, SF, "orders")
+    c = table(spark, SF, "customer")
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "merge": "SortMergeJoin",
+    }
+    for hint, op in cases.items():
+        df = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert op in plan, (hint, plan[:400])
+
+
+def test_bitmap_distinct_no_expand(spark):
+    """agg_bitmap_distinct_exact must NOT plan the COUNT(DISTINCT)
+    Expand — the whole point is bitmap partials instead of raw-id
+    shuffles."""
+    df = QUERIES["agg_bitmap_distinct_exact"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert "bitmap_construct_agg" in plan or "bitmap_or_agg" in plan
