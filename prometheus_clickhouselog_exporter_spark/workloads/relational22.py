@@ -1,0 +1,203 @@
+"""Relational battery, round 3 batch 25: Nemenyi post-hoc and
+per-key Theil–Sen — the promised per-key/post-hoc follow-ups.
+
+Friedman (relational21) answers 'is SOME quarter different?'; Nemenyi
+is the textbook post-hoc that says WHICH pairs differ, by comparing
+mean-rank differences to the critical distance q·√(k(k+1)/6n) — the q
+constant is a Python-injected shared literal (the Benford discipline),
+so no studentized-range table is evaluated engine-side. Per-key
+Theil–Sen executes the claim every bounded-series docstring makes
+('per-key: partition the pair join and the windows') — robust trend
+per order priority from ONE partitioned plan.
+
+Float discipline per workloads/core.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import fround, money, query, table
+
+# studentized range q(alpha=0.05, k=4, inf)/sqrt(2) — the Nemenyi constant,
+# injected identically into both plans so neither engine computes it
+_NEMENYI_Q4 = 2.569 / (2**0.5)
+
+
+@query(
+    "stats_nemenyi_posthoc",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey, CAST(quarter(o_orderdate) AS INT) AS q,
+             sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS s
+      FROM orders GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT o_custkey FROM spend GROUP BY o_custkey HAVING count(*) = 4
+    ),
+    ranked AS (
+      SELECT s.o_custkey, s.q,
+             2 * rank() OVER (PARTITION BY s.o_custkey ORDER BY s.s)
+               + count(*) OVER (PARTITION BY s.o_custkey, s.s) - 1 AS r2
+      FROM spend s JOIN complete c ON s.o_custkey = c.o_custkey
+    ),
+    sums AS (
+      SELECT q, CAST(sum(r2) AS BIGINT) AS rsum2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ranked GROUP BY q
+    )
+    SELECT a.q AS q_a, b.q AS q_b,
+           floor((abs(CAST(a.rsum2 - b.rsum2 AS DOUBLE)) / (2.0 * a.n))
+                 * 1e6 + 0.5) / 1e6 AS mean_rank_diff,
+           floor(({_NEMENYI_Q4!r} * sqrt((4.0 * 5.0) / (6.0 * a.n)))
+                 * 1e6 + 0.5) / 1e6 AS critical_distance,
+           ((abs(CAST(a.rsum2 - b.rsum2 AS DOUBLE)) / (2.0 * a.n))
+            > ({_NEMENYI_Q4!r} * sqrt((4.0 * 5.0) / (6.0 * a.n))))
+             AS significant
+    FROM sums a JOIN sums b ON a.q < b.q
+    ORDER BY q_a, q_b
+    """,
+)
+def stats_nemenyi_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nemenyi post-hoc for the Friedman design: pairwise quarter
+    mean-rank differences against the critical distance
+    q·√(k(k+1)/6n) — WHICH quarters differ, after Friedman says some
+    do. Mean ranks derive from the same doubled integer rank sums as
+    stats_friedman_quarters (÷2n only at the end); the studentized-
+    range constant is a Python literal shared by both plans, so the
+    significance booleans compare identically-computed doubles.
+
+    Scale: everything after the (customer, quarter) aggregate is
+    4-row arithmetic; the pair join is 4×4.
+    """
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy(
+        "o_custkey", F.quarter("o_orderdate").cast("int").alias("q")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("s")
+    ).localCheckpoint(eager=False)
+    complete = (
+        spend.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("nq"))
+        .filter(F.col("nq") == 4)
+        .select("o_custkey")
+    )
+    ranked = spend.join(complete, "o_custkey").select(
+        "q",
+        (
+            F.lit(2)
+            * F.rank().over(Window.partitionBy("o_custkey").orderBy("s"))
+            + F.count(F.lit(1)).over(Window.partitionBy("o_custkey", "s"))
+            - 1
+        ).alias("r2"),
+    )
+    sums = ranked.groupBy("q").agg(
+        F.sum("r2").cast("bigint").alias("rsum2"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).localCheckpoint(eager=False)  # 4 rows; both pair sides
+    a, b = sums.alias("a"), sums.alias("b")
+    diff = F.abs((F.col("a.rsum2") - F.col("b.rsum2")).cast("double")) / (
+        F.lit(2.0) * F.col("a.n")
+    )
+    cd = F.lit(_NEMENYI_Q4) * F.sqrt(F.lit(4.0 * 5.0) / (F.lit(6.0) * F.col("a.n")))
+    return (
+        a.join(b, F.col("a.q") < F.col("b.q"))
+        .select(
+            F.col("a.q").alias("q_a"),
+            F.col("b.q").alias("q_b"),
+            fround(diff, 6).alias("mean_rank_diff"),
+            fround(cd, 6).alias("critical_distance"),
+            (diff > cd).alias("significant"),
+        )
+        .orderBy("q_a", "q_b")
+    )
+
+
+@query(
+    "stats_theil_sen_per_key",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderpriority AS priority,
+             (year(o_orderdate) * 12 + month(o_orderdate)) AS t,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.priority, a.t AS t1, b.t AS t2,
+             (CAST(b.rev AS DOUBLE) - CAST(a.rev AS DOUBLE))
+               / CAST(b.t - a.t AS DOUBLE) AS slope
+      FROM monthly a JOIN monthly b
+        ON a.priority = b.priority AND a.t < b.t
+    ),
+    ranked AS (
+      SELECT priority, slope,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY slope, t1, t2) AS rn,
+             count(*) OVER (PARTITION BY priority) AS n
+      FROM slopes
+    )
+    SELECT priority,
+           CAST(max(n) AS BIGINT) AS n_pairs,
+           floor(max(CASE WHEN rn = (n + 1) // 2 THEN slope END)
+                 * 1e4 + 0.5) / 1e4 AS theil_sen_slope
+    FROM ranked GROUP BY priority ORDER BY priority
+    """,
+)
+def stats_theil_sen_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key Theil–Sen — the partitioned form every bounded-series
+    docstring promises: the robust monthly revenue trend PER ORDER
+    PRIORITY, from one plan whose pair join and rank windows all key
+    on the priority. Five independent robust trends, one shuffle
+    family.
+
+    Scale: the pair join condition gains the key, so each priority's
+    O(m²) pairs stay within its own partition (~80 months → 3k pairs
+    per key); the median window partitions identically. The fleet-of-
+    trends shape — |keys| grows, per-key cost doesn't.
+    """
+    o = table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("t"),
+        )
+        .agg(F.sum(money(F.col("o_totalprice"))).alias("rev"))
+        .localCheckpoint(eager=False)  # (key, month)-sized; both pair sides
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.priority") == F.col("b.priority")) & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.priority").alias("priority"),
+        F.col("a.t").alias("t1"),
+        F.col("b.t").alias("t2"),
+        (
+            (F.col("b.rev").cast("double") - F.col("a.rev").cast("double"))
+            / (F.col("b.t") - F.col("a.t")).cast("double")
+        ).alias("slope"),
+    )
+    ranked = slopes.select(
+        "priority",
+        "slope",
+        F.row_number()
+        .over(Window.partitionBy("priority").orderBy("slope", "t1", "t2"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("priority")).alias("n"),
+    )
+    return (
+        ranked.groupBy("priority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_pairs"),
+            fround(
+                F.max(
+                    F.when(
+                        F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("slope")
+                    )
+                ),
+                4,
+            ).alias("theil_sen_slope"),
+        )
+        .orderBy("priority")
+    )

@@ -76,3 +76,49 @@ def test_friedman_detects_dominant_quarter(spark, tmp_path):
         12 * 2, 12 * 4, 12 * 6, 12 * 8)
     # perfect ordering: Q = 3/(n*k*(k+1)) * sum R'^2 - 3n(k+1) = 9n/... > 7.8
     assert out.friedman_q > 7.81  # chi2(3) 95% critical value
+
+
+def test_nemenyi_consistent_with_friedman(spark, tmp_path):
+    """With one dominant quarter (relational21's dominant test corpus),
+    the dominant quarter's pairs must be the significant ones."""
+    from prometheus_clickhouselog_exporter_spark.workloads.relational22 import (
+        stats_nemenyi_posthoc,
+    )
+
+    rows, okey = [], 0
+    for cust in range(20):
+        for i, q_month in enumerate((2, 5, 8, 11)):
+            amt = 100.0 + i + (5000.0 if q_month == 11 else 0.0)
+            rows.append(Row(o_orderkey=okey, o_custkey=cust,
+                            o_orderstatus="F", o_totalprice=amt,
+                            o_orderdate=dt.datetime(2024, q_month, 15),
+                            o_orderpriority="1-URGENT"))
+            okey += 1
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/orders.parquet")
+    out = stats_nemenyi_posthoc(spark, str(tmp_path)).collect()
+    assert len(out) == 6
+    # Q4 vs Q1 has the largest mean-rank gap (3.0) and must be significant
+    q14 = next(r for r in out if r.q_a == 1 and r.q_b == 4)
+    assert q14.mean_rank_diff == 3.0 and q14.significant
+    # adjacent early quarters differ by 1 rank: gap 1.0
+    q12 = next(r for r in out if r.q_a == 1 and r.q_b == 2)
+    assert q12.mean_rank_diff == 1.0
+
+
+def test_theil_sen_per_key_recovers_distinct_slopes(spark, tmp_path):
+    from prometheus_clickhouselog_exporter_spark.workloads.relational22 import (
+        stats_theil_sen_per_key,
+    )
+
+    rows, okey = [], 0
+    for prio, slope in [("1-URGENT", 100.0), ("2-HIGH", -50.0)]:
+        for m in range(10):
+            rows.append(Row(o_orderkey=okey, o_custkey=1, o_orderstatus="F",
+                            o_totalprice=5000.0 + slope * m,
+                            o_orderdate=dt.datetime(2024, 1 + m, 5),
+                            o_orderpriority=prio))
+            okey += 1
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/orders.parquet")
+    got = {r.priority: r.theil_sen_slope
+           for r in stats_theil_sen_per_key(spark, str(tmp_path)).collect()}
+    assert got == {"1-URGENT": 100.0, "2-HIGH": -50.0}
