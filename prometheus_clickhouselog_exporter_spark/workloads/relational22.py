@@ -201,3 +201,109 @@ def stats_theil_sen_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "stats_ks_per_source",
+    oracle="""
+    WITH steps AS (
+      SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    totals AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM steps GROUP BY source
+    ),
+    grand AS (SELECT CAST(sum(c) AS BIGINT) AS ng FROM steps),
+    allsteps AS (
+      SELECT n_chars, CAST(sum(c) AS BIGINT) AS ca FROM steps GROUP BY n_chars
+    ),
+    -- per (source, pooled support point): source ECDF count and rest ECDF count
+    grid AS (
+      SELECT t.source, a.n_chars, t.ns, g.ng,
+             (SELECT coalesce(sum(s2.c), 0) FROM steps s2
+              WHERE s2.source = t.source AND s2.n_chars <= a.n_chars) AS cs,
+             (SELECT coalesce(sum(a2.ca), 0) FROM allsteps a2
+              WHERE a2.n_chars <= a.n_chars) AS call
+      FROM totals t, allsteps a, grand g
+    ),
+    scored AS (
+      SELECT source, ns, (ng - ns) AS nr,
+             abs(cs * (ng - ns) - (call - cs) * ns) AS dn
+      FROM grid
+    ),
+    best AS (
+      SELECT source, ns, nr, max(dn) AS dmax
+      FROM scored GROUP BY source, ns, nr
+    )
+    SELECT source, ns AS n_source,
+           CAST(dmax AS BIGINT) AS d_numerator,
+           floor((CAST(dmax AS DOUBLE)
+                  / (CAST(ns AS DOUBLE) * CAST(nr AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS ks_d
+    FROM best ORDER BY source
+    """,
+)
+def stats_ks_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KS drift screen: each source's document-length
+    distribution against the REST of the corpus — the one-vs-rest
+    generalization of stats_ks_two_sample, run for every source in
+    one plan (the curation question: which sources are shaped unlike
+    the collection they feed?). Rest-ECDF counts derive from the
+    corpus ECDF minus the source's own (call − cs), so the fleet costs
+    ONE pooled support grid; the supremum stays the integer
+    cross-multiply.
+
+    Scale: the grid is |sources|·|distinct values| rows built from
+    value-grouped counts (never raw docs); per-source running counts
+    ride windows partitioned by source over that bounded grid. The
+    oracle states the correlated-subquery form; the Spark plan uses
+    the window form — same arithmetic.
+    """
+    d = table(spark, sf_dir, "documents")
+    steps = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)  # (source, value)-sized; grid + totals
+    totals = steps.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
+    grand = steps.agg(F.sum("c").cast("bigint").alias("ng"))
+    allsteps = steps.groupBy("n_chars").agg(
+        F.sum("c").cast("bigint").alias("ca")
+    )
+    wall = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    all_ecdf = allsteps.select(
+        "n_chars", F.sum("ca").over(wall).alias("call")
+    )
+    # dense grid: every source x every pooled support point, with the
+    # source's own step counts joined in (0 where absent)
+    grid = (
+        totals.crossJoin(all_ecdf)
+        .join(steps, ["source", "n_chars"], "left")
+        .na.fill({"c": 0})
+        .crossJoin(F.broadcast(grand))
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    scored = grid.select(
+        "source",
+        "ns",
+        (F.col("ng") - F.col("ns")).alias("nr"),
+        F.abs(
+            F.sum("c").over(ws) * (F.col("ng") - F.col("ns"))
+            - (F.col("call") - F.sum("c").over(ws)) * F.col("ns")
+        ).alias("dn"),
+    )
+    return (
+        scored.groupBy("source", "ns", "nr")
+        .agg(F.max("dn").alias("dmax"))
+        .select(
+            "source",
+            F.col("ns").alias("n_source"),
+            F.col("dmax").cast("bigint").alias("d_numerator"),
+            fround(
+                F.col("dmax").cast("double")
+                / (F.col("ns").cast("double") * F.col("nr").cast("double")),
+                6,
+            ).alias("ks_d"),
+        )
+        .orderBy("source")
+    )

@@ -122,3 +122,30 @@ def test_theil_sen_per_key_recovers_distinct_slopes(spark, tmp_path):
     got = {r.priority: r.theil_sen_slope
            for r in stats_theil_sen_per_key(spark, str(tmp_path)).collect()}
     assert got == {"1-URGENT": 100.0, "2-HIGH": -50.0}
+
+
+def test_ks_per_source_matches_scipy_style_replay(spark):
+    """Each source's D equals a direct one-vs-rest ECDF computation."""
+    import numpy as np
+    from prometheus_clickhouselog_exporter_spark.workloads.relational22 import (
+        stats_ks_per_source,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    by_src: dict[str, list] = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append(d.n_chars)
+    all_vals = sorted(v for vs in by_src.values() for v in vs)
+    got = {r.source: (r.n_source, r.d_numerator)
+           for r in stats_ks_per_source(spark, SF_DIR).collect()}
+    for src, vals in by_src.items():
+        rest = sorted(v for s2, vs in by_src.items() if s2 != src for v in vs)
+        ns, nr = len(vals), len(rest)
+        sv = np.array(sorted(vals))
+        rv = np.array(rest)
+        best = 0
+        for x in sorted(set(all_vals)):
+            cs = int(np.searchsorted(sv, x, side="right"))
+            cr = int(np.searchsorted(rv, x, side="right"))
+            best = max(best, abs(cs * nr - cr * ns))
+        assert got[src] == (ns, best), src
