@@ -20,21 +20,36 @@ state rows + one batch's partials on the state key.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _fs_and_path(spark: SparkSession, state_dir: str):
+    """Hadoop FileSystem handle for state_dir — works for file:, hdfs:,
+    s3a:, ... (driver-local os.listdir would silently see nothing on a
+    remote scheme and restart state from empty every batch)."""
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _versions(spark: SparkSession, state_dir: str) -> list[int]:
+    fs, path = _fs_and_path(spark, state_dir)
+    if not fs.exists(path):
+        return []
+    out = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
 def latest_state(spark: SparkSession, state_dir: str, before_batch: int):
     """Path of the newest state version with id < before_batch, or None."""
-    if not os.path.isdir(state_dir):
-        return None
-    versions = [
-        int(name[1:])
-        for name in os.listdir(state_dir)
-        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < before_batch
-    ]
+    versions = [v for v in _versions(spark, state_dir) if v < before_batch]
     if not versions:
         return None
     return f"{state_dir}/v{max(versions)}"
@@ -49,11 +64,20 @@ def merge_versioned_state(
 ) -> DataFrame:
     """fold(batch) → this batch's partial state; merge(partial ∪ prior)
     → new state, written as v{batch_id} and returned (re-read, so the
-    caller sees exactly what landed)."""
+    caller sees exactly what landed). After a successful write, state
+    versions older than the immediate predecessor are PRUNED — the
+    predecessor stays so a replay of batch_id still finds its input;
+    without retention a continuous stream stores one full state copy
+    per batch forever."""
     spark = batch.sparkSession
     fresh = fold(batch)
     prev_path = latest_state(spark, state_dir, batch_id)
     if prev_path is not None:
         fresh = merge(fresh.unionByName(spark.read.parquet(prev_path)))
     fresh.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+    fs, _ = _fs_and_path(spark, state_dir)
+    jvm = spark.sparkContext._jvm
+    for v in _versions(spark, state_dir):
+        if v < batch_id - 1:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v{v}"), True)
     return spark.read.parquet(f"{state_dir}/v{batch_id}")

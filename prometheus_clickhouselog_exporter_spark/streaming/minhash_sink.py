@@ -25,9 +25,8 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import word_shingles
 from ..workloads.core import md5_long
+from ..workloads.llmdata6 import _N_PERMS as N_PERMS  # SAME family+width as batch
 from .merge_state import merge_versioned_state
-
-N_PERMS = 16
 
 
 def fold_signatures(batch: DataFrame) -> DataFrame:

@@ -15,9 +15,10 @@ polls without rescanning history.
 100 TB: O(|keys|) state, three BIGINTs each; per batch the work is one
 Arrow-vectorized fold per touched key. The optional processing-time
 timeout evicts dormant keys (session_state.py discipline). The
-sum-of-squares BIGINT holds q² ≈ (v·1e6)² — callers with |v| beyond
-~3e3 should lower the quantization scale (the floor-clamp rule,
-SCALE.md).
+sum-of-squares BIGINT is capped fail-loud at 2^62 — at the default
+1e4 quantization scale that is
+n·v² ≈ 4.6e10 per key; lower the scale for hotter keys or larger
+magnitudes (the floor-clamp rule, SCALE.md).
 """
 
 from __future__ import annotations
@@ -35,20 +36,30 @@ MOMENTS_OUTPUT_SCHEMA = (
 
 _STATE_SCHEMA = "n bigint, s bigint, ss bigint"
 
-_SCALE = 1_000_000
+_SCALE = 10_000
+_SS_CAP = 1 << 62
 
 
 def _fold_moments(
     values: list[float], state: tuple | None
 ) -> tuple[int, int, int]:
     """Fold quantized values into (n, Σq, Σq²) — pure, additive,
-    order-free (the mergeability property under test)."""
+    order-free (the mergeability property under test). The running Σq²
+    is a BIGINT in the state schema, so it is capped FAIL-LOUD at 2^62
+    (the floor-clamp rule, SCALE.md): at scale 1e4 that allows
+    n·v² ≈ 4.6e10 per key — e.g. 4.6 million values of magnitude 100 —
+    before the caller must lower the quantization scale."""
     n, s, ss = state if state is not None else (0, 0, 0)
     for v in values:
         q = int(v * _SCALE // 1)  # floor quantization
         n += 1
         s += q
         ss += q * q
+    if ss >= _SS_CAP:
+        raise OverflowError(
+            "moments state sum-of-squares exceeds the BIGINT budget; "
+            "lower _SCALE (quantization) for this value magnitude"
+        )
     return n, s, ss
 
 

@@ -43,7 +43,8 @@ from .core import fround, query, table
     )
     SELECT event_type, n,
            CAST(floor(floor(s / n) / 1000000) AS BIGINT) AS mean_gap_sec,
-           floor((sqrt((ss / n) - ((s / n) * (s / n))) / (s / n))
+           floor((sqrt(greatest(0.0, (ss / n) - ((s / n) * (s / n))))
+                  / (s / n))
                  * 1e6 + 0.5) / 1e6 AS cv
     FROM m ORDER BY event_type
     """,
@@ -84,7 +85,11 @@ def events_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         F.floor(F.floor(s / n) / 1000000).cast("bigint").alias("mean_gap_sec"),
-        fround(F.sqrt((ss / n) - (mean * mean)) / mean, 6).alias("cv"),
+        # greatest(0, var): cancellation can leave an analytically-zero
+        # variance a negative ulp — DuckDB's sqrt ERRORS on it, Spark NaNs
+        fround(
+            F.sqrt(F.greatest(F.lit(0.0), (ss / n) - (mean * mean))) / mean, 6
+        ).alias("cv"),
     ).orderBy("event_type")
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import fround, money, query, table
+from .core import fround, query, table
 
 
 @query(
@@ -201,9 +201,10 @@ def dq_duplicate_event_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(((sa / na) / 100) * 1e4 + 0.5) / 1e4 AS mean_a,
            floor(((sb / nb) / 100) * 1e4 + 0.5) / 1e4 AS mean_b,
            floor((((sa / na) - (sb / nb))
-                  / sqrt((((ssa - ((sa * sa) / na))
-                           + (ssb - ((sb * sb) / nb)))
-                          / CAST(na + nb - 2 AS DOUBLE))))
+                  / nullif(sqrt(greatest(0.0,
+                       (((ssa - ((sa * sa) / na))
+                         + (ssb - ((sb * sb) / nb)))
+                        / CAST(na + nb - 2 AS DOUBLE)))), 0.0))
                  * 1e6 + 0.5) / 1e6 AS cohens_d
     FROM wide
     """,
@@ -244,9 +245,13 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     na, nb, sa, sb, ssa, ssb = (
         F.col(k) for k in ("na", "nb", "sa", "sb", "ssa", "ssb")
     )
-    pooled = F.sqrt(
-        ((ssa - ((sa * sa) / na)) + (ssb - ((sb * sb) / nb)))
-        / (na + nb - 2).cast("double")
+    # greatest(0,·) absorbs the negative-ulp cancellation case (DuckDB's
+    # sqrt errors on it); nullif makes a truly-zero pooled SD yield NULL
+    # identically in both engines instead of Spark-NaN vs DuckDB-div
+    pooled = F.expr(
+        "nullif(sqrt(greatest(0.0D, "
+        "((ssa - ((sa * sa) / na)) + (ssb - ((sb * sb) / nb)))"
+        " / CAST(na + nb - 2 AS DOUBLE))), 0.0D)"
     )
     return wide.select(
         na.cast("bigint").alias("n_a"),
