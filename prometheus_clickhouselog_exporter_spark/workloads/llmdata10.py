@@ -195,3 +195,82 @@ def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qlift").cast("double") / 1e6).alias("lift"),
         )
     )
+
+
+@query(
+    "streaming_moments_fidelity",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(floor(value * 10000) AS BIGINT) AS qv
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qv) AS BIGINT) AS s,
+             CAST(sum(qv * qv) AS BIGINT) AS ss
+      FROM q GROUP BY event_type
+    )
+    SELECT event_type, n,
+           floor(((CAST(s AS DOUBLE) / 10000) / n) * 1e6 + 0.5) / 1e6 AS mean,
+           floor(sqrt(greatest(0.0,
+                 (CAST(ss AS DOUBLE) / 1e8) / n
+                 - ((CAST(s AS DOUBLE) / 10000) / n)
+                   * ((CAST(s AS DOUBLE) / 10000) / n))) * 1e6 + 0.5) / 1e6
+             AS std
+    FROM m ORDER BY event_type
+    """,
+)
+def streaming_moments_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL Structured Streaming moments monitor
+    (streaming/moments.py: file source → applyInPandasWithState
+    quantized-moment state → update-mode sink) over the events table
+    and returns each key's FINAL running statistics — which the oracle
+    recomputes in plain SQL from the same quantized folds. This is the
+    strongest certification a streaming operator can get here: the
+    actual stateful streaming execution, value-hash-checked against
+    DuckDB (the sessionizer's fidelity row is rows-only; the moment
+    algebra is SQL-expressible, so this one isn't).
+
+    The emitted cv column is dropped and std is re-frounded because
+    the driver hash needs stable floats; mean/std derive from exact
+    integer state identically on both sides.
+    """
+    import tempfile
+
+    from ..streaming.moments import moments_stream
+
+    tmp = tempfile.mkdtemp(prefix="moments-fidelity-")
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = moments_stream(
+        spark.readStream.schema("event_type string, value double").parquet(
+            f"{tmp}/in"
+        )
+    )
+    name = f"moments_fid_{abs(hash(tmp)) % 100000}"
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {name}")
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"))
+    final = (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n",
+            fround(F.col("mean"), 6).alias("mean"),
+            fround(F.col("std"), 6).alias("std"),
+        )
+        .orderBy("event_type")
+    )
+    # materialize before the temp view goes away with the next query
+    return spark.createDataFrame(final.collect(), "event_type string, n bigint, mean double, std double")
