@@ -307,3 +307,165 @@ def stats_ks_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "stats_lorenz_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    dec AS (
+      SELECT rev, ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+      FROM spend
+    ),
+    g AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             sum(rev) AS drev
+      FROM dec GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile, n_customers, drev,
+             sum(drev) OVER (ORDER BY decile
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS crev,
+             sum(drev) OVER () AS trev
+      FROM g
+    )
+    SELECT CAST(decile AS INT) AS decile, n_customers,
+           CAST(drev AS DOUBLE) AS decile_revenue,
+           floor((CAST(crev AS DOUBLE) / CAST(trev AS DOUBLE)) * 1e6 + 0.5)
+             / 1e6 AS cum_share
+    FROM cum ORDER BY decile
+    """,
+)
+def stats_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve points: customers sorted by spend into deciles, with
+    each decile's exact DECIMAL revenue and the cumulative share — the
+    curve behind keyskew_gini_customers' scalar (the Gini is twice the
+    area between this curve and the diagonal; dashboards want the
+    POINTS). ntile ties break on customer id for a total order;
+    shares round once from exact sums.
+
+    Scale: one customer aggregate, one rank window over
+    customer-cardinality rows, a 10-row rollup.
+    """
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(money(F.col("o_totalprice"))).alias("rev")
+    )
+    dec = spend.select(
+        "rev",
+        F.ntile(10).over(Window.orderBy("rev", "o_custkey")).alias("decile"),
+    )
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev").alias("drev"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "decile",
+        "n_customers",
+        "drev",
+        F.sum("drev").over(wc).alias("crev"),
+        F.sum("drev").over(Window.partitionBy()).alias("trev"),
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        F.col("drev").cast("double").alias("decile_revenue"),
+        fround(F.col("crev").cast("double") / F.col("trev").cast("double"), 6).alias(
+            "cum_share"
+        ),
+    ).orderBy("decile")
+
+
+@query(
+    "stats_mcnemar_halves",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+    ),
+    act AS (
+      SELECT c.c_custkey,
+             max(CASE WHEN o.o_orderkey IS NOT NULL
+                       AND epoch_us(o.o_orderdate) * 2
+                           <= epoch_us(b.lo) + epoch_us(b.hi)
+                      THEN 1 ELSE 0 END) AS h1,
+             max(CASE WHEN o.o_orderkey IS NOT NULL
+                       AND epoch_us(o.o_orderdate) * 2
+                           > epoch_us(b.lo) + epoch_us(b.hi)
+                      THEN 1 ELSE 0 END) AS h2
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      CROSS JOIN bounds b
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(sum(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_both,
+           CAST(sum(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_churned,
+           CAST(sum(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_acquired,
+           CAST(sum(CASE WHEN h1 = 0 AND h2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_never,
+           floor((
+             (CAST(sum(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END)
+                   - sum(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END)
+                   AS DOUBLE)
+              * CAST(sum(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END)
+                     - sum(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END)
+                     AS DOUBLE))
+             / CAST(sum(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mcnemar_chi2
+    FROM act
+    """,
+)
+def stats_mcnemar_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired binary outcomes: each customer's
+    activity flag in the first vs second half of the window — did the
+    active population CHANGE composition (churn vs acquisition), not
+    just size? The statistic (b−c)²/(b+c) uses only the DISCORDANT
+    counts — exact integers — and the 2×2 paired table (both/churned/
+    acquired/never) is the retention summary on its own. Completes the
+    paired-test pair: Wilcoxon for magnitudes, McNemar for binaries.
+
+    Scale: one left join + per-customer conditional-max aggregate;
+    the statistic is 1-row arithmetic.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    bounds = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    us = lambda col: F.unix_micros(F.col(col).cast("timestamp"))  # noqa: E731
+    first_half = us("o_orderdate") * 2 <= us("lo") + us("hi")
+    act = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("c_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderkey").isNotNull() & first_half, 1).otherwise(0)
+            ).alias("h1"),
+            F.max(
+                F.when(F.col("o_orderkey").isNotNull() & ~first_half, 1).otherwise(0)
+            ).alias("h2"),
+        )
+    )
+    cnt = lambda p: F.sum(F.when(p, 1).otherwise(0))  # noqa: E731
+    b = cnt((F.col("h1") == 1) & (F.col("h2") == 0))
+    cc = cnt((F.col("h1") == 0) & (F.col("h2") == 1))
+    return act.agg(
+        cnt((F.col("h1") == 1) & (F.col("h2") == 1)).cast("bigint").alias("n_both"),
+        b.cast("bigint").alias("n_churned"),
+        cc.cast("bigint").alias("n_acquired"),
+        cnt((F.col("h1") == 0) & (F.col("h2") == 0)).cast("bigint").alias("n_never"),
+        fround(
+            ((b - cc).cast("double") * (b - cc).cast("double"))
+            / (b + cc).cast("double"),
+            6,
+        ).alias("mcnemar_chi2"),
+    )

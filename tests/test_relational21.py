@@ -149,3 +149,43 @@ def test_ks_per_source_matches_scipy_style_replay(spark):
             cr = int(np.searchsorted(rv, x, side="right"))
             best = max(best, abs(cs * nr - cr * ns))
         assert got[src] == (ns, best), src
+
+
+def test_lorenz_monotone_convex_and_reconciles(spark):
+    from prometheus_clickhouselog_exporter_spark.workloads.relational22 import (
+        stats_lorenz_deciles,
+    )
+
+    rows = stats_lorenz_deciles(spark, SF_DIR).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.cum_share for r in rows]
+    assert all(a < b for a, b in zip(shares, shares[1:]))  # monotone
+    assert abs(shares[-1] - 1.0) < 1e-6
+    # convexity of the Lorenz curve: increments increase with decile
+    incs = [shares[0]] + [b - a for a, b in zip(shares, shares[1:])]
+    assert all(a <= b + 1e-9 for a, b in zip(incs, incs[1:]))
+
+
+def test_mcnemar_hand_corpus(spark, tmp_path):
+    from prometheus_clickhouselog_exporter_spark.workloads.relational22 import (
+        stats_mcnemar_halves,
+    )
+
+    lo, hi = dt.datetime(2024, 1, 1), dt.datetime(2024, 12, 31)
+    custs = [Row(c_custkey=i, c_name=f"c{i}", c_nationkey=0,
+                 c_acctbal=1.0, c_mktsegment="X") for i in range(6)]
+    orders = []
+    okey = 0
+    # cust 0: both halves; cust 1,2: H1 only (churned); cust 3: H2 only
+    plan = {0: [lo, hi], 1: [lo], 2: [lo], 3: [hi], 4: [], 5: []}
+    for cust, dates in plan.items():
+        for ts in dates:
+            orders.append(Row(o_orderkey=okey, o_custkey=cust,
+                              o_orderstatus="F", o_totalprice=10.0,
+                              o_orderdate=ts, o_orderpriority="1-URGENT"))
+            okey += 1
+    spark.createDataFrame(custs).write.parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(orders).write.parquet(f"{tmp_path}/orders.parquet")
+    out = stats_mcnemar_halves(spark, str(tmp_path)).collect()[0]
+    assert (out.n_both, out.n_churned, out.n_acquired, out.n_never) == (1, 2, 1, 2)
+    assert abs(out.mcnemar_chi2 - (2 - 1) ** 2 / 3) < 1e-6
