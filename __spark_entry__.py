@@ -31,9 +31,11 @@ def _registration_order() -> list[str]:
     The driver samples a subset of the registry per round; if that sample is
     order-dependent, queries that have never received a green driver stamp
     (or whose last stamp was a FAIL) should be first in line. Priority:
-    0 = never appeared in any CORRECTNESS_r*.json, 1 = appeared but last
-    stamp not hash-green, 2 = hash-green on the most recent stamp. Ties keep
-    registry insertion order, so this is a stable re-sort, never a filter.
+    0 = appeared but last stamp not hash-green (a red row the driver should
+    re-check first — these are few and already fixed locally), 1 = never
+    appeared in any CORRECTNESS_r*.json, 2 = hash-green on the most recent
+    stamp. Ties keep registry insertion order, so this is a stable re-sort,
+    never a filter.
     """
     last: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
@@ -50,9 +52,9 @@ def _registration_order() -> list[str]:
 
     def prio(name: str) -> tuple[int, int]:
         if name not in last:
-            p = 0
-        elif not last[name]:
             p = 1
+        elif not last[name]:
+            p = 0
         else:
             p = 2
         return (p, rank[name])
