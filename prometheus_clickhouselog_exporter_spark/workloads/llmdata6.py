@@ -301,10 +301,24 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
     SQL and must land on the same 64-vector to the last bit.
 
     Scale: the embedding scan is checkpointed once and re-read per
-    iteration (3 passes total); the shuffle per pass carries 64
-    partial-sum rows per task. Driver work is the 64-element normalize.
+    iteration (3 passes total). Each pass is ONE Arrow-batch GEMM kernel
+    (the `embedding_random_projection` pattern): per batch, numpy
+    computes the quantized per-row dot `s` and folds the per-dimension
+    contributions `floor(x_j·s·1e6)` into 64 exact int64 partial sums —
+    so every task emits 64 longs per batch and the shuffle carries only
+    those (no 64× posexplode row inflation; the corpus is scanned 1×
+    per pass, not 64×). The final fold is a 64-group sum over
+    batches×64 rows. Driver work is the 64-element normalize.
+
+    The numpy kernel replays the exact expression shapes the previous
+    declarative form used — `(e_j·v_j)·1e9`, `(x_j·s)·1e6`, int64
+    accumulation — so IEEE-754 double ops and exact integer sums land
+    on the same bits the unrolled SQL oracle computes.
     """
     import math
+
+    import numpy as np
+    import pandas as pd
 
     emb = table(spark, sf_dir, "embeddings")
     base = emb.select(
@@ -316,14 +330,25 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
     v = [0.125] * d
     nrm = 0.0
     for _ in range(_PI_ITERS):
-        v_lit = F.array(*[F.lit(float(c)) for c in v])
-        q_terms = F.zip_with(
-            F.col("e"), v_lit, lambda a, b: F.floor(a * b * 1e9).cast("long")
-        )
-        s_int = F.aggregate(q_terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+        v_arr = np.asarray(v, dtype=np.float64)
+
+        def gen(batches, v_arr=v_arr):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                e = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+                # per-row quantized dot: Σ_j floor((e_j·v_j)·1e9) as int64
+                s_int = np.floor((e * v_arr) * 1e9).astype(np.int64).sum(axis=1)
+                s = s_int / 1e9
+                # per-dim partials: Σ_rows floor((x_j·s)·1e6) as int64
+                q = np.floor((e * s[:, None]) * 1e6).astype(np.int64)
+                yield pd.DataFrame(
+                    {"j": np.arange(d, dtype=np.int32), "q": q.sum(axis=0)}
+                )
+
         rows = (
-            base.select((s_int / 1e9).alias("s"), F.posexplode("e").alias("j", "xj"))
-            .select("j", F.floor(F.col("xj") * F.col("s") * 1e6).cast("long").alias("q"))
+            base.select("e")
+            .mapInPandas(gen, "j int, q long")
             .groupBy("j")
             .agg(F.sum("q").alias("wi"))
             .collect()
