@@ -70,6 +70,18 @@ def merge_versioned_state(
     without retention a continuous stream stores one full state copy
     per batch forever."""
     spark = batch.sparkSession
+    ahead = [v for v in _versions(spark, state_dir) if v > batch_id]
+    if ahead:
+        # State versions newer than this batch mean the checkpoint was
+        # reset/deleted while state_dir was kept: silently rebasing from
+        # only this batch's partial would write undercounted state while
+        # the stale newer versions linger. Fail loud instead.
+        raise RuntimeError(
+            f"state_dir {state_dir} holds versions {ahead} newer than "
+            f"batch {batch_id}: checkpoint/state-dir mismatch — clear "
+            "state_dir together with the checkpoint, or restore the "
+            "matching checkpoint"
+        )
     fresh = fold(batch)
     prev_path = latest_state(spark, state_dir, batch_id)
     if prev_path is not None:

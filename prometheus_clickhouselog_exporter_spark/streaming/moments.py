@@ -5,7 +5,8 @@ The batch moment statistics here (skewness, ANOVA, Cohen's d, the
 interarrival CV) all advertise the same property: quantized moment
 sums merge by ADDITION, so they are streaming-ready. This module
 cashes that in: an applyInPandasWithState operator whose per-key state
-is (n, Σq, Σq²) over quantized values (floor(value·1e6) BIGINTs — the
+is (n, Σq, Σq²) over quantized values (floor(value·1e4) BIGINTs at the
+default ``_SCALE`` — the
 workloads/core.py fold rule), updated per batch and emitted as the
 running mean / population std / CV after every batch that touches the
 key. The update-mode emission makes it the live twin of
@@ -90,7 +91,10 @@ def moments_stream(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
                 "n": [n],
                 "mean": [mean],
                 "std": [std],
-                "cv": [std / mean if mean != 0 else float("nan")],
+                # SQL NULL (not NaN) for the 0/0 case: downstream
+                # recomputation oracles and parquet round-trips compare
+                # NULL = NULL but NaN != NaN across engines.
+                "cv": [std / mean if mean != 0 else None],
             }
         )
 

@@ -83,3 +83,20 @@ def test_replay_is_idempotent(spark, tmp_path):
     merge_bitmap_batch(batch, 1, state, out)
     last = spark.read.parquet(out).filter(F.col("batch_id") == 1).collect()
     assert {r.event_type: r.distinct_users for r in last} == {"view": 3}
+
+
+def test_checkpoint_state_mismatch_fails_loud(spark, tmp_path):
+    """A batch id BEHIND an existing newer state version means the
+    checkpoint was reset while state_dir was kept — the merge must
+    refuse (silently rebasing would write undercounted state while the
+    stale newer version lingers)."""
+    import pytest
+
+    batch = spark.createDataFrame(
+        [(1, "view")], "user_id long, event_type string"
+    )
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+    merge_bitmap_batch(batch, 0, state, out)
+    merge_bitmap_batch(batch, 1, state, out)
+    with pytest.raises(RuntimeError, match="checkpoint/state-dir mismatch"):
+        merge_bitmap_batch(batch, 0, state, out)

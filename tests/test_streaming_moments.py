@@ -76,3 +76,33 @@ def test_stream_final_stats_match_batch(spark, tmp_path):
     assert abs(final.mean - mean) < 1e-9
     assert abs(final.std - math.sqrt(var)) < 1e-9
     assert abs(final.cv - math.sqrt(var) / mean) < 1e-9
+
+
+def test_zero_mean_cv_is_null_not_nan(spark, tmp_path):
+    """All-zero values → mean 0 → cv must surface as SQL NULL (None),
+    not NaN: NULL = NULL compares true across engines and parquet
+    round-trips; NaN != NaN does not."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_events(in_dir / "b1.parquet",
+                  [(i, T0, 1, "zero", 0.0, "{}") for i in range(5)])
+    q = (
+        moments_stream(
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("moments_zero")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM moments_zero").collect()
+    final = max((r for r in rows if r.event_type == "zero"), key=lambda r: r.n)
+    assert final.mean == 0.0 and final.std == 0.0
+    assert final.cv is None  # NULL, not NaN
