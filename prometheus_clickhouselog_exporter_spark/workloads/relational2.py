@@ -36,76 +36,209 @@ def range_join_value_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         n(v) = C(v+5) − C<(v−5) − 1       (−1 removes the event itself)
 
     with C split two-level like a distributed searchsorted: (a) a
-    bucket-summary prefix sum — O(range/width) rows, collected and
-    embedded as a packed binary plan literal (operators/lookup.py),
-    valid because bucket count is bounded by the VALUE RANGE, not the
-    data — gives C at each bucket boundary scan-side; (b) one
-    narrow-bucket equi-join counts the residual strictly inside the
+    bucket-summary prefix sum giving C at each bucket boundary; (b) one
+    narrow-bucket equi-join counting the residual strictly inside the
     probe's bucket, so join work is Σ probes×occupancy of ONE bucket,
     linear in n for fixed density. Measured at sf0.1: 59 s (pair join)
-    → 1.5 s; no stage is super-linear at 100 TB (for unbounded value
-    ranges swap (a) for a two-level distributed prefix sum).
+    → 1.5 s.
+
+    Step (a) has TWO interchangeable engines (``_neighbor_counts``):
+    a dense driver-side CDF embedded as a packed binary plan literal
+    (bounded by the VALUE RANGE — the fast path while range/width ≤
+    4e6 buckets), and a fully distributed two-level prefix sum for
+    unbounded value domains (``range_join_value_neighbors_distributed``
+    certifies it against the same oracle). Neither stage is
+    super-linear at 100 TB.
     """
-    radius, bw = 5.0, 0.01
     e = table(spark, sf_dir, "events").select("event_id", "value").filter(
         F.col("value").isNotNull()
     )
+    return _neighbor_counts(spark, e, radius=5.0, bw=0.01)
+
+
+@query(
+    "range_join_value_neighbors_distributed",
+    oracle="""
+    SELECT a.event_id, count(b.event_id) AS n_neighbors
+    FROM events a JOIN events b
+      ON b.value BETWEEN a.value - 5 AND a.value + 5
+     AND a.event_id <> b.event_id
+    GROUP BY a.event_id
+    """,
+)
+def range_join_value_neighbors_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The UNBOUNDED-DOMAIN path of `range_join_value_neighbors`,
+    force-selected (dense_cap=0) so the driver value-hashes the
+    distributed two-level prefix sum against the identical pair-join
+    oracle. Same semantics, different CDF engine: no driver-side dense
+    array exists at any point, so a single ±1e9 outlier value cannot
+    OOM the driver — the case the default query auto-falls-back on
+    (its span pre-check is one min/max aggregate, not a collect).
+    """
+    e = table(spark, sf_dir, "events").select("event_id", "value").filter(
+        F.col("value").isNotNull()
+    )
+    return _neighbor_counts(spark, e, radius=5.0, bw=0.01, dense_cap=0)
+
+
+_PREFIX_FANOUT = 4096  # branching factor per level of the distributed CDF
+
+
+def _cum_before_distributed(vals: DataFrame, probes: DataFrame) -> DataFrame:
+    """Exclusive value-CDF at arbitrary bucket boundaries — distributed
+    two-level prefix sum, no dense driver array.
+
+    `vals` is (v, vb) (one row per value, vb = its bucket); `probes`
+    must expose a `pb` bucket column. Returns (pb, cumb) with
+    cumb = count of values in buckets strictly below pb, for every
+    distinct probe bucket.
+
+    Shape: probe boundaries are unioned into the occupied-bucket count
+    table as zero-weight rows sorting BEFORE any same-bucket counts
+    (the searchsorted-by-cogroup trick), then the exclusive prefix is
+    assembled from three tiers — intra-group (Window partitioned by
+    g = vb/4096, bounded frames), group-level (Window partitioned by
+    sg = g/4096 over group TOTALS — ≤4096 rows per partition), and a
+    driver-folded super-group prefix (≤ range/4096² rows, capped
+    fail-loud at 4e6 ≈ a 6.7e13-bucket span). Every Window is
+    partitioned; the only collect is the super-group totals.
+
+    100 TB: two shuffles over occupied-bucket-cardinality rows (≤
+    distinct values, ≪ rows) plus one row-count-sized equi-join back —
+    nothing scales with the VALUE RANGE, which is the whole point.
+    """
+    spark = vals.sparkSession
+    bc = (
+        vals.groupBy("vb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("kind", F.lit(1))
+    )
+    pq = (
+        probes.select(F.col("pb").alias("vb"))
+        .distinct()
+        .withColumn("n", F.lit(0).cast("long"))
+        .withColumn("kind", F.lit(0))
+    )
+    u = bc.select("vb", "n", "kind").unionByName(pq.select("vb", "n", "kind"))
+    u = u.withColumn("g", F.floor(F.col("vb") / _PREFIX_FANOUT))
+    # tier 1: exclusive prefix inside each 4096-bucket group. Probe rows
+    # (kind 0) sort before the occupied row of the SAME bucket, so a
+    # boundary at an occupied bucket excludes that bucket's own count —
+    # exactly "values strictly below".
+    w1 = (
+        Window.partitionBy("g")
+        .orderBy("vb", "kind")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    u = u.withColumn("intra", F.coalesce(F.sum("n").over(w1), F.lit(0)))
+    # tier 2: exclusive prefix of group totals inside each super-group.
+    gt = (
+        u.groupBy("g")
+        .agg(F.sum("n").alias("gn"))
+        .withColumn("sg", F.floor(F.col("g") / _PREFIX_FANOUT))
+    )
+    w2 = (
+        Window.partitionBy("sg")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gt = gt.withColumn("gpre", F.coalesce(F.sum("gn").over(w2), F.lit(0)))
+    # tier 3: super-group totals — range/4096² rows, driver-folded.
+    st = sorted(
+        (r["sg"], r["sn"])
+        for r in gt.groupBy("sg").agg(F.sum("gn").alias("sn")).collect()
+    )
+    if len(st) > 4_000_000:
+        raise ValueError(
+            f"_cum_before_distributed: {len(st)} occupied super-groups "
+            f"exceeds the 4e6 driver-fold cap (value span > ~6.7e13 "
+            f"buckets); widen the bucket width or add a third prefix tier"
+        )
+    acc, sg_rows = 0, []
+    for sgv, sn in st:
+        sg_rows.append((sgv, acc))
+        acc += sn
+    sg_df = spark.createDataFrame(sg_rows or [(0, 0)], "sg long, spre long")
+    return (
+        u.filter(F.col("kind") == 0)
+        .join(gt.select("g", "sg", "gpre"), "g")
+        .join(F.broadcast(sg_df), "sg")
+        .select(
+            F.col("vb").alias("pb"),
+            (F.col("spre") + F.col("gpre") + F.col("intra")).alias("cumb"),
+        )
+    )
+
+
+def _neighbor_counts(
+    spark: SparkSession,
+    e: DataFrame,
+    radius: float,
+    bw: float,
+    dense_cap: int = 4_000_000,
+) -> DataFrame:
+    """Rank-arithmetic ±radius neighbor counts over `e` (event_id,
+    value): n(v) = C(v+r) − C<(v−r) − 1, with the boundary CDF C from
+    either the dense packed-literal path (occupied span ≤ dense_cap
+    buckets) or the distributed two-level prefix sum (beyond it — or
+    force it with dense_cap=0). Both paths share the probe explode and
+    the in-bucket residual join, so they are bit-identical."""
     bk = F.floor(F.col("value") / bw).cast("long")
     vals = e.select(F.col("value").alias("v"), bk.alias("vb"))
-
-    # (a) bucket-summary prefix: dense cumulative counts below each bucket.
-    rows = sorted(
-        (r["vb"], r["n"])
-        for r in vals.groupBy("vb").agg(F.count(F.lit(1)).alias("n")).collect()
-    )
-    min_bk = rows[0][0] if rows else 0
-    nb = (rows[-1][0] - min_bk + 1) if rows else 0
-    # The dense table is bounded by the VALUE RANGE — but the range is
-    # observed from data, so a single outlier (value ±1e6 at bw=0.01 → a
-    # ~1.6 GB plan literal) must fail loudly here, not OOM the driver.
-    # Past the cap, widen bw or use the distributed two-level prefix sum
-    # noted in the docstring.
-    if nb > 4_000_000:
-        raise ValueError(
-            f"range_join_value_neighbors: dense CDF would need {nb} buckets "
-            f"(> 4e6 cap) for observed value range "
-            f"[{min_bk * bw:.2f}, {(min_bk + nb) * bw:.2f}] at bucket width "
-            f"{bw}; widen the bucket width or switch to a distributed "
-            f"prefix sum for unbounded value domains"
-        )
-    dense = [0] * nb
-    for b, n in rows:
-        dense[b - min_bk] = n
-    cum = [0] * (nb + 1)  # cum[i] = # values in buckets < min_bk + i
-    for i, n in enumerate(dense):
-        cum[i + 1] = cum[i] + n
-    def cum_before(bucket_col):
-        # packed_lookup, not F.lit(cum): a plain list literal pays py4j
-        # per-element conversion (~1.5 s for 2k entries) per invocation.
-        idx = F.greatest(F.least(bucket_col - min_bk, F.lit(nb)), F.lit(0))
-        return packed_lookup(cum, idx)
-
     hi, lo = F.col("value") + radius, F.col("value") - radius
     hb, lb = F.floor(hi / bw).cast("long"), F.floor(lo / bw).cast("long")
-    base = e.select(
-        "event_id",
-        (cum_before(hb) - cum_before(lb)).alias("cum_net"),
-        hi.alias("hi"),
-        lo.alias("lo"),
-        hb.alias("hb"),
-        lb.alias("lb"),
-    )
-
-    # (b) in-bucket residual: +count(v ≤ hi in B(hi)) − count(v < lo in B(lo)).
-    probes = base.select(
+    probes = e.select(
         "event_id",
         F.explode(
             F.array(
-                F.struct(F.col("hi").alias("x"), F.col("hb").alias("pb"), F.lit(1).alias("s")),
-                F.struct(F.col("lo").alias("x"), F.col("lb").alias("pb"), F.lit(-1).alias("s")),
+                F.struct(hi.alias("x"), hb.alias("pb"), F.lit(1).alias("s")),
+                F.struct(lo.alias("x"), lb.alias("pb"), F.lit(-1).alias("s")),
             )
         ).alias("p"),
     ).select("event_id", "p.x", "p.pb", "p.s")
+
+    span = vals.agg(F.min("vb").alias("lo"), F.max("vb").alias("hi")).first()
+    if span["lo"] is None:
+        return spark.createDataFrame([], "event_id long, n_neighbors long")
+    min_bk = span["lo"]
+    nb = span["hi"] - min_bk + 1
+
+    if nb <= dense_cap:
+        # dense path: bucket counts collected once, cumulative array
+        # embedded as a packed binary plan literal (operators/lookup.py)
+        # — bounded by the VALUE RANGE (≤ dense_cap entries), evaluated
+        # scan-side with zero joins for the boundary term.
+        rows = sorted(
+            (r["vb"], r["n"])
+            for r in vals.groupBy("vb").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        dense = [0] * nb
+        for b, n in rows:
+            dense[b - min_bk] = n
+        cum = [0] * (nb + 1)  # cum[i] = # values in buckets < min_bk + i
+        for i, n in enumerate(dense):
+            cum[i + 1] = cum[i] + n
+
+        def cum_before(bucket_col):
+            # packed_lookup, not F.lit(cum): a plain list literal pays py4j
+            # per-element conversion (~1.5 s for 2k entries) per invocation.
+            idx = F.greatest(F.least(bucket_col - min_bk, F.lit(nb)), F.lit(0))
+            return packed_lookup(cum, idx)
+
+        base = e.select(
+            "event_id", (cum_before(hb) - cum_before(lb)).alias("cum_net")
+        )
+    else:
+        cum_map = _cum_before_distributed(vals, probes)
+        base = (
+            probes.join(cum_map, "pb")
+            .groupBy("event_id")
+            .agg(F.sum(F.col("s") * F.col("cumb")).alias("cum_net"))
+        )
+
+    # in-bucket residual: +count(v ≤ hi in B(hi)) − count(v < lo in B(lo)).
     inb = (
         probes.join(vals, probes["pb"] == vals["vb"])
         .filter(
