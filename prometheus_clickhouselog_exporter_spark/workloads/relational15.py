@@ -153,28 +153,34 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     a float. The only emitted double is the U₁/(n₁n₂) effect size,
     which is exactly P(en > de) + ½P(tie) — the AUC interpretation.
 
-    Scale: one global rank window over the two filtered samples (the
-    bounded-series discipline; per-key variants partition it); the
-    statistic folds map-side from three conditional sums.
+    Scale: ranks are VALUE-GROUPED — the corpus folds to per-value
+    (cnt, en_cnt, de_cnt) rows map-side first, the competition rank of
+    a value is 1 + the exclusive running count over the DISTINCT-value
+    series (value-cardinality, provably behind the aggregate — the
+    bounded-global-window invariant plan_audit enforces), and every
+    document at that value contributes the same doubled rank, so the
+    rank sum is Σ en_cnt·(2rk+cnt−1) with no corpus-sized window
+    anywhere.
     """
     d = table(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "de"))
-    ranked = d.select(
-        "lang",
-        "n_chars",
-        F.rank().over(Window.orderBy("n_chars")).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("n_chars")).alias("cnt"),
+    g = d.groupBy("n_chars").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("en_cnt"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("de_cnt"),
     )
-    scored = ranked.select(
-        "lang", (F.lit(2) * F.col("rk") + F.col("cnt") - 1).alias("r2")
+    wo = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "cnt",
+        "en_cnt",
+        "de_cnt",
+        (F.coalesce(F.sum("cnt").over(wo), F.lit(0)) + 1).alias("rk"),
     )
-    sums = scored.agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n1"),
-        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n2"),
-        F.sum(F.when(F.col("lang") == "en", F.col("r2")).otherwise(0))
+    sums = ranked.agg(
+        F.sum("en_cnt").cast("bigint").alias("n1"),
+        F.sum("de_cnt").cast("bigint").alias("n2"),
+        F.sum(
+            F.col("en_cnt") * (F.lit(2) * F.col("rk") + F.col("cnt") - 1)
+        )
         .cast("bigint")
         .alias("r1x2"),
     )

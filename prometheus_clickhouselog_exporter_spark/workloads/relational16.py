@@ -164,28 +164,46 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     completing the correlation family: Pearson (stats_corr_moments),
     Kendall (stats_kendall_tau), Spearman.
 
-    Scale: two global rank windows over the customer-cardinality
-    feature table (bounded-series discipline), one moment aggregate.
+    Scale: ranks are VALUE-GROUPED — per-value doubled tie-averaged
+    ranks (2r+c−1, a function of the VALUE alone) come from exclusive
+    running counts over the two DISTINCT-value series (value-
+    cardinality windows provably behind aggregates — the
+    bounded-global-window invariant plan_audit enforces), then two
+    equi-joins attach rx/ry back to the customer rows and one moment
+    aggregate finishes. No corpus-sized window anywhere.
     """
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
-    feat = c.join(counts, c.c_custkey == counts.o_custkey, "left").select(
-        "c_custkey",
-        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("x"),
-        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("y"),
+    feat = (
+        c.join(counts, c.c_custkey == counts.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("x"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("y"),
+        )
+        .localCheckpoint(eager=False)  # feeds both rank maps + the probe join
     )
-    ranked = feat.select(
-        (
-            F.lit(2) * F.rank().over(Window.orderBy("x"))
-            + F.count(F.lit(1)).over(Window.partitionBy("x"))
-            - 1
-        ).alias("rx"),
-        (
-            F.lit(2) * F.rank().over(Window.orderBy("y"))
-            + F.count(F.lit(1)).over(Window.partitionBy("y"))
-            - 1
-        ).alias("ry"),
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        wo = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            feat.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                col,
+                (
+                    F.lit(2) * (F.coalesce(F.sum("c").over(wo), F.lit(0)) + 1)
+                    + F.col("c")
+                    - 1
+                ).alias(out),
+            )
+        )
+
+    ranked = (
+        feat.join(rank_map("x", "rx"), "x")
+        .join(rank_map("y", "ry"), "y")
+        .select("rx", "ry")
     )
     dec = lambda col: F.sum(col.cast("decimal(38,0)")).cast("double")  # noqa: E731
     m = ranked.agg(

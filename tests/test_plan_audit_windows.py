@@ -1,0 +1,62 @@
+"""The bounded-global-window invariant guard (tools/plan_audit.py):
+the detector must stay green on representative registered plans and go
+red on a seeded fact-table global window — so a future edit can't
+silently move a Window.orderBy onto corpus-sized rows."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from plan_audit import unbounded_global_windows  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_red_on_seeded_fact_table_global_window(spark):
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    bad = e.withColumn("rn", F.row_number().over(Window.orderBy("ts")))
+    hits = unbounded_global_windows(_plan(bad))
+    assert len(hits) == 1 and hits[0].startswith("Window ")
+
+
+def test_green_on_aggregated_global_window(spark):
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    agg = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    good = agg.withColumn("rk", F.rank().over(Window.orderBy("n")))
+    assert unbounded_global_windows(_plan(good)) == []
+
+
+def test_green_on_partitioned_window(spark):
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ok = e.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("user_id").orderBy("ts"))
+    )
+    assert unbounded_global_windows(_plan(ok)) == []
+
+
+def test_green_on_limited_input(spark):
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    top = e.orderBy("ts").limit(100).withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts"))
+    )
+    assert unbounded_global_windows(_plan(top)) == []
+
+
+def test_rewritten_rank_stats_are_green(spark):
+    """The two fixed rank statistics must window only over aggregated
+    distinct-value frames."""
+    from prometheus_clickhouselog_exporter_spark.workloads import QUERIES
+
+    for name in ("stats_mann_whitney_u", "stats_spearman_rho"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert unbounded_global_windows(_plan(df)) == [], name

@@ -1,11 +1,22 @@
 """Plan audit: build every registered query's physical plan and flag
 scale smells — a single table scanned many times (the no-ReusedExchange
-recompute trap, SCALE.md), nested-loop/cartesian joins, and row-at-a-time
-Python evaluation.
+recompute trap, SCALE.md), nested-loop/cartesian joins, row-at-a-time
+Python evaluation, and SINGLE-PARTITION WINDOWS whose input is not
+provably bounded (no aggregation between the global sort-exchange and a
+corpus-sized scan — the one shape that silently serializes 100 TB onto
+one task).
+
+The bounded-global-window invariant: every `Window.orderBy` without a
+partitionBy must sit on an aggregated (group-cardinality) frame. Sites
+that ARE bounded but not via an aggregate visible in the plan (driver-
+built literal frames, broadcast-bounded inputs the detector can't prove)
+are whitelisted by query name in ``BOUNDED_GLOBAL_WINDOW_OK`` with the
+reason reviewed at add time.
 
 Usage: python tools/plan_audit.py [sf_dir] [name ...]
 Prints one line per query: scans-per-table, exchange count, join kinds,
-and a FLAG column when a smell triggers. Exit 0 always (reporting tool).
+and a FLAG column when a smell triggers. Exit code = number of
+global-window violations (other smells stay report-only).
 """
 
 from __future__ import annotations
@@ -16,6 +27,91 @@ import sys
 from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Nodes that BOUND the rows flowing up through them: aggregation output is
+# group-cardinality; broadcast sides are ≤ the broadcast threshold;
+# LocalTableScan / one-row plans are driver literals; WindowGroupLimit and
+# (Take/CollectLimit) cap rows explicitly.
+_BOUNDING_RE = re.compile(
+    r"\b(HashAggregate|SortAggregate|ObjectHashAggregate|BroadcastExchange|"
+    r"BroadcastQueryStage|WindowGroupLimit|TakeOrderedAndProject|"
+    r"CollectLimit|GlobalLimit|LocalLimit)\b"
+)
+# Corpus-sized leaves. LocalTableScan (driver literals) is intentionally
+# absent; Scan ExistingRDD covers localCheckpoint rematerializations, which
+# ARE corpus-sized.
+_SCAN_RE = re.compile(r"\b(FileScan|BatchScan|InMemoryTableScan)\b|Scan ExistingRDD")
+
+# Reviewed bounded-by-construction sites the plan shape can't prove: each
+# of these windows over a localCheckpoint(eager=False) of an AGGREGATED
+# frame, and the checkpoint surfaces as `Scan ExistingRDD` — hiding the
+# aggregate that bounds it. Reviewed at add time; re-review when touched.
+BOUNDED_GLOBAL_WINDOW_OK: set[str] = {
+    # days-cardinality daily-revenue series (groupBy o_orderdate, ckpt)
+    "stats_runs_test",
+    # months-cardinality monthly-revenue series (groupBy month, ckpt)
+    "stats_theil_sen_trend",
+    # value-cardinality n_chars step series (groupBy n_chars, ckpt)
+    "stats_ks_two_sample",
+}
+
+
+def _parse_tree(plan: str) -> list[tuple[int, str]]:
+    """(depth, text) per plan line; depth = marker offset, root = 0."""
+    out = []
+    for line in plan.splitlines():
+        if not line.strip():
+            continue
+        m = re.match(r"^(.*?)(?:\+-|:-) (.*)$", line)
+        if m and set(m.group(1)) <= set(" :+|-"):
+            out.append((len(m.group(1)) + 3, m.group(2)))
+        else:
+            out.append((0, line.strip()))
+    return out
+
+
+def unbounded_global_windows(plan: str) -> list[str]:
+    """Window nodes fed by an Exchange SinglePartition that can reach a
+    corpus-sized scan without crossing a bounding node. Returns the
+    offending Window lines (empty = invariant holds)."""
+    nodes = _parse_tree(plan)
+    bad = []
+    for i, (d, txt) in enumerate(nodes):
+        if not txt.startswith("Window "):
+            continue
+        # follow the operator chain below the window to its exchange,
+        # skipping order-only nodes
+        j = i + 1
+        exch = None
+        while j < len(nodes) and nodes[j][0] > d:
+            t = nodes[j][1]
+            if t.startswith("Sort ") or t.startswith("AQEShuffleRead") or t.startswith(
+                "ShuffleQueryStage"
+            ) or t.startswith("Project "):
+                j += 1
+                continue
+            if t.startswith("Exchange SinglePartition"):
+                exch = j
+            break
+        if exch is None:
+            continue
+        # walk the exchange's subtree; a scan with no open bounding
+        # ancestor inside the subtree = unbounded global window
+        ed = nodes[exch][0]
+        bound_depths: list[int] = []
+        for k in range(exch + 1, len(nodes)):
+            kd, kt = nodes[k]
+            if kd <= ed:
+                break
+            while bound_depths and kd <= bound_depths[-1]:
+                bound_depths.pop()
+            if _BOUNDING_RE.search(kt):
+                bound_depths.append(kd)
+                continue
+            if _SCAN_RE.search(kt) and not bound_depths:
+                bad.append(txt[:120])
+                break
+    return bad
 
 
 def main() -> None:
@@ -28,6 +124,7 @@ def main() -> None:
     spark = get_spark("plan_audit", cores=8, shuffle_partitions=8)
     targets = names or sorted(QUERIES)
     flagged = 0
+    violations = 0
     for name in targets:
         try:
             df = QUERIES[name](spark, sf_dir)
@@ -51,6 +148,10 @@ def main() -> None:
                 smells.append("multi-BNLJ")
         if "BatchEvalPython" in plan:
             smells.append("row-python")
+        gw = unbounded_global_windows(plan)
+        if gw and name not in BOUNDED_GLOBAL_WINDOW_OK:
+            smells.append(f"global-window-unbounded x{len(gw)}")
+            violations += 1
         scans = ",".join(f"{t}x{c}" for t, c in sorted(tables.items()) if c > 1)
         flag = " FLAG[" + ";".join(smells) + "]" if smells else ""
         if smells:
@@ -59,7 +160,8 @@ def main() -> None:
             f"{name}: exch={plan.count('Exchange')} "
             f"rescans=({scans or '-'}){flag}"
         )
-    print(f"# flagged: {flagged}/{len(targets)}")
+    print(f"# flagged: {flagged}/{len(targets)} (global-window violations: {violations})")
+    sys.exit(min(violations, 125))
 
 
 if __name__ == "__main__":
