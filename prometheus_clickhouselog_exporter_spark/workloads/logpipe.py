@@ -444,30 +444,120 @@ def logpipe_open_close_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("id", "start_time", "end_time", "elapsed")
 
 
-@query("streaming_sessionize_fidelity")
+@query(
+    "streaming_sessionize_fidelity",
+    oracle="""
+    WITH base AS (
+      SELECT 'q-' || CAST(event_id AS VARCHAR)            AS id,
+             '10.0.' || CAST(user_id % 200 AS VARCHAR) || '.7' AS host,
+             30000 + event_id % 999                       AS port,
+             event_id % 997                               AS pid,
+             CASE event_type WHEN 'click' THEN 'select' WHEN 'view' THEN 'select'
+                             WHEN 'purchase' THEN 'insert' WHEN 'signup' THEN 'update'
+                             ELSE 'other' END             AS stmt_type,
+             ts                                           AS start_time,
+             value >= 10                                  AS has_stats,
+             event_id % 3 <> 0                            AS has_memory,
+             event_id, value
+      FROM events
+      WHERE value IS NOT NULL AND value >= 0 AND event_id % 5 = 0
+    )
+    SELECT id, host, port, pid, stmt_type, start_time,
+           start_time + INTERVAL 2 SECOND                                AS end_time,
+           CASE WHEN has_stats THEN event_id % 100000 END                AS rows_read,
+           CASE WHEN has_stats
+                THEN CAST(floor(round(value, 2) * 1048576) AS BIGINT) END AS bytes_read,
+           CASE WHEN has_stats THEN event_id % 9999 + 1 END              AS rps,
+           CASE WHEN has_stats
+                THEN CAST(floor(round(value, 2) * 1024) AS BIGINT) END   AS speed,
+           CAST(floor(round(value, 2) * 1024) AS BIGINT)                 AS memory,
+           CAST(2.0 AS DOUBLE)                                           AS elapsed,
+           true                                                          AS full_info,
+           false                                                         AS error
+    FROM base WHERE has_memory AND stmt_type <> 'insert'
+    """,
+)
 def streaming_sessionize_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Runs the REAL Structured Streaming pipeline (file source →
-    applyInPandasWithState sessionization → foreachBatch sink) over the
-    fidelity corpus and returns the completed-session records the sink
-    wrote. Rows-only driver check (streaming is not SQL-expressible); the
-    golden assertions live in tests/test_streaming.py. sf_dir is unused —
-    the corpus is the reference-shaped fixture log.
+    """Runs the REAL Structured Streaming pipeline (text file source →
+    parse → applyInPandasWithState ST1-ST5 sessionization → foreachBatch
+    Prometheus sink) over a log corpus synthesized from the events table
+    — the `logpipe_correlate_roundtrip` corpus, written to disk and
+    streamed — and returns the completed-session records the SINK wrote
+    to its session parquet. The oracle recomputes those records by
+    independent DuckDB arithmetic (no regex, no state machine): only
+    sessions with a memory line and a non-INSERT statement complete
+    (query.go:231-233, main.go:125-129), so the oracle filters to
+    exactly the rows the sink's eviction path emits. This upgrades the
+    last rows-only streaming entry to a full value-hash certification of
+    the actual stateful streaming execution — parse regexes, byte
+    parsing, ts math, classification, elapsed derivation, completion
+    semantics, AND the foreachBatch sink write, end to end.
+
+    Duplicate/orphan/malformed corners stay golden-tested against the
+    reference-shaped fixture corpus in tests/test_streaming.py (they are
+    deliberately absent here so every generated session is SQL-derivable).
     """
+    import os
     import tempfile
 
-    from ..sources.fixtures import standard_corpus, FixtureLog
     from ..streaming import PrometheusSnapshotSink, run_log_pipeline
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0) & (F.col("event_id") % 5 == 0)
+    )
+    qid = F.concat(F.lit("q-"), F.col("event_id").cast("string"))
+    dt0 = F.date_format("ts", "yyyy.MM.dd HH:mm:ss.SSSSSS")
+    dt1 = F.date_format(F.col("ts") + F.expr("INTERVAL 1 SECOND"), "yyyy.MM.dd HH:mm:ss.SSSSSS")
+    dt2 = F.date_format(F.col("ts") + F.expr("INTERVAL 2 SECOND"), "yyyy.MM.dd HH:mm:ss.SSSSSS")
+    pid = (F.col("event_id") % 997).cast("string")
+    host_port = F.concat(
+        F.lit("10.0."), (F.col("user_id") % 200).cast("string"), F.lit(".7:"),
+        (F.lit(30000) + F.col("event_id") % 999).cast("string"),
+    )
+    sql_text = (
+        F.when(F.col("event_type") == "click", F.lit("SELECT count() FROM hits"))
+        .when(F.col("event_type") == "view", F.lit("/* cached */ SELECT 1"))
+        .when(F.col("event_type") == "purchase", F.lit("INSERT INTO sales VALUES (1)"))
+        .when(F.col("event_type") == "signup", F.lit("UPDATE users SET active = 1"))
+        .otherwise(F.lit("OPTIMIZE TABLE hits"))
+    )
+    num = F.round(F.col("value"), 2).cast("string")
+    initial_line = F.concat(
+        dt0, F.lit(" [ "), pid, F.lit(" ] {"), qid, F.lit("} <Debug> executeQuery: (from "),
+        host_port, F.lit(") "), sql_text,
+    )
+    stats_line = F.when(
+        F.col("value") >= 10,
+        F.concat(dt1, F.lit(" [ "), pid, F.lit(" ] {"), qid,
+                 F.lit("} <Information> executeQuery: Read "),
+                 (F.col("event_id") % 100000).cast("string"),
+                 F.lit(" rows, "), num, F.lit(" MiB in 1.000 sec., "),
+                 (F.col("event_id") % 9999 + 1).cast("string"),
+                 F.lit(" rows/sec., "), num, F.lit(" KiB/sec.")),
+    )
+    memory_line = F.when(
+        F.col("event_id") % 3 != 0,
+        F.concat(dt2, F.lit(" [ "), pid, F.lit(" ] {"), qid,
+                 F.lit("} <Debug> MemoryTracker: Peak memory usage (for query): "),
+                 num, F.lit(" KiB.")),
+    )
+    log = (
+        e.select(F.explode(F.array(initial_line, stats_line, memory_line)).alias("value"))
+        .filter(F.col("value").isNotNull())
+    )
 
     tmp = tempfile.mkdtemp(prefix="stream-fidelity-")
     log_dir = f"{tmp}/logs"
-    import os
-
     os.makedirs(log_dir)
-    FixtureLog(standard_corpus().lines).write(f"{log_dir}/00.log")
+    log.coalesce(1).write.mode("overwrite").text(log_dir)
     sink = PrometheusSnapshotSink(session_parquet_path=f"{tmp}/sessions")
     pipe = run_log_pipeline(spark, log_dir, f"{tmp}/ckpt", sink)
     try:
         pipe.process_all_available()
     finally:
         pipe.stop()
-    return spark.read.parquet(f"{tmp}/sessions")
+    return spark.read.parquet(f"{tmp}/sessions").select(
+        "id", "host", "port", "pid", "stmt_type", "start_time", "end_time",
+        "rows_read", "bytes_read", "rps", "speed", "memory", "elapsed",
+        "full_info", "error",
+    )
