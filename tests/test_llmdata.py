@@ -363,3 +363,37 @@ def test_y4m_decode_rejects_subsampled_and_foreign(spark):
     df = spark.createDataFrame([(1, bytearray(sub))], "doc_id long, media binary")
     with _pytest.raises(Exception, match="C444|NotImplementedError"):
         decode_y4m_features(df).collect()
+
+
+def test_pq_adc_recall_vs_bruteforce(emb):
+    """Pin PQ-ADC recall at DEFAULT parameters (the sign-LSH pattern):
+    measured 76.25% top-10 recall on the iid-synthetic sf0.001 corpus —
+    a PQ worst case (no manifold structure for the subquantizers to
+    exploit); ≥0.7 guards the defaults against a silent codebook or
+    encode regression while leaving noise margin."""
+    from prometheus_clickhouselog_exporter_spark.operators.similarity import pq_adc_topk
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, "embedding", "vec_id", "vec_id", k=10).collect()
+    approx = pq_adc_topk(emb, queries, "embedding", "vec_id", "vec_id", k=10).collect()
+    exact_set = {(r["query_id"], r["nbr_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["nbr_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.7, f"recall {recall}"
+
+
+def test_ivfpq_recall_vs_bruteforce(emb):
+    """Pin IVF-PQ recall at DEFAULT parameters: measured 48.75% on this
+    corpus — dominated by the IVF pruning ceiling (4 of 16 cells probed
+    ~= 25% of an iid corpus touched), so ≥0.4 mirrors the plain-IVF
+    pin's rationale: approximation must beat the touched-fraction
+    baseline, proving residual ADC ranks candidates better than chance."""
+    from prometheus_clickhouselog_exporter_spark.operators.similarity import ivfpq_topk
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, "embedding", "vec_id", "vec_id", k=10).collect()
+    approx = ivfpq_topk(emb, queries, "embedding", "vec_id", "vec_id", k=10).collect()
+    exact_set = {(r["query_id"], r["nbr_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["nbr_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"recall {recall}"
