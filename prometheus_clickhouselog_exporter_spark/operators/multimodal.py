@@ -858,3 +858,76 @@ def vad_wav(
             yield out
 
     return df.mapInPandas(op, out_schema)
+
+
+def phash_dct(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Perceptual hash (pHash) over REAL decoded BMPs, integer-exact:
+    luma ← 299R+587G+114B (kept at the ×1000 scale, no division),
+    nearest-neighbor resample to 32×32 (sx = ⌊x·w/32⌋ — pure integer),
+    2-D DCT-II restricted to the 8×8 low-frequency block via a
+    QUANTIZED cosine basis qc(u,x) = ⌊cos(π(2x+1)u/64)·10⁴ + 0.5⌋ —
+    every product/sum is then BIGINT arithmetic (max |Σ| ≈ 2.6e16,
+    comfortably inside int64), so the coefficients are bit-identical
+    across engines and partitionings; the nearest cos·10⁴ value sits
+    0.011 from a floor boundary, so a last-ulp libm difference cannot
+    flip a single quantized basis entry. Hash = 63 bits, one per AC
+    coefficient (u,v)≠(0,0) at position u·8+v−1, set when the
+    coefficient exceeds the LOWER MEDIAN (32nd smallest) of the 63 —
+    median-threshold bits are what makes pHash robust to global
+    brightness/contrast shifts, which move the DC term the bits ignore.
+
+    100 TB: embarrassingly parallel scan-stage kernel (two 8×32 integer
+    GEMMs per image); blobs never reach a shuffle — the hash (8 bytes)
+    does. Near-duplicate banding then treats the hash like SimHash
+    (hamming-band join, operators/dedup.py).
+    """
+    import numpy as np
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != media_col
+    ) + ", phash bigint, dc_coeff bigint, ac_median bigint"
+
+    # quantized 8×32 DCT basis — rebuilt per task from the closed form
+    qc = np.floor(
+        np.cos(
+            np.pi
+            * (2 * np.arange(32, dtype=np.float64)[None, :] + 1)
+            * np.arange(8, dtype=np.float64)[:, None]
+            / 64.0
+        )
+        * 10000.0
+        + 0.5
+    ).astype(np.int64)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, dcs, meds = [], [], []
+            for blob in pdf[media_col]:
+                w, h, bgr = _parse_bmp(bytes(blob))
+                rgb = bgr[:, :, ::-1].astype(np.int64)
+                lum = 299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
+                sx = (np.arange(32, dtype=np.int64) * w) // 32
+                sy = (np.arange(32, dtype=np.int64) * h) // 32
+                g32 = lum[np.ix_(sy, sx)]  # (y, x) 32×32
+                # D[u,v] = Σ_x qc[u,x] Σ_y qc[v,y] g[y,x] — two int GEMMs
+                d = qc @ g32 @ qc.T  # rows: v over y-basis? see below
+                # qc @ g32 contracts over y (rows of g32) → index v;
+                # then @ qc.T contracts over x → index u. So d[v, u].
+                ac = np.delete(d.T.reshape(-1), 0)  # u-major, drop DC
+                med = np.sort(ac)[31]
+                bits = 0
+                for pos, val in enumerate(ac):
+                    if val > med:
+                        bits |= 1 << pos
+                hashes.append(bits)
+                dcs.append(int(d[0, 0]))
+                meds.append(int(med))
+            out = pdf.drop(columns=[media_col]).copy()
+            out["phash"] = hashes
+            out["dc_coeff"] = dcs
+            out["ac_median"] = meds
+            yield out
+
+    return df.mapInPandas(op, out_schema)
