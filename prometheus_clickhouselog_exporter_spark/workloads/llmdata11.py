@@ -195,3 +195,142 @@ def timeseries_acf_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+_SEQ_FILTER = "value IS NOT NULL AND event_id % 16 = 0"
+_RUNS_THRESHOLD = 5.0
+
+
+def _sequential_fidelity(spark, sf_dir, build_stream, out_schema):
+    """Shared harness for the order-sensitive streaming monitors: write
+    the deterministic corpus subset, run the REAL applyInPandasWithState
+    stream over it (memory sink, update mode), return each key's final
+    (max-n) row. The `% 16` subsample keeps every BIGINT cross term of
+    the acf1 emission inside int64 at sf0.1 (m·Σq² ≤ ~1.6e18)."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="seq-fidelity-")
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(_SEQ_FILTER)
+        .select("event_type", "ts", "event_id", "value")
+    )
+    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = build_stream(
+        spark.readStream.schema(
+            "event_type string, ts timestamp, event_id long, value double"
+        ).parquet(f"{tmp}/in")
+    )
+    name = f"seq_fid_{abs(hash(tmp)) % 100000}"
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {name}")
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"))
+    final = (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+        .orderBy("event_type")
+    )
+    return spark.createDataFrame(final.collect(), out_schema)
+
+
+@query(
+    "streaming_runs_fidelity",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             CASE WHEN value > {_RUNS_THRESHOLD} THEN 1 ELSE 0 END AS above,
+             lag(CASE WHEN value > {_RUNS_THRESHOLD} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_above
+      FROM events
+      WHERE {_SEQ_FILTER} AND value <> {_RUNS_THRESHOLD}
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(above) AS BIGINT) AS n_above,
+           CAST(count(*) - sum(above) AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN prev_above IS NULL OR prev_above <> above
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+           floor((1.0 + (2.0 * sum(above) * (count(*) - sum(above))) / count(*))
+                 * 1e6 + 0.5) / 1e6 AS expected_runs
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_runs_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL order-sensitive streaming runs monitor
+    (streaming/sequential.runs_stream: per-key last-sign state crossing
+    micro-batch boundaries) over an events subset and value-hash-matches
+    the final per-type run counts against a windowed SQL recomputation —
+    the sequential-state sibling of streaming_moments_fidelity's
+    additive-state certification. Threshold-equal values drop, mirroring
+    the batch runs test's median-equal rule (relational14)."""
+    from ..streaming.sequential import runs_stream
+
+    return _sequential_fidelity(
+        spark,
+        sf_dir,
+        lambda src: runs_stream(src, threshold=_RUNS_THRESHOLD),
+        "event_type string, n bigint, n_above bigint, n_below bigint, "
+        "n_runs bigint, expected_runs double",
+    )
+
+
+@query(
+    "streaming_acf1_fidelity",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 10000) AS BIGINT) AS qv
+      FROM events WHERE {_SEQ_FILTER}
+    ),
+    p AS (
+      SELECT event_type, qv AS tq,
+             lag(qv) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS hq
+      FROM q
+    ),
+    base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(hq * tq) AS BIGINT) AS sxy,
+             CAST(sum(hq) AS BIGINT) AS sh,
+             CAST(sum(tq) AS BIGINT) AS st,
+             CAST(sum(hq * hq) AS BIGINT) AS shh,
+             CAST(sum(tq * tq) AS BIGINT) AS stt
+      FROM p WHERE hq IS NOT NULL GROUP BY 1
+    )
+    SELECT s.event_type, b.n, s.m AS n_pairs,
+           floor((CAST(s.m * s.sxy - s.sh * s.st AS DOUBLE)
+                  / sqrt(CAST(s.m * s.shh - s.sh * s.sh AS DOUBLE)
+                         * CAST(s.m * s.stt - s.st * s.st AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS r1
+    FROM s JOIN base b ON b.event_type = s.event_type
+    ORDER BY s.event_type
+    """,
+)
+def streaming_acf1_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL streaming lag-1 autocorrelation monitor
+    (streaming/sequential.acf1_stream: quantized co-moment state plus
+    the boundary element stitched across batches) and value-hash-matches
+    its final per-type correlation against a lag-window SQL
+    recomputation over the identical ordered series. The emission's op
+    sequence (three exact-int cross terms → double → num/sqrt(da·db) →
+    1e-6 fround) is mirrored literally in the oracle, so the comparison
+    is bit-exact, not approximate."""
+    from ..streaming.sequential import acf1_stream
+
+    return _sequential_fidelity(
+        spark,
+        sf_dir,
+        acf1_stream,
+        "event_type string, n bigint, n_pairs bigint, r1 double",
+    )
