@@ -17,6 +17,19 @@ collect_ignore: list[str] = []
 if importlib.util.find_spec("google") is None or importlib.util.find_spec("google.protobuf") is None:
     collect_ignore.append("test_session_tws.py")
 
+# The Avro round-trip needs the external spark-avro datasource module
+# (this distribution ships only avro-core; probed r4 — the format raises
+# AnalysisException without it). Same collection-gate discipline as tws:
+# the suite lights up on any deployment whose distribution bundles
+# spark-avro, no perpetual skips here.
+_spark_jars = os.path.join(
+    os.path.dirname(importlib.util.find_spec("pyspark").origin), "jars"
+)
+import glob as _glob
+
+if not _glob.glob(os.path.join(_spark_jars, "spark-avro*")):
+    collect_ignore.append("test_avro_roundtrip.py")
+
 from prometheus_clickhouselog_exporter_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
