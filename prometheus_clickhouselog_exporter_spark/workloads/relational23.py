@@ -389,3 +389,71 @@ def pipeline_observe_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, n_null_value bigint, sum_value_cents bigint, "
         "min_event_id bigint, max_event_id bigint",
     )
+
+
+@query(
+    "session_window_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 300
+                  WHEN event_type = 'error' THEN 60
+                  ELSE 1800 END AS gap_s
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, gap_s,
+             CASE WHEN ts >= coalesce(
+                    max(ts + INTERVAL 1 SECOND * gap_s)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    TIMESTAMP '1970-01-01')
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g
+    ),
+    sessions AS (
+      SELECT user_id, ts, gap_s,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts + INTERVAL 1 SECOND * gap_s) AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT dynamic gap — purchases close
+    their session in 5 minutes, errors in 1, everything else in 30
+    (`session_window` with a Column gap, the Spark-3.2+ surface the
+    fixed-gap `session_window_events` doesn't touch). Semantics under
+    merge: each event spans [ts, ts+gap); overlapping spans fuse, so
+    the session END is the max span end, NOT last-event + constant —
+    the oracle therefore needs the RUNNING-MAX-OF-ENDS islands rewrite
+    (a lag(ts)+g test, valid for constant g, would split sessions a
+    long-gap event should have held open).
+
+    100 TB: identical shape to the fixed-gap form — one shuffle on
+    user_id, merge inside the session-window aggregation node; the gap
+    expression is scan-stage."""
+    e = table(spark, sf_dir, "events")
+    # gap as a STRING column — session_window's dynamic-gap surface
+    # requires CalendarIntervalType (duration strings), not the ANSI
+    # DayTimeIntervalType INTERVAL literals produce.
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("300 seconds"))
+        .when(F.col("event_type") == "error", F.lit("60 seconds"))
+        .otherwise(F.lit("1800 seconds"))
+    )
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
