@@ -70,6 +70,14 @@ HEADLINE = [
     "sketch_weighted_minhash",
     "crosssource_leakage_matrix",
     "recursive_cte_subtree_rollup",
+    # r4: integer-DCT perceptual hash (scan-stage GEMM kernel), per-key
+    # calendar-lag correlogram (bounded-series self-join), distributed
+    # two-level prefix-sum CDF (the unbounded-domain range-join path),
+    # dynamic-gap session windows (merge inside the session-window node)
+    "image_phash_dct",
+    "timeseries_acf_by_type",
+    "range_join_value_neighbors_distributed",
+    "session_window_dynamic_gap",
 ]
 
 
