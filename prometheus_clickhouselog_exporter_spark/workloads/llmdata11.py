@@ -334,3 +334,78 @@ def streaming_acf1_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         acf1_stream,
         "event_type string, n bigint, n_pairs bigint, r1 double",
     )
+
+
+@query(
+    "streaming_sliding_window_fidelity",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, epoch(ts) AS es FROM events WHERE ts IS NOT NULL
+    ),
+    w AS (
+      SELECT event_type,
+             unnest([CAST(floor(es / 1800) AS BIGINT) * 1800 - 1800,
+                     CAST(floor(es / 1800) AS BIGINT) * 1800]) AS ws
+      FROM q
+    )
+    SELECT make_timestamp(ws * 1000000) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def streaming_sliding_window_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL watermarked sliding-window aggregation
+    (streaming/windows.windowed_event_counts: 1-hour windows sliding
+    every 30 minutes, so each event lands in exactly two windows) as a
+    Structured Streaming query over the events table and value-hash-
+    matches the FINAL per-(window, type) counts against a DuckDB
+    recomputation that derives both window starts arithmetically from
+    the epoch grid. Update-mode emissions are monotone counts, so the
+    final state per group is max(n). This upgrades the windowed-
+    aggregation family from golden-only to hash-certified streaming
+    execution (the moments/sessionize/runs/acf1 recipe applied to the
+    window operator).
+
+    Watermark semantics under a single ordered batch: the first batch's
+    watermark is -∞, so nothing drops — late-data DROP behavior stays
+    pinned by the golden suite (tests/test_streaming_windows.py), which
+    feeds multi-batch out-of-order input on purpose.
+    """
+    import tempfile
+
+    from ..streaming.windows import windowed_event_counts
+
+    tmp = tempfile.mkdtemp(prefix="slidewin-fidelity-")
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = windowed_event_counts(
+        spark.readStream.schema("event_type string, ts timestamp").parquet(
+            f"{tmp}/in"
+        ),
+        ts_col="ts",
+        window="1 hour",
+        slide="30 minutes",
+        watermark="5 minutes",
+        extra_keys=("event_type",),
+    )
+    name = f"slidewin_fid_{abs(hash(tmp)) % 100000}"
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("window_start", "event_type")
+        .agg(F.max("n").alias("n"))
+        .orderBy("window_start", "event_type")
+    )
+    return spark.createDataFrame(
+        final.collect(), "window_start timestamp, event_type string, n bigint"
+    )
