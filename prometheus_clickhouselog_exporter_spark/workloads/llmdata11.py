@@ -409,3 +409,151 @@ def streaming_sliding_window_fidelity(spark: SparkSession, sf_dir: str) -> DataF
     return spark.createDataFrame(
         final.collect(), "window_start timestamp, event_type string, n bigint"
     )
+
+
+def _logpipe_stream_corpus(spark, sf_dir: str):
+    """The logpipe_open_close_join corpus (initial at ts, MemoryTracker
+    close at ts + event_id%7 s for event_id%3≠0), written as text files
+    for the streaming file source. Shared by the stream-stream join and
+    streaming-dedup fidelity queries."""
+    import tempfile
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    qid = F.concat(F.lit("q-"), F.col("event_id").cast("string"))
+    dt0 = F.date_format("ts", "yyyy.MM.dd HH:mm:ss.SSSSSS")
+    dt_end = F.date_format(
+        F.col("ts") + F.make_interval(secs=(F.col("event_id") % 7).cast("double")),
+        "yyyy.MM.dd HH:mm:ss.SSSSSS",
+    )
+    pid = (F.col("event_id") % 997).cast("string")
+    initial = F.concat(
+        dt0, F.lit(" [ "), pid, F.lit(" ] {"), qid,
+        F.lit("} <Debug> executeQuery: (from 10.0.0.7:9000) SELECT 1"),
+    )
+    memory = F.when(
+        F.col("event_id") % 3 != 0,
+        F.concat(dt_end, F.lit(" [ "), pid, F.lit(" ] {"), qid,
+                 F.lit("} <Debug> MemoryTracker: Peak memory usage (for query): 1.00 MiB.")),
+    )
+    log = (
+        e.select(F.explode(F.array(initial, memory)).alias("value"))
+        .filter(F.col("value").isNotNull())
+    )
+    tmp = tempfile.mkdtemp(prefix="logstream-fidelity-")
+    log.coalesce(1).write.mode("overwrite").text(f"{tmp}/logs")
+    return tmp
+
+
+@query(
+    "streaming_interval_join_fidelity",
+    oracle="""
+    SELECT 'q-' || CAST(event_id AS VARCHAR) AS id,
+           ts                                AS start_time,
+           ts + INTERVAL 1 SECOND * (event_id % 7) AS end_time,
+           CAST(event_id % 7 AS DOUBLE)      AS elapsed
+    FROM events
+    WHERE value IS NOT NULL AND value >= 0
+      AND event_id % 3 <> 0 AND event_id % 7 <= 5
+    """,
+)
+def streaming_interval_join_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL stream-stream interval join
+    (streaming/joins.join_initial_to_close: both sides watermarked,
+    time-bound state eviction) as a Structured Streaming query over a
+    synthesized log corpus and value-hash-matches the matched pairs
+    against DuckDB arithmetic — upgrading the stream-stream-join family
+    from golden-only (batch-twin-oracled) to hash-certified STREAMING
+    execution. Same corpus and oracle as the batch twin
+    `logpipe_open_close_join`, so any divergence isolates the streaming
+    state machinery itself."""
+    from ..operators.parsing import parse_log_lines, parsed_event_schema
+    from ..streaming.joins import join_initial_to_close
+
+    tmp = _logpipe_stream_corpus(spark, sf_dir)
+    raw = spark.readStream.format("text").load(f"{tmp}/logs")
+    joined = join_initial_to_close(parse_log_lines(raw), max_duration="5 seconds")
+    name = f"ssjoin_fid_{abs(hash(tmp)) % 100000}"
+    q = (
+        joined.select("id", "start_time", "end_time", "elapsed")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {name}").orderBy("id")
+    return spark.createDataFrame(
+        out.collect(),
+        "id string, start_time timestamp, end_time timestamp, elapsed double",
+    )
+
+
+@query(
+    "streaming_dedup_fidelity",
+    oracle="""
+    SELECT 'q-' || CAST(event_id AS VARCHAR) AS id,
+           ts AS start_time
+    FROM events
+    WHERE value IS NOT NULL AND value >= 0
+    """,
+)
+def streaming_dedup_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL streaming dedup
+    (streaming/joins.dedup_initial_stream —
+    dropDuplicatesWithinWatermark, watermark-bounded state) over a
+    corpus where EVERY query id's initial line appears twice (the
+    reference's duplicated_initial_query scenario, query.go:91-95) and
+    value-hash-matches the surviving set: exactly one row per id
+    carrying the shared (id, ts) identity. WHICH duplicate survives is
+    engine order within the batch — deliberately not asserted here
+    (pid is excluded from the output); the reference's first-valid-wins
+    ordering is the SESSIONIZER's contract and is golden-tested there
+    (tests/test_streaming.py)."""
+    import tempfile
+
+    from ..operators.parsing import parse_log_lines
+    from ..streaming.joins import dedup_initial_stream
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    qid = F.concat(F.lit("q-"), F.col("event_id").cast("string"))
+    dt0 = F.date_format("ts", "yyyy.MM.dd HH:mm:ss.SSSSSS")
+    pid = (F.col("event_id") % 997).cast("string")
+
+    def line(p):
+        return F.concat(
+            dt0, F.lit(" [ "), p, F.lit(" ] {"), qid,
+            F.lit("} <Debug> executeQuery: (from 10.0.0.7:9000) SELECT 1"),
+        )
+
+    log = e.select(
+        F.explode(F.array(line(pid), line(F.lit("1")))).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="dedup-fidelity-")
+    log.coalesce(1).write.mode("overwrite").text(f"{tmp}/logs")
+    raw = spark.readStream.format("text").load(f"{tmp}/logs")
+    deduped = dedup_initial_stream(parse_log_lines(raw))
+    name = f"dedup_fid_{abs(hash(tmp)) % 100000}"
+    q = (
+        deduped.select("id", F.col("ts").alias("start_time"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {name}")
+    return spark.createDataFrame(
+        out.collect(), "id string, start_time timestamp"
+    )
