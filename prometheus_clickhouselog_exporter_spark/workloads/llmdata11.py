@@ -557,3 +557,66 @@ def streaming_dedup_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out.collect(), "id string, start_time timestamp"
     )
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 120, 90
+
+
+@query(
+    "text_chunk_sliding_windows",
+    oracle=f"""
+    WITH nums AS (SELECT t.i FROM range(0, 1024) t(i))
+    SELECT d.doc_id, CAST(n.i AS INT) AS chunk_idx,
+           CAST(least({_CHUNK_SIZE}, length(d.text) - n.i * {_CHUNK_STRIDE}) AS BIGINT)
+             AS chunk_len,
+           CAST(CAST(('0x' || substr(md5(substr(d.text, CAST(n.i * {_CHUNK_STRIDE} + 1 AS INT),
+                                           {_CHUNK_SIZE})), 1, 12)) AS UBIGINT) AS BIGINT)
+             AS chunk_hash
+    FROM documents d
+    JOIN nums n ON n.i <= greatest((length(d.text) - 1) // {_CHUNK_STRIDE}, 0)
+    WHERE d.text IS NOT NULL
+    """,
+)
+def text_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG / long-context
+    training primitive: 120-character chunks at stride 90 (30-char
+    overlap so no boundary sentence is lost), one row per (doc, chunk)
+    with a stable content fingerprint (the engine-portable 48-bit md5
+    family, workloads/core.md5_long) instead of the chunk text itself —
+    hashes certify the exact slice CONTENT while keeping wide text out
+    of the result. Chunk count = ⌈n/stride⌉ (⌊(n−1)/stride⌋+1), so
+    trailing chunks shorten rather than duplicate; empty docs emit one
+    zero-length chunk. Character (not byte) indexing on both engines —
+    multibyte zh text is the trap this oracle would catch.
+
+    100 TB: pure scan-stage sequence+explode (row inflation = n/stride,
+    the operator's output size — nothing shuffles until a consumer
+    groups); the downstream dedup/embedding stages join on chunk_hash,
+    8 bytes per chunk.
+    """
+    from .core import md5_long
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n = F.length("text")
+    base = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.floor((n - 1) / _CHUNK_STRIDE).cast("int"), F.lit(0)
+                ),
+            )
+        ).alias("i"),
+    )
+    start = F.col("i") * _CHUNK_STRIDE
+    chunk = F.substring(F.col("text"), start + 1, F.lit(_CHUNK_SIZE))
+    return base.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK_SIZE), F.length("text") - start)
+        .cast("bigint")
+        .alias("chunk_len"),
+        md5_long(chunk).alias("chunk_hash"),
+    )
