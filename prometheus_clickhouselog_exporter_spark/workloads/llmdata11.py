@@ -620,3 +620,88 @@ def text_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chunk_len"),
         md5_long(chunk).alias("chunk_hash"),
     )
+
+
+_CUSUM_KREF, _CUSUM_THRESHOLD = 15, 50
+
+
+@query(
+    "streaming_cusum_fidelity",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT event_type, max(day) AS last_day FROM daily GROUP BY 1),
+    seq AS (
+      SELECT event_type, day, n,
+             sum(n - {_CUSUM_KREF}) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type, day, n, p,
+             p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+      FROM seq
+    )
+    SELECT s.event_type, CAST(s.day AS VARCHAR) AS day, s.n,
+           CAST(s.cusum AS BIGINT) AS cusum,
+           s.cusum > {_CUSUM_THRESHOLD} AS alarm
+    FROM s JOIN mx ON mx.event_type = s.event_type AND s.day < mx.last_day
+    ORDER BY s.event_type, s.day
+    """,
+)
+def streaming_cusum_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL streaming per-key CUSUM monitor (streaming/cusum.py:
+    day-close recurrence S_t = max(0, S_{t−1} + c_t − kref) held as three
+    integers of applyInPandasWithState state) over the events table and
+    value-hash-matches every CLOSED day's emitted row against the
+    prefix-sum closed form S_t = P_t − min(0, min_{j≤t} P_j) in SQL —
+    the identity the batch twin (events_cusum_per_key) is certified by,
+    now certifying the STREAMING recurrence execution too. Each key's
+    final day never closes (no later day arrives), so the oracle
+    excludes max(day) per key. Days are emitted as strings (the DATE
+    dtype crosses engines as the only non-hashable, per the house rule).
+    """
+    import tempfile
+
+    from ..streaming.cusum import cusum_stream
+
+    tmp = tempfile.mkdtemp(prefix="cusum-fidelity-")
+    ev = table(spark, sf_dir, "events").select("ts", "event_type", "event_id")
+    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = cusum_stream(
+        spark.readStream.schema(
+            "ts timestamp, event_type string, event_id long"
+        ).parquet(f"{tmp}/in"),
+        kref=_CUSUM_KREF,
+        threshold=_CUSUM_THRESHOLD,
+    )
+    name = f"cusum_fid_{abs(hash(tmp)) % 100000}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        spark.sql(f"SELECT * FROM {name}")
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "n",
+            "cusum",
+            "alarm",
+        )
+        .orderBy("event_type", "day")
+    )
+    return spark.createDataFrame(
+        out.collect(),
+        "event_type string, day string, n bigint, cusum bigint, alarm boolean",
+    )
