@@ -1,13 +1,20 @@
-"""LLM-data ops, round 4: perceptual hashing and time-series
-autocorrelation — the two ROADMAP breadth items the r3 judge ranked
-first, each with a full value-hash oracle.
+"""LLM-data + streaming-certification ops, round 4.
 
-`image_phash_dct` runs the REAL BMP decode lane (operators/multimodal)
-through an integer-exact 8×8 DCT and certifies the resulting 63-bit
-perceptual hash against a DuckDB recomputation of the same quantized
-transform from the pixel closed form. `timeseries_acf_by_type` is the
-per-key autocorrelation function over daily event counts — the
-seasonality probe next to timeseries_autocorr_daily's single-lag form.
+Batch: `image_phash_dct` (integer-exact DCT perceptual hash over the
+real BMP lane), `timeseries_acf_by_type` (per-key correlogram),
+`text_chunk_sliding_windows` (RAG chunking with content fingerprints).
+
+Streaming fidelity family — the r4 push to get every streaming operator
+family VALUE-HASH-certified, not just golden-tested: each query runs
+the REAL Structured Streaming execution (file source → operator →
+memory/parquet sink) over a corpus derived from the oracle tables, then
+DuckDB recomputes the expected final state by independent arithmetic.
+Order-sensitive monitors (`streaming_runs_fidelity`,
+`streaming_acf1_fidelity`), watermarked sliding windows
+(`streaming_sliding_window_fidelity`), stream-stream interval join
+(`streaming_interval_join_fidelity`), watermarked dedup
+(`streaming_dedup_fidelity`), and the day-close CUSUM recurrence
+(`streaming_cusum_fidelity`).
 """
 
 from __future__ import annotations
@@ -704,4 +711,110 @@ def streaming_cusum_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out.collect(),
         "event_type string, day string, n bigint, cusum bigint, alarm boolean",
+    )
+
+
+@query(
+    "streaming_attribution_fidelity",
+    oracle="""
+    WITH tl AS (
+      SELECT user_id, ts, event_type, value,
+             last_value(CASE WHEN event_type IN ('click','view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT user_id, ts AS purchase_ts, value,
+           coalesce(channel, 'direct') AS channel
+    FROM tl WHERE event_type = 'purchase'
+    """,
+)
+def streaming_attribution_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL streaming last-touch attribution
+    (streaming/attribution.attribution_stream: one (channel, ts) pair of
+    applyInPandasWithState state per user) over the events table and
+    value-hash-matches EVERY emitted purchase row — user, timestamp,
+    value, attributed channel — against the batch IGNORE-NULLS window
+    oracle. Row-level (not just the per-channel rollup the golden parity
+    test compares), so a single mis-attributed purchase anywhere in the
+    corpus fails the hash."""
+    import tempfile
+
+    from ..streaming.attribution import attribution_stream
+
+    tmp = tempfile.mkdtemp(prefix="attr-fidelity-")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id", "value"
+    )
+    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = attribution_stream(
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_type string, "
+            "event_id bigint, value double"
+        ).parquet(f"{tmp}/in")
+    )
+    name = f"attr_fid_{abs(hash(tmp)) % 100000}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {name}")
+    return spark.createDataFrame(
+        out.collect(),
+        "user_id bigint, purchase_ts timestamp, value double, channel string",
+    )
+
+
+@query(
+    "streaming_bitmap_distinct_fidelity",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_bitmap_distinct_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL exactly-once bitmap distinct-count sink
+    (streaming/bitmap_distinct: foreachBatch OR-merge into versioned
+    parquet state via streaming/merge_state) over the events stream and
+    value-hash-matches the final per-type counts against exact SQL
+    COUNT(DISTINCT) — zero-error sketches, so the oracle is equality,
+    not an error bound. Covers the full sink path: bitmap_bucket
+    aggregation, versioned-state merge, dynamic-partition counts
+    snapshot."""
+    import tempfile
+
+    from ..streaming.bitmap_distinct import start_bitmap_distinct
+
+    tmp = tempfile.mkdtemp(prefix="bitmap-fidelity-")
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    q = start_bitmap_distinct(
+        spark.readStream.schema(
+            "user_id bigint, event_type string, ts timestamp"
+        ).parquet(f"{tmp}/in"),
+        state_dir=f"{tmp}/state",
+        out_dir=f"{tmp}/out",
+        checkpoint=f"{tmp}/ckpt",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(f"{tmp}/out")
+    last = out.filter(
+        F.col("batch_id") == out.agg(F.max("batch_id")).collect()[0][0]
+    )
+    final = last.select("event_type", "distinct_users").orderBy("event_type")
+    return spark.createDataFrame(
+        final.collect(), "event_type string, distinct_users bigint"
     )
