@@ -185,6 +185,10 @@ def _neighbor_counts(
     buckets) or the distributed two-level prefix sum (beyond it — or
     force it with dense_cap=0). Both paths share the probe explode and
     the in-bucket residual join, so they are bit-identical."""
+    # checkpoint-once: vals/probes/span all derive from this two-column
+    # frame; without the cut the distributed path re-scans the parquet
+    # 7x (span agg, bucket counts, probe-distinct, residual join sides).
+    e = e.localCheckpoint(eager=False)
     bk = F.floor(F.col("value") / bw).cast("long")
     vals = e.select(F.col("value").alias("v"), bk.alias("vb"))
     hi, lo = F.col("value") + radius, F.col("value") - radius

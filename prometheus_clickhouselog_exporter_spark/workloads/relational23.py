@@ -179,10 +179,17 @@ def stats_ks_source_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single global count table for every key's complement.
     """
     d = table(spark, sf_dir, "documents")
-    g = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("tot"))
-    a = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE corpus scan: the (source, value) count table is the sufficient
+    # statistic — global counts, per-source sizes, and the corpus total
+    # all fold from it (checkpoint-once rule, SCALE.md).
+    a = (
+        d.groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    g = a.groupBy("n_chars").agg(F.sum("cnt").alias("tot"))
     srcs = a.groupBy("source").agg(F.sum("cnt").alias("n1"))
-    nt = d.agg(F.count(F.lit(1)).alias("nt"))
+    nt = a.agg(F.sum("cnt").alias("nt"))
     grid = (
         srcs.crossJoin(g)
         .join(a, ["source", "n_chars"], "left")
