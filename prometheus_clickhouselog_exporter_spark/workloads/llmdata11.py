@@ -818,3 +818,70 @@ def streaming_bitmap_distinct_fidelity(spark: SparkSession, sf_dir: str) -> Data
     return spark.createDataFrame(
         final.collect(), "event_type string, distinct_users bigint"
     )
+
+
+@query(
+    "streaming_medallion_fidelity",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, ts AS last_ts, value AS last_value
+    FROM changes WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def streaming_medallion_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL medallion CDC pipeline (streaming/medallion.py:
+    exactly-once epoch-partitioned bronze + latest-wins silver recompute
+    inside foreachBatch) over a change stream derived from events —
+    errors are delete tombstones, everything else upserts — and
+    value-hash-matches the FINAL silver snapshot against the latest-wins
+    SQL rule: newest change per user by (ts, event_id) wins, a winning
+    tombstone removes the user, and an OLDER upsert must never
+    resurrect a deleted key. Certifies the streaming composition
+    (bronze write → full-bronze reread → rank-filter → atomic silver
+    overwrite), not just the batch rule its twin
+    (`cdc_apply_latest_changes`) already certifies."""
+    import tempfile
+
+    from ..streaming.medallion import MedallionPipeline
+
+    tmp = tempfile.mkdtemp(prefix="medallion-fidelity-")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    pipe = MedallionPipeline(
+        bronze_path=f"{tmp}/bronze",
+        silver_path=f"{tmp}/silver",
+        key="user_id",
+        seq_cols=["ts", "event_id"],
+    )
+    q = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_id bigint, value double, op string"
+        )
+        .parquet(f"{tmp}/in")
+        .writeStream.outputMode("append")
+        .foreachBatch(pipe.foreach_batch())
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = pipe.snapshot(spark).select(
+        "user_id", F.col("ts").alias("last_ts"), F.col("value").alias("last_value")
+    )
+    return spark.createDataFrame(
+        final.collect(), "user_id bigint, last_ts timestamp, last_value double"
+    )
