@@ -885,3 +885,70 @@ def streaming_medallion_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         final.collect(), "user_id bigint, last_ts timestamp, last_value double"
     )
+
+
+@query(
+    "streaming_funnel_fidelity",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.v_ts
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.c_ts
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT v.user_id, v.v_ts AS view_ts, c.c_ts AS click_ts,
+           p.p_ts AS purchase_ts,
+           CAST(epoch_us(p.p_ts) - epoch_us(v.v_ts) AS DOUBLE) / 3600000000.0
+             AS hours_to_convert
+    FROM p JOIN c ON c.user_id = p.user_id JOIN v ON v.user_id = p.user_id
+    """,
+)
+def streaming_funnel_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL streaming ordered-funnel monitor
+    (streaming/funnel.funnel_stream: three timestamps of
+    applyInPandasWithState state per in-flight user, retire-on-complete)
+    over the events table and value-hash-matches every completion row
+    against the conditional-min SQL anchors: earliest view, earliest
+    click STRICTLY after it, earliest purchase strictly after that.
+    Strict inequalities make the result independent of equal-timestamp
+    fold order, so the streaming fold and the set-based SQL must agree
+    exactly — including the raw (unrounded) hours_to_convert double,
+    which both sides derive from the identical µs-integer difference."""
+    import tempfile
+
+    from ..streaming.funnel import funnel_stream
+
+    tmp = tempfile.mkdtemp(prefix="funnel-fidelity-")
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = funnel_stream(
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_type string"
+        ).parquet(f"{tmp}/in")
+    )
+    name = f"funnel_fid_{abs(hash(tmp)) % 100000}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {name}")
+    return spark.createDataFrame(
+        out.collect(),
+        "user_id bigint, view_ts timestamp, click_ts timestamp, "
+        "purchase_ts timestamp, hours_to_convert double",
+    )
