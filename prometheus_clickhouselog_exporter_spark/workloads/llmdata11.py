@@ -952,3 +952,69 @@ def streaming_funnel_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, view_ts timestamp, click_ts timestamp, "
         "purchase_ts timestamp, hours_to_convert double",
     )
+
+
+@query(
+    "streaming_minhash_fidelity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    post AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(t) - 2 + 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks
+    ),
+    hashed AS (
+      SELECT source, p.perm AS perm,
+             CAST(('0x' || substr(md5(g || '#' || CAST(p.perm AS VARCHAR)), 1, 12))
+                  AS UBIGINT) AS h
+      FROM post, range(8) p(perm)
+    )
+    SELECT source, CAST(perm AS INT) AS perm,
+           CAST(min(h) AS BIGINT) AS sig
+    FROM hashed GROUP BY source, perm ORDER BY source, perm
+    """,
+)
+def streaming_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL streaming MinHash-signature sink
+    (streaming/minhash_sink: shingle → md5-family hash → per-(source,
+    perm) minima MIN-merged into versioned idempotent state via
+    streaming/merge_state) over the documents stream and value-hash-
+    matches the FINAL landed state against DuckDB's recomputation of
+    the identical signature family — the mergeability property (final
+    streamed state == batch signature of everything seen) certified by
+    hash, not just the stream==batch parity golden. Exercises the full
+    versioned-state path including the r4 checkpoint-mismatch guard."""
+    import tempfile
+
+    from ..streaming.minhash_sink import start_minhash_signatures
+
+    tmp = tempfile.mkdtemp(prefix="minhash-fidelity-")
+    d = table(spark, sf_dir, "documents").select("source", "text")
+    d.write.mode("overwrite").parquet(f"{tmp}/in")
+    q = start_minhash_signatures(
+        spark.readStream.schema("source string, text string").parquet(f"{tmp}/in"),
+        state_dir=f"{tmp}/state",
+        checkpoint=f"{tmp}/ckpt",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import glob as _glob
+
+    versions = sorted(
+        int(p.rsplit("/v", 1)[1])
+        for p in _glob.glob(f"{tmp}/state/v*")
+    )
+    final = (
+        spark.read.parquet(f"{tmp}/state/v{versions[-1]}")
+        .select("source", F.col("perm").cast("int").alias("perm"), "sig")
+        .orderBy("source", "perm")
+    )
+    return spark.createDataFrame(
+        final.collect(), "source string, perm int, sig bigint"
+    )
