@@ -1018,3 +1018,109 @@ def streaming_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         final.collect(), "source string, perm int, sig bigint"
     )
+
+
+_MG_K = 8
+
+
+@query(
+    "streaming_heavyhitters_fidelity",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen,
+           true AS bounds_ok, true AS heavy_present
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_heavyhitters_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL streaming Misra-Gries heavy-hitters monitor
+    (streaming/heavyhitters.py: k-counter summary per event_type as
+    applyInPandasWithState state) over the events table and certifies
+    the DETERMINISTIC MG guarantees as literal booleans — the
+    error-bound-oracle pattern `agg_approx_distinct` established for
+    sketches whose exact content is fold-order-dependent:
+    `bounds_ok` ⟺ every summary entry satisfies e(x) ≤ f(x) and
+    k·(f(x) − e(x)) ≤ n (integer cross-multiply, no division);
+    `heavy_present` ⟺ every user with k·f(x) > n is in the summary (no
+    false negatives above n/k — the property that makes MG usable as a
+    pre-filter). n_seen is compared exactly. All comparisons are
+    integer, so the booleans are deterministic TRUE, never flaky."""
+    import tempfile
+
+    from ..streaming.heavyhitters import heavy_hitters_stream
+
+    tmp = tempfile.mkdtemp(prefix="hh-fidelity-")
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "user_id"
+    )
+    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = heavy_hitters_stream(
+        spark.readStream.schema(
+            "event_type string, ts timestamp, event_id bigint, user_id bigint"
+        ).parquet(f"{tmp}/in"),
+        k=_MG_K,
+    )
+    name = f"hh_fid_{abs(hash(tmp)) % 100000}"
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {name}")
+    w = Window.partitionBy("event_type")
+    summary = (
+        out.withColumn("mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("mx"))
+        .select("event_type", "user_id", "est_count", "n_seen")
+    )
+    exact = spark.read.parquet(f"{tmp}/in").groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    joined = summary.join(exact, ["event_type", "user_id"], "left").select(
+        "event_type",
+        "n_seen",
+        (
+            (F.col("est_count") <= F.coalesce(F.col("f"), F.lit(0)))
+            & (
+                F.lit(_MG_K)
+                * (F.coalesce(F.col("f"), F.lit(0)) - F.col("est_count"))
+                <= F.col("n_seen")
+            )
+        ).alias("row_ok"),
+    )
+    bounds = joined.groupBy("event_type").agg(
+        F.max("n_seen").alias("n_seen"),
+        F.min(F.col("row_ok").cast("int")).cast("boolean").alias("bounds_ok"),
+    )
+    heavy = (
+        exact.join(
+            summary.select(
+                "event_type", F.col("user_id").alias("su"), "n_seen"
+            ).distinct(),
+            "event_type",
+        )
+        .filter(F.lit(_MG_K) * F.col("f") > F.col("n_seen"))
+        .groupBy("event_type", "user_id", "f")
+        .agg(F.max((F.col("su") == F.col("user_id")).cast("int")).alias("present"))
+        .groupBy("event_type")
+        .agg(F.min("present").cast("boolean").alias("heavy_present"))
+    )
+    final = (
+        bounds.join(heavy, "event_type", "left")
+        .select(
+            "event_type",
+            "n_seen",
+            "bounds_ok",
+            F.coalesce(F.col("heavy_present"), F.lit(True)).alias("heavy_present"),
+        )
+        .orderBy("event_type")
+    )
+    return spark.createDataFrame(
+        final.collect(),
+        "event_type string, n_seen bigint, bounds_ok boolean, heavy_present boolean",
+    )
