@@ -605,17 +605,28 @@ def text_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n = F.length("text")
+    # Fail-loud at the oracle's numbers-table bound (1024 chunks/doc ≈
+    # 92k chars at stride 90): a longer document must raise, not let the
+    # SQL side silently drop its tail chunks (no-silent-caps rule). The
+    # raise_error feeds the sequence bound so column pruning can't
+    # optimize the check away.
+    bound = F.when(
+        n > _CHUNK_STRIDE * 1024,
+        F.raise_error(
+            F.concat(
+                F.lit("text_chunk_sliding_windows: document "),
+                F.col("doc_id").cast("string"),
+                F.lit(" exceeds the 1024-chunk oracle bound; raise the "
+                      "nums range in the oracle and this guard together"),
+            )
+        ).cast("int"),
+    ).otherwise(
+        F.greatest(F.floor((n - 1) / _CHUNK_STRIDE).cast("int"), F.lit(0))
+    )
     base = d.select(
         "doc_id",
         "text",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(
-                    F.floor((n - 1) / _CHUNK_STRIDE).cast("int"), F.lit(0)
-                ),
-            )
-        ).alias("i"),
+        F.explode(F.sequence(F.lit(0), bound)).alias("i"),
     )
     start = F.col("i") * _CHUNK_STRIDE
     chunk = F.substring(F.col("text"), start + 1, F.lit(_CHUNK_SIZE))

@@ -333,15 +333,34 @@ def embedding_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame
         v_arr = np.asarray(v, dtype=np.float64)
 
         def gen(batches, v_arr=v_arr):
+            # Fail-loud overflow budget: Spark's floor().cast('long')
+            # CLAMPS at Long.MAX (the floor-clamp rule, SCALE.md), but
+            # numpy astype(int64) silently WRAPS — so the kernel bounds
+            # every quantized term far below either behavior and raises
+            # if the data outgrows the budget (rescale the quantization
+            # then). 2^62 leaves 2x headroom over any clamp ambiguity.
+            cap = float(1 << 62)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 e = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
                 # per-row quantized dot: Σ_j floor((e_j·v_j)·1e9) as int64
-                s_int = np.floor((e * v_arr) * 1e9).astype(np.int64).sum(axis=1)
+                t1 = np.floor((e * v_arr) * 1e9)
+                if np.abs(t1).max(initial=0.0) >= cap:
+                    raise OverflowError(
+                        "power-iteration quantized dot term exceeds the "
+                        "int64 budget; lower the 1e9 quantization scale"
+                    )
+                s_int = t1.astype(np.int64).sum(axis=1)
                 s = s_int / 1e9
                 # per-dim partials: Σ_rows floor((x_j·s)·1e6) as int64
-                q = np.floor((e * s[:, None]) * 1e6).astype(np.int64)
+                t2 = np.floor((e * s[:, None]) * 1e6)
+                if np.abs(t2).max(initial=0.0) >= cap:
+                    raise OverflowError(
+                        "power-iteration quantized partial exceeds the "
+                        "int64 budget; lower the 1e6 quantization scale"
+                    )
+                q = t2.astype(np.int64)
                 yield pd.DataFrame(
                     {"j": np.arange(d, dtype=np.int32), "q": q.sum(axis=0)}
                 )

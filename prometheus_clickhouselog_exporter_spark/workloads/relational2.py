@@ -146,16 +146,20 @@ def _cum_before_distributed(vals: DataFrame, probes: DataFrame) -> DataFrame:
     )
     gt = gt.withColumn("gpre", F.coalesce(F.sum("gn").over(w2), F.lit(0)))
     # tier 3: super-group totals — range/4096² rows, driver-folded.
-    st = sorted(
-        (r["sg"], r["sn"])
-        for r in gt.groupBy("sg").agg(F.sum("gn").alias("sn")).collect()
+    # Guard BEFORE the collect: the cap exists to protect the driver, so
+    # the row count is checked with a cheap aggregate first (one extra
+    # tiny job on the already-shuffled gt), never discovered by OOM.
+    st_df = gt.groupBy("sg").agg(F.sum("gn").alias("sn")).localCheckpoint(
+        eager=False
     )
-    if len(st) > 4_000_000:
+    n_sg = st_df.count()
+    if n_sg > 4_000_000:
         raise ValueError(
-            f"_cum_before_distributed: {len(st)} occupied super-groups "
+            f"_cum_before_distributed: {n_sg} occupied super-groups "
             f"exceeds the 4e6 driver-fold cap (value span > ~6.7e13 "
             f"buckets); widen the bucket width or add a third prefix tier"
         )
+    st = sorted((r["sg"], r["sn"]) for r in st_df.collect())
     acc, sg_rows = 0, []
     for sgv, sn in st:
         sg_rows.append((sgv, acc))

@@ -409,7 +409,7 @@ def pipeline_observe_health(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     marked AS (
-      SELECT user_id, ts, gap_s,
+      SELECT user_id, ts, event_id, gap_s,
              CASE WHEN ts >= coalesce(
                     max(ts + INTERVAL 1 SECOND * gap_s)
                       OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -420,7 +420,7 @@ def pipeline_observe_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, gap_s,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
       FROM marked

@@ -60,3 +60,31 @@ def test_rewritten_rank_stats_are_green(spark):
     for name in ("stats_mann_whitney_u", "stats_spearman_rho"):
         df = QUERIES[name](spark, SF_DIR)
         assert unbounded_global_windows(_plan(df)) == [], name
+
+
+def test_red_survives_codegen_prefixes():
+    """A finalized plan (AQE off / post-execution) prefixes codegen'd
+    nodes with '*(n) '; the detector must still trace the
+    Window -> Sort -> Exchange SinglePartition -> scan chain through
+    them (regression pin for the prefix-stripping in _parse_tree)."""
+    plan = """*(3) Project [ts#1, rn#7]
++- Window [row_number() windowspecdefinition(ts#1 ASC NULLS FIRST)], [ts#1 ASC NULLS FIRST]
+   +- *(2) Sort [ts#1 ASC NULLS FIRST], false, 0
+      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=8]
+         +- *(1) ColumnarToRow
+            +- FileScan parquet [ts#1] Batched: true, Format: Parquet
+"""
+    hits = unbounded_global_windows(plan)
+    assert len(hits) == 1 and hits[0].startswith("Window ")
+
+
+def test_green_codegen_aggregate_chain():
+    plan = """Window [rank(n#9L)], [n#9L ASC NULLS FIRST]
++- *(2) Sort [n#9L ASC NULLS FIRST], false, 0
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=29]
+      +- *(1) HashAggregate(keys=[event_type#3], functions=[count(1)])
+         +- Exchange hashpartitioning(event_type#3, 4)
+            +- *(1) HashAggregate(keys=[event_type#3], functions=[partial_count(1)])
+               +- FileScan parquet [event_type#3] Batched: true
+"""
+    assert unbounded_global_windows(plan) == []

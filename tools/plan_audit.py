@@ -57,16 +57,22 @@ BOUNDED_GLOBAL_WINDOW_OK: set[str] = {
 
 
 def _parse_tree(plan: str) -> list[tuple[int, str]]:
-    """(depth, text) per plan line; depth = marker offset, root = 0."""
+    """(depth, text) per plan line; depth = marker offset, root = 0.
+    Whole-stage-codegen prefixes ('*(3) Sort ...') are stripped so the
+    detector's startswith checks see the operator name — without this a
+    finalized (AQE-off or post-execution) plan hides every codegen'd
+    Sort/Project link in the window→exchange chain and the detector
+    silently returns no violations."""
     out = []
     for line in plan.splitlines():
         if not line.strip():
             continue
         m = re.match(r"^(.*?)(?:\+-|:-) (.*)$", line)
         if m and set(m.group(1)) <= set(" :+|-"):
-            out.append((len(m.group(1)) + 3, m.group(2)))
+            depth, txt = len(m.group(1)) + 3, m.group(2)
         else:
-            out.append((0, line.strip()))
+            depth, txt = 0, line.strip()
+        out.append((depth, re.sub(r"^\*\(\d+\) ", "", txt)))
     return out
 
 
