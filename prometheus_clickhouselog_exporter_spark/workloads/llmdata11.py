@@ -208,15 +208,50 @@ _SEQ_FILTER = "value IS NOT NULL AND event_id % 16 = 0"
 _RUNS_THRESHOLD = 5.0
 
 
+def _fidelity_tmp(prefix: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def _run_stream_to_memory(spark, stream, tmp: str, mode: str = "update"):
+    """Start `stream` into a uniquely-named memory sink (checkpoint under
+    `tmp`), drain with processAllAvailable, stop, and return the sink's
+    contents. Shared by every streaming-fidelity harness — the
+    stop/drain discipline lives once."""
+    name = f"fid_{abs(hash(tmp)) % 100000}"
+    q = (
+        stream.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _materialize(spark, tmp: str, df, schema: str):
+    """Collect the final frame, DELETE the fidelity tempdir (each run
+    writes a corpus copy — the disk-fill trap), and return a local
+    DataFrame so the temp view/paths can go away safely."""
+    import shutil
+
+    rows = df.collect()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _sequential_fidelity(spark, sf_dir, build_stream, out_schema):
     """Shared harness for the order-sensitive streaming monitors: write
     the deterministic corpus subset, run the REAL applyInPandasWithState
     stream over it (memory sink, update mode), return each key's final
     (max-n) row. The `% 16` subsample keeps every BIGINT cross term of
     the acf1 emission inside int64 at sf0.1 (m·Σq² ≤ ~1.6e18)."""
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="seq-fidelity-")
+    tmp = _fidelity_tmp("seq-fidelity-")
     ev = (
         table(spark, sf_dir, "events")
         .filter(_SEQ_FILTER)
@@ -228,19 +263,7 @@ def _sequential_fidelity(spark, sf_dir, build_stream, out_schema):
             "event_type string, ts timestamp, event_id long, value double"
         ).parquet(f"{tmp}/in")
     )
-    name = f"seq_fid_{abs(hash(tmp)) % 100000}"
-    q = (
-        stream.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.sql(f"SELECT * FROM {name}")
+    out = _run_stream_to_memory(spark, stream, tmp)
     w = Window.partitionBy("event_type").orderBy(F.desc("n"))
     final = (
         out.withColumn("rk", F.row_number().over(w))
@@ -248,7 +271,7 @@ def _sequential_fidelity(spark, sf_dir, build_stream, out_schema):
         .drop("rk")
         .orderBy("event_type")
     )
-    return spark.createDataFrame(final.collect(), out_schema)
+    return _materialize(spark, tmp, final, out_schema)
 
 
 @query(
@@ -378,11 +401,9 @@ def streaming_sliding_window_fidelity(spark: SparkSession, sf_dir: str) -> DataF
     pinned by the golden suite (tests/test_streaming_windows.py), which
     feeds multi-batch out-of-order input on purpose.
     """
-    import tempfile
-
     from ..streaming.windows import windowed_event_counts
 
-    tmp = tempfile.mkdtemp(prefix="slidewin-fidelity-")
+    tmp = _fidelity_tmp("slidewin-fidelity-")
     ev = table(spark, sf_dir, "events").select("event_type", "ts")
     ev.write.mode("overwrite").parquet(f"{tmp}/in")
     stream = windowed_event_counts(
@@ -395,26 +416,14 @@ def streaming_sliding_window_fidelity(spark: SparkSession, sf_dir: str) -> DataF
         watermark="5 minutes",
         extra_keys=("event_type",),
     )
-    name = f"slidewin_fid_{abs(hash(tmp)) % 100000}"
-    q = (
-        stream.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     final = (
-        spark.sql(f"SELECT * FROM {name}")
+        _run_stream_to_memory(spark, stream, tmp)
         .groupBy("window_start", "event_type")
         .agg(F.max("n").alias("n"))
         .orderBy("window_start", "event_type")
     )
-    return spark.createDataFrame(
-        final.collect(), "window_start timestamp, event_type string, n bigint"
+    return _materialize(
+        spark, tmp, final, "window_start timestamp, event_type string, n bigint"
     )
 
 
@@ -423,8 +432,6 @@ def _logpipe_stream_corpus(spark, sf_dir: str):
     close at ts + event_id%7 s for event_id%3≠0), written as text files
     for the streaming file source. Shared by the stream-stream join and
     streaming-dedup fidelity queries."""
-    import tempfile
-
     e = table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & (F.col("value") >= 0)
     )
@@ -448,7 +455,7 @@ def _logpipe_stream_corpus(spark, sf_dir: str):
         e.select(F.explode(F.array(initial, memory)).alias("value"))
         .filter(F.col("value").isNotNull())
     )
-    tmp = tempfile.mkdtemp(prefix="logstream-fidelity-")
+    tmp = _fidelity_tmp("logstream-fidelity-")
     log.coalesce(1).write.mode("overwrite").text(f"{tmp}/logs")
     return tmp
 
@@ -475,28 +482,22 @@ def streaming_interval_join_fidelity(spark: SparkSession, sf_dir: str) -> DataFr
     execution. Same corpus and oracle as the batch twin
     `logpipe_open_close_join`, so any divergence isolates the streaming
     state machinery itself."""
-    from ..operators.parsing import parse_log_lines, parsed_event_schema
+    from ..operators.parsing import parse_log_lines
     from ..streaming.joins import join_initial_to_close
 
     tmp = _logpipe_stream_corpus(spark, sf_dir)
     raw = spark.readStream.format("text").load(f"{tmp}/logs")
     joined = join_initial_to_close(parse_log_lines(raw), max_duration="5 seconds")
-    name = f"ssjoin_fid_{abs(hash(tmp)) % 100000}"
-    q = (
-        joined.select("id", "start_time", "end_time", "elapsed")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.sql(f"SELECT * FROM {name}").orderBy("id")
-    return spark.createDataFrame(
-        out.collect(),
+    out = _run_stream_to_memory(
+        spark,
+        joined.select("id", "start_time", "end_time", "elapsed"),
+        tmp,
+        mode="append",
+    ).orderBy("id")
+    return _materialize(
+        spark,
+        tmp,
+        out,
         "id string, start_time timestamp, end_time timestamp, elapsed double",
     )
 
@@ -522,8 +523,6 @@ def streaming_dedup_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pid is excluded from the output); the reference's first-valid-wins
     ordering is the SESSIONIZER's contract and is golden-tested there
     (tests/test_streaming.py)."""
-    import tempfile
-
     from ..operators.parsing import parse_log_lines
     from ..streaming.joins import dedup_initial_stream
 
@@ -543,27 +542,17 @@ def streaming_dedup_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = e.select(
         F.explode(F.array(line(pid), line(F.lit("1")))).alias("value")
     )
-    tmp = tempfile.mkdtemp(prefix="dedup-fidelity-")
+    tmp = _fidelity_tmp("dedup-fidelity-")
     log.coalesce(1).write.mode("overwrite").text(f"{tmp}/logs")
     raw = spark.readStream.format("text").load(f"{tmp}/logs")
     deduped = dedup_initial_stream(parse_log_lines(raw))
-    name = f"dedup_fid_{abs(hash(tmp)) % 100000}"
-    q = (
-        deduped.select("id", F.col("ts").alias("start_time"))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .start()
+    out = _run_stream_to_memory(
+        spark,
+        deduped.select("id", F.col("ts").alias("start_time")),
+        tmp,
+        mode="append",
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.sql(f"SELECT * FROM {name}")
-    return spark.createDataFrame(
-        out.collect(), "id string, start_time timestamp"
-    )
+    return _materialize(spark, tmp, out, "id string, start_time timestamp")
 
 
 _CHUNK_SIZE, _CHUNK_STRIDE = 120, 90
@@ -682,11 +671,9 @@ def streaming_cusum_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     excludes max(day) per key. Days are emitted as strings (the DATE
     dtype crosses engines as the only non-hashable, per the house rule).
     """
-    import tempfile
-
     from ..streaming.cusum import cusum_stream
 
-    tmp = tempfile.mkdtemp(prefix="cusum-fidelity-")
+    tmp = _fidelity_tmp("cusum-fidelity-")
     ev = table(spark, sf_dir, "events").select("ts", "event_type", "event_id")
     ev.write.mode("overwrite").parquet(f"{tmp}/in")
     stream = cusum_stream(
@@ -696,20 +683,8 @@ def streaming_cusum_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         kref=_CUSUM_KREF,
         threshold=_CUSUM_THRESHOLD,
     )
-    name = f"cusum_fid_{abs(hash(tmp)) % 100000}"
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     out = (
-        spark.sql(f"SELECT * FROM {name}")
+        _run_stream_to_memory(spark, stream, tmp, mode="append")
         .select(
             "event_type",
             F.col("day").cast("string").alias("day"),
@@ -719,8 +694,10 @@ def streaming_cusum_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
-    return spark.createDataFrame(
-        out.collect(),
+    return _materialize(
+        spark,
+        tmp,
+        out,
         "event_type string, day string, n bigint, cusum bigint, alarm boolean",
     )
 
@@ -751,11 +728,9 @@ def streaming_attribution_fidelity(spark: SparkSession, sf_dir: str) -> DataFram
     oracle. Row-level (not just the per-channel rollup the golden parity
     test compares), so a single mis-attributed purchase anywhere in the
     corpus fails the hash."""
-    import tempfile
-
     from ..streaming.attribution import attribution_stream
 
-    tmp = tempfile.mkdtemp(prefix="attr-fidelity-")
+    tmp = _fidelity_tmp("attr-fidelity-")
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type", "event_id", "value"
     )
@@ -766,21 +741,11 @@ def streaming_attribution_fidelity(spark: SparkSession, sf_dir: str) -> DataFram
             "event_id bigint, value double"
         ).parquet(f"{tmp}/in")
     )
-    name = f"attr_fid_{abs(hash(tmp)) % 100000}"
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.sql(f"SELECT * FROM {name}")
-    return spark.createDataFrame(
-        out.collect(),
+    out = _run_stream_to_memory(spark, stream, tmp, mode="append")
+    return _materialize(
+        spark,
+        tmp,
+        out,
         "user_id bigint, purchase_ts timestamp, value double, channel string",
     )
 
@@ -802,11 +767,9 @@ def streaming_bitmap_distinct_fidelity(spark: SparkSession, sf_dir: str) -> Data
     not an error bound. Covers the full sink path: bitmap_bucket
     aggregation, versioned-state merge, dynamic-partition counts
     snapshot."""
-    import tempfile
-
     from ..streaming.bitmap_distinct import start_bitmap_distinct
 
-    tmp = tempfile.mkdtemp(prefix="bitmap-fidelity-")
+    tmp = _fidelity_tmp("bitmap-fidelity-")
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     ev.write.mode("overwrite").parquet(f"{tmp}/in")
     q = start_bitmap_distinct(
@@ -826,8 +789,8 @@ def streaming_bitmap_distinct_fidelity(spark: SparkSession, sf_dir: str) -> Data
         F.col("batch_id") == out.agg(F.max("batch_id")).collect()[0][0]
     )
     final = last.select("event_type", "distinct_users").orderBy("event_type")
-    return spark.createDataFrame(
-        final.collect(), "event_type string, distinct_users bigint"
+    return _materialize(
+        spark, tmp, final, "event_type string, distinct_users bigint"
     )
 
 
@@ -857,11 +820,9 @@ def streaming_medallion_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bronze write → full-bronze reread → rank-filter → atomic silver
     overwrite), not just the batch rule its twin
     (`cdc_apply_latest_changes`) already certifies."""
-    import tempfile
-
     from ..streaming.medallion import MedallionPipeline
 
-    tmp = tempfile.mkdtemp(prefix="medallion-fidelity-")
+    tmp = _fidelity_tmp("medallion-fidelity-")
     ev = table(spark, sf_dir, "events").select(
         "user_id",
         "ts",
@@ -893,8 +854,8 @@ def streaming_medallion_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = pipe.snapshot(spark).select(
         "user_id", F.col("ts").alias("last_ts"), F.col("value").alias("last_value")
     )
-    return spark.createDataFrame(
-        final.collect(), "user_id bigint, last_ts timestamp, last_value double"
+    return _materialize(
+        spark, tmp, final, "user_id bigint, last_ts timestamp, last_value double"
     )
 
 
@@ -933,11 +894,9 @@ def streaming_funnel_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold order, so the streaming fold and the set-based SQL must agree
     exactly — including the raw (unrounded) hours_to_convert double,
     which both sides derive from the identical µs-integer difference."""
-    import tempfile
-
     from ..streaming.funnel import funnel_stream
 
-    tmp = tempfile.mkdtemp(prefix="funnel-fidelity-")
+    tmp = _fidelity_tmp("funnel-fidelity-")
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     ev.write.mode("overwrite").parquet(f"{tmp}/in")
     stream = funnel_stream(
@@ -945,21 +904,11 @@ def streaming_funnel_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id bigint, ts timestamp, event_type string"
         ).parquet(f"{tmp}/in")
     )
-    name = f"funnel_fid_{abs(hash(tmp)) % 100000}"
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.sql(f"SELECT * FROM {name}")
-    return spark.createDataFrame(
-        out.collect(),
+    out = _run_stream_to_memory(spark, stream, tmp, mode="append")
+    return _materialize(
+        spark,
+        tmp,
+        out,
         "user_id bigint, view_ts timestamp, click_ts timestamp, "
         "purchase_ts timestamp, hours_to_convert double",
     )
@@ -999,11 +948,9 @@ def streaming_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed state == batch signature of everything seen) certified by
     hash, not just the stream==batch parity golden. Exercises the full
     versioned-state path including the r4 checkpoint-mismatch guard."""
-    import tempfile
-
     from ..streaming.minhash_sink import start_minhash_signatures
 
-    tmp = tempfile.mkdtemp(prefix="minhash-fidelity-")
+    tmp = _fidelity_tmp("minhash-fidelity-")
     d = table(spark, sf_dir, "documents").select("source", "text")
     d.write.mode("overwrite").parquet(f"{tmp}/in")
     q = start_minhash_signatures(
@@ -1026,9 +973,7 @@ def streaming_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("perm").cast("int").alias("perm"), "sig")
         .orderBy("source", "perm")
     )
-    return spark.createDataFrame(
-        final.collect(), "source string, perm int, sig bigint"
-    )
+    return _materialize(spark, tmp, final, "source string, perm int, sig bigint")
 
 
 _MG_K = 8
@@ -1055,11 +1000,9 @@ def streaming_heavyhitters_fidelity(spark: SparkSession, sf_dir: str) -> DataFra
     false negatives above n/k — the property that makes MG usable as a
     pre-filter). n_seen is compared exactly. All comparisons are
     integer, so the booleans are deterministic TRUE, never flaky."""
-    import tempfile
-
     from ..streaming.heavyhitters import heavy_hitters_stream
 
-    tmp = tempfile.mkdtemp(prefix="hh-fidelity-")
+    tmp = _fidelity_tmp("hh-fidelity-")
     ev = table(spark, sf_dir, "events").select(
         "event_type", "ts", "event_id", "user_id"
     )
@@ -1070,19 +1013,7 @@ def streaming_heavyhitters_fidelity(spark: SparkSession, sf_dir: str) -> DataFra
         ).parquet(f"{tmp}/in"),
         k=_MG_K,
     )
-    name = f"hh_fid_{abs(hash(tmp)) % 100000}"
-    q = (
-        stream.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.sql(f"SELECT * FROM {name}")
+    out = _run_stream_to_memory(spark, stream, tmp)
     w = Window.partitionBy("event_type")
     summary = (
         out.withColumn("mx", F.max("n_seen").over(w))
@@ -1131,7 +1062,9 @@ def streaming_heavyhitters_fidelity(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
-    return spark.createDataFrame(
-        final.collect(),
+    return _materialize(
+        spark,
+        tmp,
+        final,
         "event_type string, n_seen bigint, bounds_ok boolean, heavy_present boolean",
     )

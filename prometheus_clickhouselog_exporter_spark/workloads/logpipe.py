@@ -216,6 +216,61 @@ def logpipe_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("id", "ts", "pid", "host", "port", "query")
 
 
+def synth_full_log(e: DataFrame) -> DataFrame:
+    """Synthesize the full 3-shape ClickHouse log corpus from a
+    pre-filtered events frame — initial (with per-type SQL text), stats
+    (value ≥ 10 only), memory (event_id % 3 ≠ 0 only, at ts + 2 s).
+    ONE shared builder so the parser-regex contract (bracket spacing,
+    dot-timestamp layout, byte-size suffixes) lives in a single place;
+    the batch correlate roundtrip and the streaming sessionize fidelity
+    query both consume it, and their oracles mirror the same arithmetic.
+
+    Single-scan synthesis: one events pass builds all three line shapes
+    per row and explodes them (a 3-branch union would scan the parquet
+    three times and re-evaluate the shared prefix columns per branch).
+    NULL array slots (absent stats/memory lines) are dropped."""
+    qid = F.concat(F.lit("q-"), F.col("event_id").cast("string"))
+    dt0 = F.date_format("ts", "yyyy.MM.dd HH:mm:ss.SSSSSS")
+    dt1 = F.date_format(F.col("ts") + F.expr("INTERVAL 1 SECOND"), "yyyy.MM.dd HH:mm:ss.SSSSSS")
+    dt2 = F.date_format(F.col("ts") + F.expr("INTERVAL 2 SECOND"), "yyyy.MM.dd HH:mm:ss.SSSSSS")
+    pid = (F.col("event_id") % 997).cast("string")
+    host_port = F.concat(
+        F.lit("10.0."), (F.col("user_id") % 200).cast("string"), F.lit(".7:"),
+        (F.lit(30000) + F.col("event_id") % 999).cast("string"),
+    )
+    sql_text = (
+        F.when(F.col("event_type") == "click", F.lit("SELECT count() FROM hits"))
+        .when(F.col("event_type") == "view", F.lit("/* cached */ SELECT 1"))
+        .when(F.col("event_type") == "purchase", F.lit("INSERT INTO sales VALUES (1)"))
+        .when(F.col("event_type") == "signup", F.lit("UPDATE users SET active = 1"))
+        .otherwise(F.lit("OPTIMIZE TABLE hits"))
+    )
+    num = F.round(F.col("value"), 2).cast("string")
+    initial_line = F.concat(
+        dt0, F.lit(" [ "), pid, F.lit(" ] {"), qid, F.lit("} <Debug> executeQuery: (from "),
+        host_port, F.lit(") "), sql_text,
+    )
+    stats_line = F.when(
+        F.col("value") >= 10,
+        F.concat(dt1, F.lit(" [ "), pid, F.lit(" ] {"), qid,
+                 F.lit("} <Information> executeQuery: Read "),
+                 (F.col("event_id") % 100000).cast("string"),
+                 F.lit(" rows, "), num, F.lit(" MiB in 1.000 sec., "),
+                 (F.col("event_id") % 9999 + 1).cast("string"),
+                 F.lit(" rows/sec., "), num, F.lit(" KiB/sec.")),
+    )
+    memory_line = F.when(
+        F.col("event_id") % 3 != 0,
+        F.concat(dt2, F.lit(" [ "), pid, F.lit(" ] {"), qid,
+                 F.lit("} <Debug> MemoryTracker: Peak memory usage (for query): "),
+                 num, F.lit(" KiB.")),
+    )
+    return (
+        e.select(F.explode(F.array(initial_line, stats_line, memory_line)).alias("value"))
+        .filter(F.col("value").isNotNull())
+    )
+
+
 @query(
     "logpipe_correlate_roundtrip",
     oracle="""
@@ -263,56 +318,10 @@ def logpipe_correlate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     workload certifies the happy-path math at table scale.)
     """
     from ..operators.correlate import correlate_batch
-
-    e = fan_out(table(spark, sf_dir, "events")).filter(F.col("value").isNotNull() & (F.col("value") >= 0))
-    qid = F.concat(F.lit("q-"), F.col("event_id").cast("string"))
-    dt0 = F.date_format("ts", "yyyy.MM.dd HH:mm:ss.SSSSSS")
-    dt1 = F.date_format(F.col("ts") + F.expr("INTERVAL 1 SECOND"), "yyyy.MM.dd HH:mm:ss.SSSSSS")
-    dt2 = F.date_format(F.col("ts") + F.expr("INTERVAL 2 SECOND"), "yyyy.MM.dd HH:mm:ss.SSSSSS")
-    pid = (F.col("event_id") % 997).cast("string")
-    host_port = F.concat(
-        F.lit("10.0."), (F.col("user_id") % 200).cast("string"), F.lit(".7:"),
-        (F.lit(30000) + F.col("event_id") % 999).cast("string"),
-    )
-    sql_text = (
-        F.when(F.col("event_type") == "click", F.lit("SELECT count() FROM hits"))
-        .when(F.col("event_type") == "view", F.lit("/* cached */ SELECT 1"))
-        .when(F.col("event_type") == "purchase", F.lit("INSERT INTO sales VALUES (1)"))
-        .when(F.col("event_type") == "signup", F.lit("UPDATE users SET active = 1"))
-        .otherwise(F.lit("OPTIMIZE TABLE hits"))
-    )
-    num = F.round(F.col("value"), 2).cast("string")
-
-    initial_line = F.concat(
-        dt0, F.lit(" [ "), pid, F.lit(" ] {"), qid, F.lit("} <Debug> executeQuery: (from "),
-        host_port, F.lit(") "), sql_text,
-    )
-    stats_line = F.when(
-        F.col("value") >= 10,
-        F.concat(dt1, F.lit(" [ "), pid, F.lit(" ] {"), qid,
-                 F.lit("} <Information> executeQuery: Read "),
-                 (F.col("event_id") % 100000).cast("string"),
-                 F.lit(" rows, "), num, F.lit(" MiB in 1.000 sec., "),
-                 (F.col("event_id") % 9999 + 1).cast("string"),
-                 F.lit(" rows/sec., "), num, F.lit(" KiB/sec.")),
-    )
-    memory_line = F.when(
-        F.col("event_id") % 3 != 0,
-        F.concat(dt2, F.lit(" [ "), pid, F.lit(" ] {"), qid,
-                 F.lit("} <Debug> MemoryTracker: Peak memory usage (for query): "),
-                 num, F.lit(" KiB.")),
-    )
-    # Single-scan synthesis: one events pass builds all three line shapes
-    # per row and explodes them (the previous 3-branch union scanned the
-    # parquet three times and re-evaluated the shared prefix columns per
-    # branch). NULL array slots (absent stats/memory lines) are dropped.
-    log = (
-        e.select(F.explode(F.array(initial_line, stats_line, memory_line)).alias("value"))
-        .filter(F.col("value").isNotNull())
-    )
     from ..operators.parsing import parse_log_lines
 
-    sessions = correlate_batch(parse_log_lines(log))
+    e = fan_out(table(spark, sf_dir, "events")).filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+    sessions = correlate_batch(parse_log_lines(synth_full_log(e)))
     return sessions.select(
         "id", "host", "port", "pid", "stmt_type", "start_time", "end_time",
         "rows_read", "bytes_read", "rps", "speed", "memory", "elapsed",
@@ -505,46 +514,7 @@ def streaming_sessionize_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     e = table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & (F.col("value") >= 0) & (F.col("event_id") % 5 == 0)
     )
-    qid = F.concat(F.lit("q-"), F.col("event_id").cast("string"))
-    dt0 = F.date_format("ts", "yyyy.MM.dd HH:mm:ss.SSSSSS")
-    dt1 = F.date_format(F.col("ts") + F.expr("INTERVAL 1 SECOND"), "yyyy.MM.dd HH:mm:ss.SSSSSS")
-    dt2 = F.date_format(F.col("ts") + F.expr("INTERVAL 2 SECOND"), "yyyy.MM.dd HH:mm:ss.SSSSSS")
-    pid = (F.col("event_id") % 997).cast("string")
-    host_port = F.concat(
-        F.lit("10.0."), (F.col("user_id") % 200).cast("string"), F.lit(".7:"),
-        (F.lit(30000) + F.col("event_id") % 999).cast("string"),
-    )
-    sql_text = (
-        F.when(F.col("event_type") == "click", F.lit("SELECT count() FROM hits"))
-        .when(F.col("event_type") == "view", F.lit("/* cached */ SELECT 1"))
-        .when(F.col("event_type") == "purchase", F.lit("INSERT INTO sales VALUES (1)"))
-        .when(F.col("event_type") == "signup", F.lit("UPDATE users SET active = 1"))
-        .otherwise(F.lit("OPTIMIZE TABLE hits"))
-    )
-    num = F.round(F.col("value"), 2).cast("string")
-    initial_line = F.concat(
-        dt0, F.lit(" [ "), pid, F.lit(" ] {"), qid, F.lit("} <Debug> executeQuery: (from "),
-        host_port, F.lit(") "), sql_text,
-    )
-    stats_line = F.when(
-        F.col("value") >= 10,
-        F.concat(dt1, F.lit(" [ "), pid, F.lit(" ] {"), qid,
-                 F.lit("} <Information> executeQuery: Read "),
-                 (F.col("event_id") % 100000).cast("string"),
-                 F.lit(" rows, "), num, F.lit(" MiB in 1.000 sec., "),
-                 (F.col("event_id") % 9999 + 1).cast("string"),
-                 F.lit(" rows/sec., "), num, F.lit(" KiB/sec.")),
-    )
-    memory_line = F.when(
-        F.col("event_id") % 3 != 0,
-        F.concat(dt2, F.lit(" [ "), pid, F.lit(" ] {"), qid,
-                 F.lit("} <Debug> MemoryTracker: Peak memory usage (for query): "),
-                 num, F.lit(" KiB.")),
-    )
-    log = (
-        e.select(F.explode(F.array(initial_line, stats_line, memory_line)).alias("value"))
-        .filter(F.col("value").isNotNull())
-    )
+    log = synth_full_log(e)
 
     tmp = tempfile.mkdtemp(prefix="stream-fidelity-")
     log_dir = f"{tmp}/logs"
@@ -556,8 +526,25 @@ def streaming_sessionize_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
         pipe.process_all_available()
     finally:
         pipe.stop()
-    return spark.read.parquet(f"{tmp}/sessions").select(
-        "id", "host", "port", "pid", "stmt_type", "start_time", "end_time",
-        "rows_read", "bytes_read", "rps", "speed", "memory", "elapsed",
-        "full_info", "error",
+    # collect then DELETE the tempdir (corpus + checkpoint + sessions
+    # copies per invocation — the disk-fill trap) and hand back a local
+    # frame with an explicit schema.
+    import shutil
+
+    rows = (
+        spark.read.parquet(f"{tmp}/sessions")
+        .select(
+            "id", "host", "port", "pid", "stmt_type", "start_time", "end_time",
+            "rows_read", "bytes_read", "rps", "speed", "memory", "elapsed",
+            "full_info", "error",
+        )
+        .collect()
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "id string, host string, port bigint, pid bigint, stmt_type string, "
+        "start_time timestamp, end_time timestamp, rows_read bigint, "
+        "bytes_read bigint, rps bigint, speed bigint, memory bigint, "
+        "elapsed double, full_info boolean, error boolean",
     )

@@ -131,7 +131,15 @@ def main() -> None:
     targets = names or sorted(QUERIES)
     flagged = 0
     violations = 0
+    skipped = []
     for name in targets:
+        # *_fidelity queries EXECUTE a full Structured Streaming pipeline
+        # at build time and return a collected local frame — auditing
+        # that LocalTableScan is meaningless and costs a streaming run
+        # each. Their streaming plans are covered by the golden suites.
+        if name.endswith("_fidelity") and name not in names:
+            skipped.append(name)
+            continue
         try:
             df = QUERIES[name](spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -166,7 +174,11 @@ def main() -> None:
             f"{name}: exch={plan.count('Exchange')} "
             f"rescans=({scans or '-'}){flag}"
         )
-    print(f"# flagged: {flagged}/{len(targets)} (global-window violations: {violations})")
+    print(
+        f"# flagged: {flagged}/{len(targets)} (global-window violations: "
+        f"{violations}; {len(skipped)} *_fidelity skipped — streaming "
+        f"executions, audited by their golden suites)"
+    )
     sys.exit(min(violations, 125))
 
 
