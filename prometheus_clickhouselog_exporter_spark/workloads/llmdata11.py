@@ -1068,3 +1068,98 @@ def streaming_heavyhitters_fidelity(spark: SparkSession, sf_dir: str) -> DataFra
         final,
         "event_type string, n_seen bigint, bounds_ok boolean, heavy_present boolean",
     )
+
+
+@query(
+    "corpus_datacard_report",
+    oracle="""
+    WITH base AS (
+      SELECT source, lang, n_chars,
+             CAST(('0x' || substr(md5(text), 1, 12)) AS UBIGINT) AS digest
+      FROM documents
+    ),
+    per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT digest) AS BIGINT) AS n_unique
+      FROM base GROUP BY source
+    ),
+    med AS (
+      SELECT source, CAST(min(n_chars) AS BIGINT) AS p50_chars
+      FROM (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM base
+      ) WHERE rn = (n + 1) // 2
+      GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.total_chars, p.n_langs,
+           floor((CAST(p.total_chars AS DOUBLE) / p.n_docs) * 1e4 + 0.5) / 1e4
+             AS mean_chars,
+           m.p50_chars,
+           floor((1.0 - CAST(p.n_unique AS DOUBLE) / p.n_docs) * 1e6 + 0.5) / 1e6
+             AS dup_rate
+    FROM per p JOIN med m ON m.source = p.source
+    ORDER BY p.source
+    """,
+)
+def corpus_datacard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus DATACARD — the one-stop summary every training
+    dataset publishes: volume (docs, characters), language breadth,
+    central tendency of length (exact lower-median by rank arithmetic +
+    frounded mean), and the exact-duplicate rate from content digests
+    (the md5 family, so both engines see identical duplicate sets).
+    Composes the engine's certified primitives — grouped aggregates,
+    distinct counts, partitioned rank windows, portable hashing — into
+    the report a user runs first on any new corpus.
+
+    Scale shape: ONE corpus scan folds all per-source moments map-side
+    (digest computed in the scan stage, 8 bytes into the shuffle); the
+    median windows over per-source partitions; output is
+    |sources|-cardinality. The exact COUNT(DISTINCT digest) re-keys by
+    (source, digest) — the documented cost of exactness; swap for the
+    HLL sketch lane (sketch_hll_distinct_users pattern) when sources
+    are huge and ±2% is acceptable."""
+    from .core import md5_long
+
+    d = table(spark, sf_dir, "documents").select(
+        "source", "lang", "n_chars", md5_long(F.col("text")).alias("digest")
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("digest").alias("n_unique"),
+    )
+    w = Window.partitionBy("source")
+    med = (
+        d.select(
+            "source",
+            "n_chars",
+            F.row_number().over(w.orderBy("n_chars")).alias("rn"),
+            F.count(F.lit(1)).over(w).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .groupBy("source")
+        .agg(F.min("n_chars").alias("p50_chars"))
+    )
+    return (
+        per.join(med, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("total_chars").cast("bigint").alias("total_chars"),
+            F.col("n_langs").cast("bigint").alias("n_langs"),
+            fround(F.col("total_chars").cast("double") / F.col("n_docs"), 4).alias(
+                "mean_chars"
+            ),
+            F.col("p50_chars").cast("bigint").alias("p50_chars"),
+            fround(
+                F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
