@@ -45,7 +45,7 @@ def range_join_value_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Step (a) has TWO interchangeable engines (``_neighbor_counts``):
     a dense driver-side CDF embedded as a packed binary plan literal
     (bounded by the VALUE RANGE — the fast path while range/width ≤
-    4e6 buckets), and a fully distributed two-level prefix sum for
+    4e6 buckets), and a fully distributed multi-tier prefix sum for
     unbounded value domains (``range_join_value_neighbors_distributed``
     certifies it against the same oracle). Neither stage is
     super-linear at 100 TB.
@@ -98,12 +98,15 @@ def _cum_before_distributed(vals: DataFrame, probes: DataFrame) -> DataFrame:
     Shape: probe boundaries are unioned into the occupied-bucket count
     table as zero-weight rows sorting BEFORE any same-bucket counts
     (the searchsorted-by-cogroup trick), then the exclusive prefix is
-    assembled from three tiers — intra-group (Window partitioned by
+    assembled from FOUR tiers — intra-group (Window partitioned by
     g = vb/4096, bounded frames), group-level (Window partitioned by
-    sg = g/4096 over group TOTALS — ≤4096 rows per partition), and a
-    driver-folded super-group prefix (≤ range/4096² rows, capped
-    fail-loud at 4e6 ≈ a 6.7e13-bucket span). Every Window is
-    partitioned; the only collect is the super-group totals.
+    sg = g/4096 over group TOTALS — ≤4096 rows per partition),
+    super-group-level (Window partitioned by ssg = sg/4096 over
+    super-group totals), and a driver-folded top prefix over
+    super-super-group totals (≤ range/4096³ rows, capped fail-loud at
+    4e6 ≈ a 2.7e17-bucket span — wider than any value domain a double
+    at this bucket width can express occupying). Every Window is
+    partitioned; the only collect is the tiny top tier.
 
     100 TB: two shuffles over occupied-bucket-cardinality rows (≤
     distinct values, ≪ rows) plus one row-count-sized equi-join back —
@@ -145,33 +148,51 @@ def _cum_before_distributed(vals: DataFrame, probes: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     gt = gt.withColumn("gpre", F.coalesce(F.sum("gn").over(w2), F.lit(0)))
-    # tier 3: super-group totals — range/4096² rows, driver-folded.
-    # Guard BEFORE the collect: the cap exists to protect the driver, so
-    # the row count is checked with a cheap aggregate first (one extra
-    # tiny job on the already-shuffled gt), never discovered by OOM.
-    st_df = gt.groupBy("sg").agg(F.sum("gn").alias("sn")).localCheckpoint(
+    # tier 3: exclusive prefix of super-group totals inside each
+    # super-super-group (≤4096 rows per partition).
+    st_df = (
+        gt.groupBy("sg")
+        .agg(F.sum("gn").alias("sn"))
+        .withColumn("ssg", F.floor(F.col("sg") / _PREFIX_FANOUT))
+    )
+    w3 = (
+        Window.partitionBy("ssg")
+        .orderBy("sg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    st_df = st_df.withColumn(
+        "sgpre", F.coalesce(F.sum("sn").over(w3), F.lit(0))
+    ).localCheckpoint(eager=False)
+    # tier 4 (top): super-super-group totals — range/4096³ rows,
+    # driver-folded. Guard BEFORE the collect: the cap exists to protect
+    # the driver, so the row count is checked with a cheap aggregate
+    # first, never discovered by OOM.
+    top_df = st_df.groupBy("ssg").agg(F.sum("sn").alias("tn")).localCheckpoint(
         eager=False
     )
-    n_sg = st_df.count()
-    if n_sg > 4_000_000:
+    n_top = top_df.count()
+    if n_top > 4_000_000:
         raise ValueError(
-            f"_cum_before_distributed: {n_sg} occupied super-groups "
-            f"exceeds the 4e6 driver-fold cap (value span > ~6.7e13 "
-            f"buckets); widen the bucket width or add a third prefix tier"
+            f"_cum_before_distributed: {n_top} occupied super-super-groups "
+            f"exceeds the 4e6 driver-fold cap (value span > ~2.7e17 "
+            f"buckets); widen the bucket width or add a fourth prefix tier"
         )
-    st = sorted((r["sg"], r["sn"]) for r in st_df.collect())
-    acc, sg_rows = 0, []
-    for sgv, sn in st:
-        sg_rows.append((sgv, acc))
-        acc += sn
-    sg_df = spark.createDataFrame(sg_rows or [(0, 0)], "sg long, spre long")
+    top = sorted((r["ssg"], r["tn"]) for r in top_df.collect())
+    acc, top_rows = 0, []
+    for ssgv, tn in top:
+        top_rows.append((ssgv, acc))
+        acc += tn
+    top_pre = spark.createDataFrame(top_rows or [(0, 0)], "ssg long, tpre long")
     return (
         u.filter(F.col("kind") == 0)
         .join(gt.select("g", "sg", "gpre"), "g")
-        .join(F.broadcast(sg_df), "sg")
+        .join(st_df.select("sg", "ssg", "sgpre"), "sg")
+        .join(F.broadcast(top_pre), "ssg")
         .select(
             F.col("vb").alias("pb"),
-            (F.col("spre") + F.col("gpre") + F.col("intra")).alias("cumb"),
+            (F.col("tpre") + F.col("sgpre") + F.col("gpre") + F.col("intra")).alias(
+                "cumb"
+            ),
         )
     )
 
@@ -186,7 +207,7 @@ def _neighbor_counts(
     """Rank-arithmetic ±radius neighbor counts over `e` (event_id,
     value): n(v) = C(v+r) − C<(v−r) − 1, with the boundary CDF C from
     either the dense packed-literal path (occupied span ≤ dense_cap
-    buckets) or the distributed two-level prefix sum (beyond it — or
+    buckets) or the distributed multi-tier prefix sum (beyond it — or
     force it with dense_cap=0). Both paths share the probe explode and
     the in-bucket residual join, so they are bit-identical."""
     # checkpoint-once: vals/probes/span all derive from this two-column
