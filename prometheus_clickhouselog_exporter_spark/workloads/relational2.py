@@ -71,7 +71,7 @@ def range_join_value_neighbors_distributed(
 ) -> DataFrame:
     """The UNBOUNDED-DOMAIN path of `range_join_value_neighbors`,
     force-selected (dense_cap=0) so the driver value-hashes the
-    distributed two-level prefix sum against the identical pair-join
+    distributed multi-tier prefix sum against the identical pair-join
     oracle. Same semantics, different CDF engine: no driver-side dense
     array exists at any point, so a single ±1e9 outlier value cannot
     OOM the driver — the case the default query auto-falls-back on
@@ -88,7 +88,7 @@ _PREFIX_FANOUT = 4096  # branching factor per level of the distributed CDF
 
 def _cum_before_distributed(vals: DataFrame, probes: DataFrame) -> DataFrame:
     """Exclusive value-CDF at arbitrary bucket boundaries — distributed
-    two-level prefix sum, no dense driver array.
+    multi-tier prefix sum, no dense driver array.
 
     `vals` is (v, vb) (one row per value, vb = its bucket); `probes`
     must expose a `pb` bucket column. Returns (pb, cumb) with
