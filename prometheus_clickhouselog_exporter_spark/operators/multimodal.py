@@ -931,3 +931,36 @@ def phash_dct(df: DataFrame, media_col: str = "media") -> DataFrame:
             yield out
 
     return df.mapInPandas(op, out_schema)
+
+
+def luma_grid32(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL decode → 32×32 nearest-neighbor INTEGER luma grid (the pHash
+    front half without the transform): luma = 299R+587G+114B at the
+    ×1000 scale, resample sx = ⌊x·w/32⌋ — one array<bigint>(1024,
+    row-major y·32+x) per image, the alignment-normalized feature for
+    pairwise pixel-domain comparison (correlation, MAD, SSIM-style
+    moments). Blobs are dropped here (wide-row rule): downstream joins
+    carry the 8 KB grid, never the image."""
+    import numpy as np
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != media_col
+    ) + ", luma array<bigint>"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            grids = []
+            for blob in pdf[media_col]:
+                w, h, bgr = _parse_bmp(bytes(blob))
+                rgb = bgr[:, :, ::-1].astype(np.int64)
+                lum = 299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
+                sx = (np.arange(32, dtype=np.int64) * w) // 32
+                sy = (np.arange(32, dtype=np.int64) * h) // 32
+                grids.append(lum[np.ix_(sy, sx)].reshape(-1).tolist())
+            out = pdf.drop(columns=[media_col]).copy()
+            out["luma"] = grids
+            yield out
+
+    return df.mapInPandas(op, out_schema)

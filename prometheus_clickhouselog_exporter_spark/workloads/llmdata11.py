@@ -1163,3 +1163,100 @@ def corpus_datacard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "image_pair_luma_similarity",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 16 + doc_id % 16 AS w, 8 + (doc_id * 3) % 16 AS h
+      FROM documents WHERE doc_id < {_PHASH_DOCS}
+    ),
+    lum AS (
+      SELECT doc_id, x.x, y.y,
+             299 * ((7 * ((x.x * w) // 32) + doc_id) % 256)
+             + 587 * ((11 * ((y.y * h) // 32) + doc_id) % 256)
+             + 114 * ((((x.x * w) // 32) + ((y.y * h) // 32)) % 256) AS l
+      FROM d, range(32) x(x), range(32) y(y)
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(sum(a.l) AS BIGINT) AS sa, CAST(sum(b.l) AS BIGINT) AS sb,
+             CAST(sum(a.l * a.l) AS BIGINT) AS saa,
+             CAST(sum(b.l * b.l) AS BIGINT) AS sbb,
+             CAST(sum(a.l * b.l) AS BIGINT) AS sab,
+             CAST(sum(abs(a.l - b.l)) AS BIGINT) AS sd
+      FROM lum a JOIN lum b
+        ON b.doc_id = a.doc_id + 1 AND b.x = a.x AND b.y = a.y
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           floor((CAST(1024 * sab - sa * sb AS DOUBLE)
+                  / sqrt(CAST(1024 * saa - sa * sa AS DOUBLE)
+                         * CAST(1024 * sbb - sb * sb AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS luma_corr,
+           floor((CAST(sd AS DOUBLE) / 1024) * 1e4 + 0.5) / 1e4 AS mad
+    FROM m ORDER BY doc_a
+    """,
+)
+def image_pair_luma_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise image similarity in the PIXEL domain — the exact-moment
+    complement to the hash-domain members (aHash Hamming, DCT pHash):
+    for consecutive image pairs, Pearson correlation and mean absolute
+    difference of the alignment-normalized 32×32 integer luma grids
+    (operators/multimodal.luma_grid32 over REAL decoded BMPs). All five
+    co-moments and the L1 sum fold as exact int64 (|Σl·l| ≤ 6.9e16),
+    then the acf1 emission discipline — each cross term converted to
+    double ONCE, num/sqrt(da·db), 1e-6 fround — so the oracle's SQL
+    lands on identical bits from the pixel closed form.
+
+    100 TB: decode+resample is scan-stage; the pair join carries the
+    8 KB grid (features, never blobs — the wide-row rule); the
+    per-pair reduction is one numpy pass. For all-pairs similarity at
+    scale, band first on pHash (hash-domain) and run this exact kernel
+    only on candidates — the verify-join pattern every dedup family
+    here uses.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import luma_grid32, synth_bmp
+
+    d = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < _PHASH_DOCS
+    )
+    grids = luma_grid32(synth_bmp(d, "doc_id"))
+    a = grids.select(F.col("doc_id").alias("doc_a"), F.col("luma").alias("la"))
+    b = grids.select(F.col("doc_id").alias("doc_b"), F.col("luma").alias("lb"))
+    pairs = a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for da_, db_, la, lb in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["la"], pdf["lb"]
+            ):
+                x = np.asarray(la, dtype=np.int64)
+                y = np.asarray(lb, dtype=np.int64)
+                n = len(x)
+                sa, sb = int(x.sum()), int(y.sum())
+                saa, sbb = int((x * x).sum()), int((y * y).sum())
+                sab = int((x * y).sum())
+                sd = int(np.abs(x - y).sum())
+                num = float(n * sab - sa * sb)
+                da = float(n * saa - sa * sa)
+                db = float(n * sbb - sb * sb)
+                corr = (
+                    None
+                    if da <= 0 or db <= 0
+                    else np.floor(num / (da * db) ** 0.5 * 1e6 + 0.5) / 1e6
+                )
+                mad = np.floor((float(sd) / n) * 1e4 + 0.5) / 1e4
+                rows.append((int(da_), int(db_), corr, mad))
+            yield pd.DataFrame(
+                rows, columns=["doc_a", "doc_b", "luma_corr", "mad"]
+            )
+
+    return pairs.mapInPandas(
+        gen, "doc_a bigint, doc_b bigint, luma_corr double, mad double"
+    ).orderBy("doc_a")
