@@ -1260,3 +1260,69 @@ def image_pair_luma_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.mapInPandas(
         gen, "doc_a bigint, doc_b bigint, luma_corr double, mad double"
     ).orderBy("doc_a")
+
+
+@query(
+    "join_salted_user_enrich",
+    oracle="""
+    WITH totals AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN value IS NOT NULL
+                      THEN CAST(floor(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(t.n_events) AS BIGINT) AS sum_user_events,
+           CAST(sum(t.cents) AS BIGINT) AS sum_user_cents
+    FROM events e JOIN totals t ON t.user_id = e.user_id
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def join_salted_user_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED fact⋈dim join (operators/skewjoin.salted_equi_join) —
+    the manual skew mitigation the SCALE notes name but no operator
+    demonstrated until now: events enriched with per-user totals where
+    the join is FORCED onto the shuffle path (merge hint — standing in
+    for the 100 TB regime where the dim outgrows broadcast) and the
+    user_id key is salted 8 ways by event_id. The oracle is the PLAIN
+    unsalted SQL join: salting must be invisible in the result — every
+    probe row meets its key's build row exactly once — which the value
+    hash proves. Quantized-cents sums keep the enrichment exact.
+
+    Plan shape: probe carries a 4-byte salt; build replicates ×8 via
+    explode(sequence) — replication cost S·|dim|, paid only when a hot
+    key exceeds a partition. tests/test_plan_shapes guards that the
+    hint actually lands on SortMergeJoin (a silently-broadcast demo
+    would prove nothing).
+    """
+    from ..operators.skewjoin import salted_equi_join
+
+    e = table(spark, sf_dir, "events").localCheckpoint(eager=False)
+    totals = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("value").isNotNull(),
+                F.floor(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("cents"),
+    )
+    enriched = salted_equi_join(
+        e.select("user_id", "event_type", F.col("event_id")),
+        totals.hint("merge"),
+        key="user_id",
+        salt_src=F.col("event_id"),
+        n_salts=8,
+    )
+    return (
+        enriched.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_events").alias("sum_user_events"),
+            F.sum("cents").alias("sum_user_cents"),
+        )
+        .orderBy("event_type")
+    )

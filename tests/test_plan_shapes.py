@@ -269,3 +269,15 @@ def test_bitmap_distinct_no_expand(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
     assert "bitmap_construct_agg" in plan or "bitmap_or_agg" in plan
+
+
+def test_salted_join_lands_on_sort_merge(spark):
+    """join_salted_user_enrich forces the shuffle path (merge hint) and
+    salts the key 8 ways: the plan must contain a SortMergeJoin keyed on
+    (user_id, _salt) and an explode-based build-side replication — a
+    silently-broadcast salted join would demonstrate nothing."""
+    df = QUERIES["join_salted_user_enrich"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:400]
+    assert "_salt" in plan
+    assert "Generate explode" in plan or "explode(sequence" in plan
