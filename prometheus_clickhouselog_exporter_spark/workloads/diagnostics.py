@@ -80,9 +80,10 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts)
     SELECT c.bucket, CAST(c.n_ref AS BIGINT) AS n_ref, CAST(c.n_cur AS BIGINT) AS n_cur,
-           floor((CAST(c.n_cur AS DOUBLE) / t.tc - CAST(c.n_ref AS DOUBLE) / t.tr)
-                 * ln((CAST(c.n_cur AS DOUBLE) / t.tc) / (CAST(c.n_ref AS DOUBLE) / t.tr))
-                 * 1000000 + 0.5) / 1000000 AS psi_term
+           CASE WHEN c.n_ref = 0 OR c.n_cur = 0 THEN NULL
+                ELSE floor((CAST(c.n_cur AS DOUBLE) / t.tc - CAST(c.n_ref AS DOUBLE) / t.tr)
+                     * ln((CAST(c.n_cur AS DOUBLE) / t.tc) / (CAST(c.n_ref AS DOUBLE) / t.tr))
+                     * 1000000 + 0.5) / 1000000 END AS psi_term
     FROM counts c, tot t
     """,
 )
@@ -98,6 +99,14 @@ def drift_psi_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange carries 8 bucket rows per mapper. ln() is libm and may
     differ by 1 ulp across engines — acceptable here because psi_term is
     a reported magnitude, not a rank key, and fround(6) absorbs it.
+
+    Zero-count buckets (a corpus so small one half misses a bucket —
+    the sf0.001 sweep caught this, r4) emit NULL: (q−p)·ln(q/p) is
+    undefined at 0, and NULL is the honest report — production PSI
+    either ε-smooths or, like here, surfaces the bucket for the caller
+    to decide (Spark's log(0) silently NULLs while DuckDB's ln(0)
+    RAISES, so the explicit CASE is also what keeps both engines
+    comparable).
     """
     e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     half = F.when(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "ref").otherwise(
@@ -121,7 +130,10 @@ def drift_psi_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "n_ref",
         "n_cur",
-        fround((q - p) * F.log(q / p), 6).alias("psi_term"),
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            fround((q - p) * F.log(q / p), 6),
+        ).alias("psi_term"),
     )
 
 
