@@ -1,8 +1,12 @@
 """LLM-data + streaming-certification ops, round 4.
 
 Batch: `image_phash_dct` (integer-exact DCT perceptual hash over the
-real BMP lane), `timeseries_acf_by_type` (per-key correlogram),
-`text_chunk_sliding_windows` (RAG chunking with content fingerprints).
+real BMP lane), `image_pair_luma_similarity` (exact pixel-domain
+co-moments), `timeseries_acf_by_type` (per-key correlogram),
+`text_chunk_sliding_windows` (RAG chunking with content fingerprints),
+`corpus_datacard_report` (the one-stop per-source summary), and
+`join_salted_user_enrich` (the skew-salting technique as a certified
+operator, operators/skewjoin.py).
 
 Streaming fidelity family — the r4 push to get every streaming operator
 family VALUE-HASH-certified, not just golden-tested: each query runs
@@ -13,8 +17,10 @@ Order-sensitive monitors (`streaming_runs_fidelity`,
 `streaming_acf1_fidelity`), watermarked sliding windows
 (`streaming_sliding_window_fidelity`), stream-stream interval join
 (`streaming_interval_join_fidelity`), watermarked dedup
-(`streaming_dedup_fidelity`), and the day-close CUSUM recurrence
-(`streaming_cusum_fidelity`).
+(`streaming_dedup_fidelity`), the day-close CUSUM recurrence
+(`streaming_cusum_fidelity`), row-level attribution, the medallion CDC
+silver snapshot, the exactly-once bitmap and MinHash sinks, the ordered
+funnel, and Misra-Gries heavy hitters (deterministic bound booleans).
 """
 
 from __future__ import annotations
