@@ -1231,7 +1231,9 @@ def image_pair_luma_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") < _PHASH_DOCS
     )
-    grids = luma_grid32(synth_bmp(d, "doc_id"))
+    # checkpoint-once: both join sides read the SAME decoded grids, so
+    # the decode kernel runs once, not per side.
+    grids = luma_grid32(synth_bmp(d, "doc_id")).localCheckpoint(eager=False)
     a = grids.select(F.col("doc_id").alias("doc_a"), F.col("luma").alias("la"))
     b = grids.select(F.col("doc_id").alias("doc_b"), F.col("luma").alias("lb"))
     pairs = a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
