@@ -260,3 +260,163 @@ def hist_equidepth_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "growth_accounting_weekly",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, week,
+             lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
+      FROM wk
+    ),
+    states AS (
+      SELECT week,
+             CASE WHEN prev_week IS NULL THEN 'new'
+                  WHEN prev_week = week - INTERVAL 7 DAY THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM lagged
+    ),
+    active AS (
+      SELECT week, state, CAST(count(*) AS BIGINT) AS n_users
+      FROM states GROUP BY 1, 2
+    ),
+    churned AS (
+      SELECT CAST(week + INTERVAL 7 DAY AS DATE) AS week,
+             'churned' AS state, CAST(count(*) AS BIGINT) AS n_users
+      FROM lagged a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM wk b
+        WHERE b.user_id = a.user_id AND b.week = a.week + INTERVAL 7 DAY
+      )
+      AND a.week + INTERVAL 7 DAY <= (SELECT max(week) FROM wk)
+      GROUP BY 1
+    )
+    SELECT CAST(week AS VARCHAR) AS week, state, n_users
+    FROM (SELECT * FROM active UNION ALL SELECT * FROM churned)
+    ORDER BY week, state
+    """,
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly GROWTH ACCOUNTING — the new/retained/resurrected/churned
+    user-state decomposition every growth team reports (active(t) =
+    new + retained + resurrected; churned(t) = active(t−1) − retained):
+    a user is `new` on their first-ever active week, `retained` when
+    active the immediately previous week too, `resurrected` when
+    returning after a gap, and `churned` (attributed to week t) when
+    active in t−1 but not t — with the final observed week excluded
+    from churn (its successor is unobservable, not empty). Weeks are
+    emitted as strings (the DATE-dtype cross-engine rule).
+
+    Scale shape: the corpus folds to DISTINCT (user, week) map-side
+    first; the lag window partitions by user (bounded per key); churn
+    is an anti-join of user-weeks against their own successors — all
+    (user×week)-cardinality, nothing corpus-sized past the first fold.
+    """
+    e = table(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id", F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("week")
+    ).distinct().localCheckpoint(eager=False)  # (user, week)-sized; 3 consumers
+    lagged = wk.select(
+        "user_id",
+        "week",
+        F.lag("week").over(Window.partitionBy("user_id").orderBy("week")).alias(
+            "prev_week"
+        ),
+    )
+    states = lagged.select(
+        "week",
+        F.when(F.col("prev_week").isNull(), "new")
+        .when(F.col("prev_week") == F.date_sub(F.col("week"), 7), "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    active = states.groupBy("week", "state").agg(F.count(F.lit(1)).alias("n_users"))
+    nxt = wk.select(
+        F.col("user_id").alias("u2"), F.col("week").alias("w2")
+    )
+    max_week = wk.agg(F.max("week").alias("mw"))
+    churned = (
+        wk.join(
+            nxt,
+            (F.col("u2") == F.col("user_id"))
+            & (F.col("w2") == F.date_add(F.col("week"), 7)),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(max_week))
+        .filter(F.date_add(F.col("week"), 7) <= F.col("mw"))
+        .select(F.date_add(F.col("week"), 7).alias("week"))
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select("week", F.lit("churned").alias("state"), "n_users")
+    )
+    return (
+        active.select("week", "state", "n_users")
+        .unionByName(churned)
+        .select(F.col("week").cast("string").alias("week"), "state", "n_users")
+        .orderBy("week", "state")
+    )
+
+
+@query(
+    "text_char_entropy_by_source",
+    oracle="""
+    WITH chars AS (
+      SELECT source, unnest(regexp_extract_all(text, '.')) AS ch
+      FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (
+      SELECT source, ch, CAST(count(*) AS BIGINT) AS c FROM chars GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1)
+    SELECT c.source, t.n AS n_chars,
+           CAST(count(*) AS BIGINT) AS distinct_chars,
+           floor((-sum((CAST(c.c AS DOUBLE) / t.n)
+                       * log2(CAST(c.c AS DOUBLE) / t.n)))
+                 * 1e6 + 0.5) / 1e6 AS entropy_bits
+    FROM counts c JOIN tot t ON t.source = c.source
+    GROUP BY c.source, t.n ORDER BY c.source
+    """,
+)
+def text_char_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per source — the
+    information-theoretic quality proxy (low entropy = repetitive or
+    template-heavy feeds; natural language sits in a narrow band per
+    script, so an outlying source is a data-quality flag — the
+    compression-ratio screen without a compressor). Characters are
+    code points via regexp `.` on BOTH engines (multibyte zh counts as
+    one char each side); frequencies are exact integers; the entropy
+    sum is the one float fold, frounded at 1e-6 — log2 is libm and may
+    differ in the last ulp, absorbed exactly as the PSI docstring
+    documents for reported magnitudes.
+
+    Scale: one explode pass (corpus chars), counts fold map-side to
+    (source × alphabet) rows — the alphabet bounds everything
+    downstream; the entropy aggregate is per-source tiny."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    chars = d.select(
+        "source", F.explode(F.regexp_extract_all(F.col("text"), F.lit("."), 0)).alias("ch")
+    )
+    counts = chars.groupBy("source", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        counts.join(tot, "source")
+        .groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_chars"),
+            fround(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_chars"),
+            "distinct_chars",
+            "entropy_bits",
+        )
+        .orderBy("source")
+    )
