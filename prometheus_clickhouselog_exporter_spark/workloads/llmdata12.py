@@ -1,0 +1,130 @@
+"""LLM-data ops, round 4 batch 3: chunk-level containment dedup
+(composing the r4 sliding-window chunker) and cryptographic
+content-address parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import MD5_SQL, fround, md5_long, query, table
+
+_CH_SIZE, _CH_STRIDE = 120, 90
+
+
+@query(
+    "dedup_chunk_containment",
+    oracle=f"""
+    WITH nums AS (SELECT t.i FROM range(0, 1024) t(i)),
+    chunks AS (
+      SELECT DISTINCT d.doc_id,
+             CAST(CAST(('0x' || substr(md5(substr(d.text,
+                    CAST(n.i * {_CH_STRIDE} + 1 AS INT), {_CH_SIZE})), 1, 12))
+                  AS UBIGINT) AS BIGINT) AS h
+      FROM documents d
+      JOIN nums n ON n.i <= greatest((length(d.text) - 1) // {_CH_STRIDE}, 0)
+      WHERE d.text IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+              FROM chunks GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM chunks a JOIN chunks b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b, s.n_shared, sa.n_chunks AS n_a, sb.n_chunks AS n_b,
+           floor((CAST(s.n_shared AS DOUBLE) / sa.n_chunks) * 1e6 + 0.5) / 1e6
+             AS containment_a
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE CAST(s.n_shared AS DOUBLE) / sa.n_chunks >= 0.5
+    ORDER BY s.doc_a, s.doc_b
+    """,
+)
+def dedup_chunk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-LEVEL containment dedup — the composition the r4 chunker
+    exists for: documents whose 120-char sliding chunks substantially
+    reappear in another document (containment = |shared hashes| /
+    |A's hashes| ≥ 0.5) — catching partial-copy and quote-inclusion
+    duplication at sub-document granularity, between the whole-doc
+    digest (exact dedup) and the shingle measures (MinHash/containment
+    on words). The join is DISTINCT-FIRST on 8-byte chunk hashes (the
+    inverted-index discipline: posting lists of hashes, never text),
+    pair space bounded by co-occurring chunks.
+
+    100 TB: chunking is scan-stage; the self-join shuffles hash+doc_id
+    pairs; stop-chunk removal (drop hashes with huge posting lists —
+    boilerplate headers) bounds the worst bucket exactly as stop-
+    shingles do for MinHash-LSH."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n = F.length("text")
+    idx = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.floor((n - 1) / _CH_STRIDE).cast("int"), F.lit(0)),
+        )
+    ).alias("i")
+    chunk = F.substring(F.col("text"), F.col("i") * _CH_STRIDE + 1, F.lit(_CH_SIZE))
+    chunks = (
+        d.select("doc_id", "text", idx)
+        .select("doc_id", md5_long(chunk).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)  # posting list; join sides + sizes
+    )
+    sizes = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    a = chunks.select(F.col("doc_id").alias("doc_a"), "h")
+    b = chunks.select(F.col("doc_id").alias("doc_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_chunks").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_chunks").alias("n_b"))
+    out = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("n_shared").cast("double") / F.col("n_a") >= 0.5)
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        fround(F.col("n_shared").cast("double") / F.col("n_a"), 6).alias(
+            "containment_a"
+        ),
+    ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "text_content_addresses",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({MD5_SQL.format(x="text")} % 1000000007 AS BIGINT) AS md5_mod,
+           substr(sha256(text), 1, 16) AS sha256_prefix,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id < 500 ORDER BY doc_id
+    """,
+)
+def text_content_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-address parity battery: the two hash families a
+    content-addressed corpus store runs — the engine-portable 48-bit
+    md5 fold (workloads/core.md5_long, modularly reduced so the BIGINT
+    stays positive on both engines) and SHA-256 (Spark `sha2(·, 256)`
+    vs DuckDB `sha256`, both over the UTF-8 bytes — the multibyte zh
+    documents are the cross-engine trap this certifies). A corpus
+    store keys blobs by these digests; a single mismatched byte in
+    encoding handling shows up as a hash mismatch here first."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return d.select(
+        "doc_id",
+        (md5_long(F.col("text")) % 1000000007).alias("md5_mod"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("sha256_prefix"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
