@@ -128,3 +128,73 @@ def text_content_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("sha256_prefix"),
         F.length("text").cast("bigint").alias("n_chars"),
     ).orderBy("doc_id")
+
+
+def _langid_case_sql() -> str:
+    from .llmdata import _LANG_LISTS, _hits
+
+    hits = {k: _hits(v) for k, v in _LANG_LISTS.items()}
+    return f"""
+      CASE WHEN {hits['en']} >= greatest({hits['de']}, {hits['fr']}, {hits['es']}, {hits['zh']}, 1) THEN 'en'
+           WHEN {hits['de']} >= greatest({hits['fr']}, {hits['es']}, {hits['zh']}, 1) THEN 'de'
+           WHEN {hits['fr']} >= greatest({hits['es']}, {hits['zh']}, 1) THEN 'fr'
+           WHEN {hits['es']} >= greatest({hits['zh']}, 1) THEN 'es'
+           WHEN {hits['zh']} >= 1 THEN 'zh'
+           ELSE 'und' END
+    """
+
+
+def _register_langid_confusion():
+    oracle = f"""
+    WITH pred AS (
+      SELECT lang, {_langid_case_sql()} AS lang_pred FROM documents
+    ),
+    cells AS (
+      SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true FROM cells GROUP BY 1)
+    SELECT c.lang, c.lang_pred, c.n,
+           floor((CAST(c.n AS DOUBLE) / t.n_true) * 1e6 + 0.5) / 1e6 AS row_share
+    FROM cells c JOIN tot t ON t.lang = c.lang
+    ORDER BY c.lang, c.lang_pred
+    """
+
+    @query("langid_confusion_matrix", oracle=oracle)
+    def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Language-ID EVALUATION — the confusion matrix of the stopword
+        argmax heuristic (operators/textstats.language_id) against the
+        corpus's labeled lang column: per (true, predicted) cell the
+        count and the row share (per-language recall on the diagonal).
+        This is the model-evaluation report shape — crosstab + normalized
+        shares — applied to the engine's own classifier, so a stopword
+        list edit that silently degrades a language shows up as a moved
+        diagonal share. Classification is the certified scan-stage
+        expression; the matrix is one (langs × langs)-bounded aggregate.
+        """
+        from ..operators.textstats import language_id
+
+        d = table(spark, sf_dir, "documents")
+        cells = (
+            d.select("lang", language_id(F.col("text")).alias("lang_pred"))
+            .groupBy("lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        tot = cells.groupBy("lang").agg(F.sum("n").alias("n_true"))
+        return (
+            cells.join(tot, "lang")
+            .select(
+                "lang",
+                "lang_pred",
+                "n",
+                fround(F.col("n").cast("double") / F.col("n_true"), 6).alias(
+                    "row_share"
+                ),
+            )
+            .orderBy("lang", "lang_pred")
+        )
+
+    return langid_confusion_matrix
+
+
+langid_confusion_matrix = _register_langid_confusion()
