@@ -5,7 +5,7 @@ content-address parity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .core import MD5_SQL, fround, md5_long, query, table
@@ -198,3 +198,75 @@ def _register_langid_confusion():
 
 
 langid_confusion_matrix = _register_langid_confusion()
+
+
+@query(
+    "user_sequence_surprisal",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    pairs AS (SELECT user_id, prev, event_type FROM seq WHERE prev IS NOT NULL),
+    model AS (
+      SELECT prev, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM pairs GROUP BY 1, 2
+    ),
+    m2 AS (
+      SELECT prev, event_type, c,
+             CAST(sum(c) OVER (PARTITION BY prev) AS BIGINT) AS c_prev
+      FROM model
+    )
+    SELECT p.user_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           floor((-sum(log2(CAST(m.c AS DOUBLE) / m.c_prev)))
+                 * 1e4 + 0.5) / 1e4 AS surprisal_bits
+    FROM pairs p
+    JOIN m2 m ON m.prev = p.prev AND m.event_type = p.event_type
+    GROUP BY p.user_id
+    ORDER BY p.user_id
+    """,
+)
+def user_sequence_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user SEQUENCE SURPRISAL under the corpus's own first-order
+    Markov model (events_markov_transitions' matrix turned into a
+    scorer): each user's transition stream scored by −Σ log₂ p(next |
+    prev) with p from exact global pair counts — the behavioral
+    anomaly metric (bots and broken clients produce improbable orbits;
+    high bits-per-transition is the flag). Counts are exact integers;
+    the log fold is the one float aggregate, frounded at 1e-4 (libm
+    ulp discipline per the PSI note — a magnitude, not a rank key).
+
+    Scale: transitions via per-user lag windows (partitioned); the
+    model is |types|²-bounded and broadcast back onto the transition
+    stream; the per-user fold is one aggregate. Self-scoring note: the
+    model is trained on the full stream including each scored user —
+    fine for an anomaly SCREEN (the brief's use), not a held-out
+    perplexity."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .localCheckpoint(eager=False)  # transitions; model + scoring
+    )
+    model = pairs.groupBy("prev", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    m2 = model.withColumn(
+        "c_prev", F.sum("c").over(Window.partitionBy("prev"))
+    )
+    p = F.col("c").cast("double") / F.col("c_prev")
+    return (
+        pairs.join(F.broadcast(m2), ["prev", "event_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            fround(-F.sum(F.log2(p)), 4).alias("surprisal_bits"),
+        )
+        .orderBy("user_id")
+    )
