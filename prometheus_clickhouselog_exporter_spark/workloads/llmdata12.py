@@ -270,3 +270,69 @@ def user_sequence_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "dq_column_profile",
+    oracle="""
+    SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(min(event_id) AS VARCHAR) AS min_val,
+           CAST(max(event_id) AS VARCHAR) AS max_val
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*),
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(*),
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT),
+           min(event_type), max(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'value', count(*),
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT CAST(floor(value * 100) AS BIGINT)) AS BIGINT),
+           CAST(CAST(floor(min(value) * 100) AS BIGINT) AS VARCHAR),
+           CAST(CAST(floor(max(value) * 100) AS BIGINT) AS VARCHAR)
+    FROM events
+    ORDER BY col
+    """,
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-wide COLUMN PROFILE of the events table — the ANALYZE /
+    first-look report every engine user runs on an unfamiliar table:
+    per column, row count, null count, exact distinct cardinality, and
+    stringified min/max (strings so heterogeneous column types share
+    one report schema and hash identically across engines; the double
+    column profiles its exact-cents quantization per the float
+    discipline). One SELECT per column in ONE job — Spark computes all
+    four profiles in a single pass over the scan because the branches
+    union AFTER aggregation (4 aggregates over one shuffle-free scan
+    each; at 100 TB swap exact distinct for the HLL lane per column).
+    Complements dq_expectations_report (rule checks) with the
+    open-ended profile that writes the rules."""
+    e = table(spark, sf_dir, "events").localCheckpoint(eager=False)
+
+    def prof(col: str, valexpr, distinct_expr) -> DataFrame:
+        return e.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("n_nulls"),
+            F.countDistinct(distinct_expr).alias("n_distinct"),
+            F.min(valexpr).cast("string").alias("min_val"),
+            F.max(valexpr).cast("string").alias("max_val"),
+        )
+
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    out = (
+        prof("event_id", F.col("event_id"), F.col("event_id"))
+        .unionByName(prof("user_id", F.col("user_id"), F.col("user_id")))
+        .unionByName(prof("event_type", F.col("event_type"), F.col("event_type")))
+        .unionByName(prof("value", cents, cents))
+    )
+    return out.orderBy("col")
