@@ -336,3 +336,77 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(prof("value", cents, cents))
     )
     return out.orderBy("col")
+
+
+@query(
+    "streaming_enrich_static_fidelity",
+    oracle="""
+    SELECT e.event_type, n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN e.value IS NOT NULL
+                    THEN CAST(floor(e.value * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS cents
+    FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def streaming_enrich_static_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL stream-static broadcast join
+    (streaming/joins.enrich_stream_static: the dimension re-resolved and
+    broadcast per micro-batch) over the events stream against the
+    nation table (user_id % 25 as the synthetic foreign key) and
+    value-hash-matches the enriched per-(type, nation) rollup against
+    the plain SQL join — the last streaming operator family without a
+    hash certification. The stream side never shuffles (broadcast dim);
+    the rollup is the update-mode aggregate downstream."""
+    import tempfile
+
+    from ..streaming.joins import enrich_stream_static
+
+    tmp = tempfile.mkdtemp(prefix="enrich-fidelity-")
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    dim = table(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey")).alias("nkey"), F.col("n_name").alias("nation")
+    )
+    stream = enrich_stream_static(
+        spark.readStream.schema(
+            "event_type string, user_id bigint, value double"
+        )
+        .parquet(f"{tmp}/in")
+        .withColumn("nkey", F.col("user_id") % 25),
+        dim,
+        key="nkey",
+    )
+    agg = stream.groupBy("event_type", "nation").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("value").isNotNull(),
+                F.floor(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("cents"),
+    )
+    name = f"enrich_fid_{abs(hash(tmp)) % 100000}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import shutil
+
+    rows = (
+        spark.sql(f"SELECT * FROM {name}")
+        .orderBy("event_type", "nation")
+        .collect()
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, nation string, n_rows bigint, cents bigint"
+    )
