@@ -860,6 +860,23 @@ def vad_wav(
     return df.mapInPandas(op, out_schema)
 
 
+def _luma32_from_bmp(blob: bytes):
+    """Decode a BMP to its 32x32 INTEGER luma grid — the shared
+    alignment-normalization front half of `phash_dct` and
+    `luma_grid32`: BGR->RGB, luma = 299R+587G+114B at the x1000 scale
+    (no division), nearest-neighbor resample by integer floor-scaling
+    sx = (x*w)//32. One implementation so the hash-domain banding and
+    the exact-verify kernel can never desynchronize."""
+    import numpy as np
+
+    w, h, bgr = _parse_bmp(blob)
+    rgb = bgr[:, :, ::-1].astype(np.int64)
+    lum = 299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
+    sx = (np.arange(32, dtype=np.int64) * w) // 32
+    sy = (np.arange(32, dtype=np.int64) * h) // 32
+    return lum[np.ix_(sy, sx)]  # (y, x) 32x32
+
+
 def phash_dct(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Perceptual hash (pHash) over REAL decoded BMPs, integer-exact:
     luma ← 299R+587G+114B (kept at the ×1000 scale, no division),
@@ -905,12 +922,7 @@ def phash_dct(df: DataFrame, media_col: str = "media") -> DataFrame:
         for pdf in batches:
             hashes, dcs, meds = [], [], []
             for blob in pdf[media_col]:
-                w, h, bgr = _parse_bmp(bytes(blob))
-                rgb = bgr[:, :, ::-1].astype(np.int64)
-                lum = 299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
-                sx = (np.arange(32, dtype=np.int64) * w) // 32
-                sy = (np.arange(32, dtype=np.int64) * h) // 32
-                g32 = lum[np.ix_(sy, sx)]  # (y, x) 32×32
+                g32 = _luma32_from_bmp(bytes(blob))  # (y, x) 32x32
                 # D[u,v] = Σ_x qc[u,x] Σ_y qc[v,y] g[y,x] — two int GEMMs
                 d = qc @ g32 @ qc.T  # rows: v over y-basis? see below
                 # qc @ g32 contracts over y (rows of g32) → index v;
@@ -953,12 +965,7 @@ def luma_grid32(df: DataFrame, media_col: str = "media") -> DataFrame:
         for pdf in batches:
             grids = []
             for blob in pdf[media_col]:
-                w, h, bgr = _parse_bmp(bytes(blob))
-                rgb = bgr[:, :, ::-1].astype(np.int64)
-                lum = 299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
-                sx = (np.arange(32, dtype=np.int64) * w) // 32
-                sy = (np.arange(32, dtype=np.int64) * h) // 32
-                grids.append(lum[np.ix_(sy, sx)].reshape(-1).tolist())
+                grids.append(_luma32_from_bmp(bytes(blob)).reshape(-1).tolist())
             out = pdf.drop(columns=[media_col]).copy()
             out["luma"] = grids
             yield out

@@ -38,12 +38,29 @@ def salted_equi_join(
     ``salt_src`` is a Column expression over `probe` rows with enough
     entropy to spread a hot key (an id column, xxhash64 of the row —
     NOT the join key itself, which is constant within the hot key).
-    The salt is deterministic (``pmod(salt_src, S)``) so retries and
-    oracles reproduce the same placement. Build-side replication uses
+    A NULL salt_src lands in slot 0 (coalesced) rather than silently
+    dropping the row — pmod(NULL, S) matches no replica. The salt is
+    deterministic (``pmod(salt_src, S)``) so retries and oracles
+    reproduce the same placement. Build-side replication uses
     ``explode(sequence(...))`` — S small integers per row, no data
     copies until after the shuffle boundary where they are needed.
+
+    Probe-preserving modes only: inner/left/semi/anti keep plain-join
+    semantics because every build key carries exactly one replica per
+    salt; RIGHT/FULL OUTER would emit an unmatched build row once PER
+    REPLICA (S copies) and are rejected.
     """
-    salt = F.pmod(salt_src, F.lit(n_salts)).cast("int")
+    probe_preserving = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti",
+    }
+    if how.lower() not in probe_preserving:
+        raise ValueError(
+            f"salted_equi_join: how={how!r} is not probe-preserving — an "
+            f"unmatched build row would surface once per salt replica. "
+            f"Use the plain join (or AQE skew handling) for right/full outer."
+        )
+    salt = F.pmod(F.coalesce(salt_src, F.lit(0)), F.lit(n_salts)).cast("int")
     p = probe.withColumn("_salt", salt)
     b = build.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

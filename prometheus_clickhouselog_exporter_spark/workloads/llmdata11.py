@@ -214,10 +214,24 @@ _SEQ_FILTER = "value IS NOT NULL AND event_id % 16 = 0"
 _RUNS_THRESHOLD = 5.0
 
 
+_FIDELITY_BASE: list[str] = []  # lazily-created session base dir
+
+
 def _fidelity_tmp(prefix: str) -> str:
+    """Tempdir for one fidelity run, allocated under a SESSION base dir
+    that is atexit-registered for removal — so a run that fails before
+    its success-path cleanup (`_materialize`) cannot leak corpus-sized
+    directories across repeated failing invocations (the disk-fill
+    trap). Success still deletes eagerly."""
+    import atexit
+    import shutil
     import tempfile
 
-    return tempfile.mkdtemp(prefix=prefix)
+    if not _FIDELITY_BASE:
+        base = tempfile.mkdtemp(prefix="fidelity-runs-")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        _FIDELITY_BASE.append(base)
+    return tempfile.mkdtemp(prefix=prefix, dir=_FIDELITY_BASE[0])
 
 
 def _run_stream_to_memory(spark, stream, tmp: str, mode: str = "update"):

@@ -61,12 +61,21 @@ def dedup_chunk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles do for MinHash-LSH."""
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n = F.length("text")
-    idx = F.explode(
-        F.sequence(
-            F.lit(0),
-            F.greatest(F.floor((n - 1) / _CH_STRIDE).cast("int"), F.lit(0)),
-        )
-    ).alias("i")
+    # fail-loud at the oracle's 1024-chunk numbers-table bound (the
+    # text_chunk_sliding_windows guard — the raise feeds the sequence
+    # bound so pruning can't drop it)
+    bound = F.when(
+        n > _CH_STRIDE * 1024,
+        F.raise_error(
+            F.concat(
+                F.lit("dedup_chunk_containment: document "),
+                F.col("doc_id").cast("string"),
+                F.lit(" exceeds the 1024-chunk oracle bound; raise the "
+                      "nums range in the oracle and this guard together"),
+            )
+        ).cast("int"),
+    ).otherwise(F.greatest(F.floor((n - 1) / _CH_STRIDE).cast("int"), F.lit(0)))
+    idx = F.explode(F.sequence(F.lit(0), bound)).alias("i")
     chunk = F.substring(F.col("text"), F.col("i") * _CH_STRIDE + 1, F.lit(_CH_SIZE))
     chunks = (
         d.select("doc_id", "text", idx)
@@ -359,16 +368,18 @@ def streaming_enrich_static_fidelity(spark: SparkSession, sf_dir: str) -> DataFr
     the plain SQL join — the last streaming operator family without a
     hash certification. The stream side never shuffles (broadcast dim);
     the rollup is the update-mode aggregate downstream."""
-    import tempfile
-
     from ..streaming.joins import enrich_stream_static
+    from .llmdata11 import _fidelity_tmp, _materialize, _run_stream_to_memory
 
-    tmp = tempfile.mkdtemp(prefix="enrich-fidelity-")
+    tmp = _fidelity_tmp("enrich-fidelity-")
     ev = table(spark, sf_dir, "events").select("event_type", "user_id", "value")
     ev.write.mode("overwrite").parquet(f"{tmp}/in")
     dim = table(spark, sf_dir, "nation").select(
         (F.col("n_nationkey")).alias("nkey"), F.col("n_name").alias("nation")
     )
+    # how="inner" to match the INNER-join oracle exactly: a stream key
+    # missing from the dim (e.g. a negative user_id under Spark's
+    # sign-preserving %) must drop, not surface as a NULL-nation group.
     stream = enrich_stream_static(
         spark.readStream.schema(
             "event_type string, user_id bigint, value double"
@@ -377,6 +388,7 @@ def streaming_enrich_static_fidelity(spark: SparkSession, sf_dir: str) -> DataFr
         .withColumn("nkey", F.col("user_id") % 25),
         dim,
         key="nkey",
+        how="inner",
     )
     agg = stream.groupBy("event_type", "nation").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -387,26 +399,10 @@ def streaming_enrich_static_fidelity(spark: SparkSession, sf_dir: str) -> DataFr
             ).otherwise(F.lit(0).cast("bigint"))
         ).alias("cents"),
     )
-    name = f"enrich_fid_{abs(hash(tmp)) % 100000}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .start()
+    out = _run_stream_to_memory(spark, agg, tmp, mode="complete").orderBy(
+        "event_type", "nation"
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    import shutil
-
-    rows = (
-        spark.sql(f"SELECT * FROM {name}")
-        .orderBy("event_type", "nation")
-        .collect()
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "event_type string, nation string, n_rows bigint, cents bigint"
+    return _materialize(
+        spark, tmp, out,
+        "event_type string, nation string, n_rows bigint, cents bigint",
     )

@@ -159,9 +159,10 @@ def quantile_cont_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "p",
-            ((((F.col("n") - 1) * F.col("p")) / 100).cast("bigint") + 1).alias(
-                "rlo"
-            ),
+            # integer DIV, not double division + cast: at row counts near
+            # 2^53 the double quotient can round up where floor division
+            # does not (house rule — exact rank arithmetic end to end)
+            (F.expr("((n - 1) * p) DIV 100") + 1).alias("rlo"),
             (((F.col("n") - 1) * F.col("p")) % 100).alias("frac100"),
         )
     )
@@ -241,18 +242,12 @@ def hist_equidepth_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary IS the signal; the equi-width form wastes buckets on
     empty ranges."""
     e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    g = e.select(F.floor(F.col("value") * 100).cast("bigint").alias("cents")).groupBy(
-        "cents"
-    ).agg(F.count(F.lit(1)).alias("k"))
-    wv = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
-    r = g.select(
-        "cents",
-        "k",
-        F.coalesce(F.sum("k").over(wv), F.lit(0)).alias("cum"),
-        F.sum("k").over(Window.partitionBy()).alias("n"),
+    r = _value_ranks(
+        e.select(F.floor(F.col("value") * 100).cast("bigint").alias("cents")),
+        [],  # global series — the keys=[] case of the shared rank table
     )
     return (
-        r.groupBy(((F.col("cum") * 8) / F.col("n")).cast("int").alias("bucket"))
+        r.groupBy(F.expr("(cum * 8) DIV n").cast("int").alias("bucket"))
         .agg(
             F.sum("k").alias("n_rows"),
             F.min("cents").alias("lo_cents"),

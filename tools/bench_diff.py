@@ -30,10 +30,11 @@ def main() -> None:
     a, b = _queries(a_path), _queries(b_path)
     common = sorted(set(a) & set(b))
     ta, tb = sum(a[k] for k in common), sum(b[k] for k in common)
+    pct = f" ({(tb / ta - 1) * 100:+.1f}%)" if ta > 0 else ""
     print(
         f"common subset ({len(common)} queries): "
         f"{a_path}={ta:.2f}s  {b_path}={tb:.2f}s  "
-        f"delta={tb - ta:+.2f}s ({(tb / ta - 1) * 100:+.1f}%)"
+        f"delta={tb - ta:+.2f}s{pct}"
     )
     deltas = sorted(((b[k] - a[k], k) for k in common), reverse=True)
     print(f"worst {top_n} regressions:")
