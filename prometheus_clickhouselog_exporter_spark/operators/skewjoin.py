@@ -60,6 +60,12 @@ def salted_equi_join(
             f"unmatched build row would surface once per salt replica. "
             f"Use the plain join (or AQE skew handling) for right/full outer."
         )
+    clash = [c for c in ("_salt",) if c in probe.columns or c in build.columns]
+    if clash:
+        raise ValueError(
+            f"salted_equi_join: input already carries helper column(s) {clash}; "
+            f"rename them first — silently overwriting would change results."
+        )
     salt = F.pmod(F.coalesce(salt_src, F.lit(0)), F.lit(n_salts)).cast("int")
     p = probe.withColumn("_salt", salt)
     b = build.withColumn(

@@ -152,9 +152,11 @@ def timeseries_acf_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity n²·C_k = n²·A_k − n·S·(P_k+Q_k) + m_k·S² keeps every
     accumulation an exact BIGINT (counts are integers; the only float
     op is the final frounded ratio — bit-identical across engines).
-    Magnitude budget: |n²·A_k| ≤ n³·x̂² — at 10⁴ days × 10⁹ daily
-    events the budget breaks; rescale counts (the floor-clamp rule,
-    SCALE.md) before retuning.
+    Magnitude budget: the largest cross term is n²·sxx ≤ n³·x̂² — which
+    exceeds 2⁶³ already at ~365 days × ~4·10⁵ events/day/type, so the
+    guard below fail-louds at a 2⁶² budget (the numpy-astype rule,
+    SCALE.md) instead of letting non-ANSI BIGINT wrap return a silently
+    wrong acf; rescale counts (e.g. fold to per-kilo-events) past it.
 
     Scale shape: the corpus folds to (type, day) rows map-side FIRST;
     the 7-lag self-join and every aggregate run over that bounded
@@ -172,6 +174,28 @@ def timeseries_acf_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("s"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("x").alias("mx"),
+    )
+    # Fail-loud BIGINT budget: every cross term is bounded by n³·max(x)²
+    # (n²·sxx, n·s·(p+q), m·s² all ≤ it). Checked in DOUBLE — the check
+    # itself must not wrap — against 2⁶², leaving 2× headroom to 2⁶³.
+    # raise_error feeds the n column so pruning can't drop the guard.
+    _nd, _md = F.col("n").cast("double"), F.col("mx").cast("double")
+    base = base.select(
+        "event_type",
+        F.when(
+            _nd * _nd * _nd * _md * _md >= F.lit(float(2 ** 62)),
+            F.raise_error(
+                F.concat(
+                    F.lit("timeseries_acf_by_type: BIGINT cross-term budget "
+                          "n^3*max(x)^2 >= 2^62 for event_type "),
+                    F.col("event_type"),
+                    F.lit("; rescale daily counts before retuning"),
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col("n")).alias("n"),
+        "s",
+        "sxx",
     )
     lags = F.explode(F.array(*[F.lit(i) for i in range(1, 8)])).alias("k")
     a = daily.select("event_type", "d", "x", lags)
@@ -234,12 +258,21 @@ def _fidelity_tmp(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=_FIDELITY_BASE[0])
 
 
+_FIDELITY_SEQ: list[int] = [0]  # monotone per-session sink counter
+
+
 def _run_stream_to_memory(spark, stream, tmp: str, mode: str = "update"):
     """Start `stream` into a uniquely-named memory sink (checkpoint under
     `tmp`), drain with processAllAvailable, stop, and return the sink's
-    contents. Shared by every streaming-fidelity harness — the
-    stop/drain discipline lives once."""
-    name = f"fid_{abs(hash(tmp)) % 100000}"
+    contents as a LOCAL DataFrame. Shared by every streaming-fidelity
+    harness — the stop/drain discipline lives once. The sink name comes
+    from a monotone session counter (hash(tmp) could collide between two
+    runs and silently read the wrong sink), and the memory table is
+    dropped after collection so each run's output does not stay pinned
+    in driver memory for the session lifetime. Memory-sink contents are
+    group-cardinality (bounded) by construction in every caller."""
+    _FIDELITY_SEQ[0] += 1
+    name = f"fid_{_FIDELITY_SEQ[0]}"
     q = (
         stream.writeStream.outputMode(mode)
         .format("memory")
@@ -251,7 +284,10 @@ def _run_stream_to_memory(spark, stream, tmp: str, mode: str = "update"):
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.sql(f"SELECT * FROM {name}")
+    sink = spark.table(name)
+    rows, schema = sink.collect(), sink.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 def _materialize(spark, tmp: str, df, schema: str):

@@ -507,16 +507,18 @@ def streaming_sessionize_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     deliberately absent here so every generated session is SQL-derivable).
     """
     import os
-    import tempfile
 
     from ..streaming import PrometheusSnapshotSink, run_log_pipeline
+    from .llmdata11 import _fidelity_tmp
 
     e = table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & (F.col("value") >= 0) & (F.col("event_id") % 5 == 0)
     )
     log = synth_full_log(e)
 
-    tmp = tempfile.mkdtemp(prefix="stream-fidelity-")
+    # atexit-backed session base: a failure before the success-path
+    # rmtree below cannot leak a corpus-sized dir per failing run.
+    tmp = _fidelity_tmp("stream-fidelity-")
     log_dir = f"{tmp}/logs"
     os.makedirs(log_dir)
     log.coalesce(1).write.mode("overwrite").text(log_dir)
