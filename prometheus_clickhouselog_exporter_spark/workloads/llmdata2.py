@@ -171,12 +171,22 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(data) at 100 TB. Rows-only driver check (DuckDB's HLL is a
     different implementation; tests/test_llmdata2.py asserts ≤5% error
     and union-consistency instead).
+
+    Scan shape: ONE events scan folds to distinct (type, user) pairs —
+    HLL registers are max-of-hashes, so sketching the distinct pairs is
+    state-identical to sketching the raw stream — and the checkpointed
+    pair set (exactly count_distinct's own intermediate) feeds the
+    per-type sketches, the union row, AND the global exact count
+    (checkpoint-once doctrine, SCALE.md; previously events×3).
     """
     e = table(spark, sf_dir, "events")
-    per_type = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("exact_users"),
+    pairs = (
+        e.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
     )
+    per_type = pairs.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("exact_users"),
+    ).localCheckpoint(eager=False)
     typed = per_type.select(
         "event_type",
         F.hll_sketch_estimate("sk").alias("approx_users"),
@@ -190,7 +200,7 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approx_users",
         F.lit(None).cast("long").alias("exact_users"),
     )
-    global_exact = e.agg(
+    global_exact = pairs.agg(
         F.lit("__all_exact__").alias("event_type"),
         F.count_distinct("user_id").cast("long").alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
@@ -267,22 +277,30 @@ def timeseries_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     |users|×|days| rows but only key columns wide; the left join and the
     ffill window share the user_id partitioning (one shuffle). Per-user
     window state is |days| rows — bounded, no skew (every user has the
-    same calendar).
+    same calendar). Scan shape: ONE events scan folds to a checkpointed
+    (user, day) pre-aggregate with conditional purchase stats; calendar
+    bounds, the distinct-user list, and the daily join side all derive
+    from it (checkpoint-once doctrine, SCALE.md; previously events×3) —
+    a day with only non-purchase events joins with n=0/total=NULL,
+    value-identical to the purchase-only daily table's unmatched row.
     """
     e = table(spark, sf_dir, "events")
-    bounds = e.agg(
-        F.min(F.to_date("ts")).alias("_lo"), F.max(F.to_date("ts")).alias("_hi")
+    is_p = F.col("event_type") == "purchase"
+    pre = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(is_p, 1).otherwise(0)).alias("n"),
+            fround(F.sum(F.when(is_p, F.col("value"))), 2).alias("total"),
+        )
+        .localCheckpoint(eager=False)
     )
+    bounds = pre.agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
     days = bounds.select(
         F.explode(F.sequence("_lo", "_hi", F.expr("interval 1 day"))).alias("day")
     )
-    users = e.select("user_id").distinct()
+    users = pre.select("user_id").distinct()
     grid = users.crossJoin(F.broadcast(days))
-    daily = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", F.to_date("ts").alias("day"))
-        .agg(F.count(F.lit(1)).alias("n"), fround(F.sum("value"), 2).alias("total"))
-    )
+    daily = pre.withColumn("n", F.nullif("n", F.lit(0)))
     j = grid.join(daily, ["user_id", "day"], "left")
     w = (
         Window.partitionBy("user_id")
@@ -540,13 +558,18 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Low-probability docs are "surprising" under the corpus model —
     gibberish or off-distribution — and get filtered or downweighted.
 
-    100 TB: bigram extraction is explode (rows × len); the model agg and
-    the score join share the (a, b) shuffle key, so Catalyst reuses one
-    exchange; the prefix table is vocabulary-sized — broadcast it while it
-    fits, else it joins on the same `a` hash. In production the model
-    trains on a deterministic sample (``sample_hash_bernoulli``) and
-    broadcasts to score the full corpus — composition this registry
-    already certifies piecewise.
+    100 TB: bigram extraction is explode (rows × len), run ONCE — the
+    extracted bigram stream is localCheckpoint'd and feeds model
+    training AND scoring, and the distinct-bigram model is checkpointed
+    for its two consumers (counts + prefix sums), so the documents
+    table is scanned once instead of 3× (checkpoint-once doctrine,
+    SCALE.md). The bg checkpoint is token-expansion-sized (~2× the
+    text volume) — on a storage-tight cluster trade it back for a
+    second scan. The prefix table is vocabulary-sized — broadcast it
+    while it fits, else it joins on the same `a` hash. In production
+    the model trains on a deterministic sample
+    (``sample_hash_bernoulli``) and broadcasts to score the full
+    corpus — composition this registry already certifies piecewise.
     """
     d = fan_out(table(spark, sf_dir, "documents"))
     tk = F.split(F.lower(F.col("text")), " ")
@@ -557,8 +580,10 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.element_at("tk", F.col("i")).alias("a"),
         F.element_at("tk", F.col("i") + 1).alias("b"),
+    ).localCheckpoint(eager=False)
+    model = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab")).localCheckpoint(
+        eager=False
     )
-    model = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
     prefix = model.groupBy("a").agg(F.sum("cab").alias("ca"))
     scored = bg.join(model, ["a", "b"]).join(F.broadcast(prefix), ["a"])
     return scored.groupBy("doc_id").agg(

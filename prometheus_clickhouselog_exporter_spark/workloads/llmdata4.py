@@ -66,7 +66,13 @@ def er_blocked_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", F.split("p_name", " ").getItem(1).alias("blk")
     )
-    names = p.groupBy("blk", "p_name").agg(F.count(F.lit(1)).alias("cnt"))
+    # Vocabulary-sized distinct table feeding both pair sides —
+    # checkpoint once (SCALE.md doctrine) so the part scan+distinct
+    # doesn't run 3× (once per alias plus the record fan-back).
+    names = (
+        p.groupBy("blk", "p_name").agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     a = names.select("blk", F.col("p_name").alias("na"), F.col("cnt").alias("ca"))
     b = names.select("blk", F.col("p_name").alias("nb"), F.col("cnt").alias("cb"))
     lev = F.levenshtein(F.col("na"), F.col("nb"))
@@ -381,14 +387,21 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln() is libm-specific and a 1-ulp divergence could flip a rank
     boundary. (Monotone in df like the log form; documented trade.)
 
-    100 TB: tf is one (doc, token) aggregation; df rides the SAME
-    tokenization as a second aggregation keyed by token; N is a 1-row
-    broadcast. The per-doc top-3 plans as WindowGroupLimit — map-side
-    top-N below the doc shuffle, the sample_source_quota trick.
+    100 TB: tf is one (doc, token) aggregation, localCheckpoint'd so the
+    df aggregation and the score join read it instead of re-running the
+    tokenize+explode+agg chain per consumer (checkpoint-once doctrine,
+    SCALE.md; previously documents×3). N stays its own scan — it is a
+    count(*) with every column pruned (footer-metadata cheap), and
+    deriving it from tf would miss NULL-text documents. The per-doc
+    top-3 plans as WindowGroupLimit — map-side top-N below the doc
+    shuffle, the sample_source_quota trick.
     """
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = tf.join(df_, "tok").crossJoin(F.broadcast(n)).select(

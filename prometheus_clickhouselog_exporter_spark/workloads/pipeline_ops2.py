@@ -183,33 +183,42 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the reference's dup-session membership check (query.go:91-95)
     generalized to corpus scale — and the standard shape for "dedup
-    today's crawl against 100 TB of yesterday": the corpus pays two
-    scans (bitmap build + bloom-pruned verify); the batch pays a scan
-    plus a join sized by the TRUE overlap, not by the batch.
+    today's crawl against 100 TB of yesterday". The tokenize+explode
+    chunk expansion (the CPU-heavy part) runs ONCE over a single
+    documents scan and is localCheckpoint'd (checkpoint-once doctrine,
+    SCALE.md); all four consumers — bitmap build, bloom-pruned corpus
+    verify, batch candidate filter, per-doc totals — read the
+    materialized chunks instead of re-scanning and re-chunking 3×.
+    The checkpoint is chunk-expansion-sized (~the text volume); on a
+    storage-tight cluster trade it back for a second scan by dropping
+    the checkpoint on the corpus side only.
     """
     docs = table(spark, sf_dir, "documents")
 
     def chunks(df: DataFrame) -> DataFrame:
-        t = df.select("doc_id", "lang", F.split(F.col("text"), " ").alias("tk")).filter(
-            F.size("tk") >= _K
-        )
+        t = df.select(
+            "doc_id", "lang", "source", F.split(F.col("text"), " ").alias("tk")
+        ).filter(F.size("tk") >= _K)
         n_chunks = F.floor(F.size("tk") / _K).cast("int")
         return t.select(
             "doc_id",
             "lang",
+            "source",
             F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
             "tk",
         ).select(
             "doc_id",
             "lang",
+            "source",
             F.array_join(F.slice("tk", F.col("i") * _K + 1, F.lit(_K)), " ").alias("chunk"),
         )
 
     m_bits, k = 1 << 20, 3
-    corpus_chunks = chunks(fan_out(docs.filter(F.col("source") != "src0")))
+    all_chunks = chunks(fan_out(docs)).localCheckpoint(eager=False)
+    corpus_chunks = all_chunks.filter(F.col("source") != "src0")
     bitmap = bloom_build(corpus_chunks, F.col("chunk"), m_bits=m_bits, k=k)
 
-    batch_chunks = chunks(docs.filter(F.col("source") == "src0"))
+    batch_chunks = all_chunks.filter(F.col("source") == "src0")
     cand = batch_chunks.filter(bloom_might_contain(F.col("chunk"), bitmap, m_bits, k))
     # The candidate set is ~overlap-sized, so its bloom can be 8x smaller
     # (16 KiB literal) while keeping FP negligible for the corpus prune.

@@ -244,11 +244,17 @@ def stats_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: exact percentile sorts within each group — fine at O(types)
     group count; for data-cardinality groups the GK-sketch variant
-    (sketch_quantile_tokens) is the scale path. Three scans of the
-    events table total; columns pruned to (event_type, value) at the
-    parquet reader each time.
+    (sketch_quantile_tokens) is the scale path. The 2-column projection
+    is localCheckpoint'd ONCE (checkpoint-once doctrine, SCALE.md
+    "Catalyst does NOT dedupe your DAG"): the three percentile/count
+    consumers read the materialized (event_type, value) pairs instead
+    of re-scanning the fact table 4×.
     """
-    e = table(spark, sf_dir, "events").select("event_type", "value")
+    e = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .localCheckpoint(eager=False)
+    )
     med = e.groupBy("event_type").agg(
         fround(F.expr("percentile(value, 0.5)"), 6).alias("median_value")
     )

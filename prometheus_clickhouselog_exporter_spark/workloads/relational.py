@@ -261,10 +261,22 @@ def rollup_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def setops_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT / INTERSECT / UNION ALL composition."""
+    """EXCEPT / INTERSECT / UNION ALL composition.
+
+    Each distinct brand list feeds BOTH set ops, so both are
+    localCheckpoint'd once (checkpoint-once doctrine, SCALE.md): the
+    distinct agg runs once per side over the pruned (p_brand, p_size)
+    scan, and EXCEPT/INTERSECT consume the O(brands) checkpoints —
+    without it the part table is scanned 4×."""
     p = table(spark, sf_dir, "part")
-    large = p.filter(F.col("p_size") >= 30).select("p_brand").distinct()
-    small = p.filter(F.col("p_size") < 10).select("p_brand").distinct()
+    large = (
+        p.filter(F.col("p_size") >= 30).select("p_brand").distinct()
+        .localCheckpoint(eager=False)
+    )
+    small = (
+        p.filter(F.col("p_size") < 10).select("p_brand").distinct()
+        .localCheckpoint(eager=False)
+    )
     return (
         large.exceptAll(small).distinct().select(F.lit("large_only").alias("src"), "p_brand")
         .unionAll(large.intersect(small).select(F.lit("both").alias("src"), "p_brand"))

@@ -489,27 +489,40 @@ def subquery_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFram
     Plan shape: Spark compiles NOT IN to a null-aware anti join (a
     broadcast of the build side's null bit) and NOT EXISTS to a plain
     left-anti hash join — both shuffle-free here with a broadcast-sized
-    inner. 100 TB: null-aware anti join requires a non-null-guarded
-    build side to stay broadcastable; prefer NOT EXISTS (or an explicit
-    IS NOT NULL guard) at scale, which is exactly what this row
-    documents.
+    inner. The four side-by-side membership forms are semantically
+    required (the comparison IS the query), but the SCANS are not:
+    the `ok` key list and the 1-column customer projection are each
+    localCheckpoint'd once (checkpoint-once doctrine, SCALE.md) so the
+    four consumers read materialized keys instead of re-scanning
+    orders 4× / customer 3×. 100 TB: null-aware anti join requires a
+    non-null-guarded build side to stay broadcastable; prefer NOT
+    EXISTS (or an explicit IS NOT NULL guard) at scale, which is
+    exactly what this row documents.
     """
     table(spark, sf_dir, "orders").createOrReplaceTempView("v7_orders")
-    table(spark, sf_dir, "customer").createOrReplaceTempView("v7_customer")
+    ok = spark.sql(
+        """
+        SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+        FROM v7_orders WHERE o_custkey % 7 <> 0
+        """
+    ).localCheckpoint(eager=False)
+    ok.createOrReplaceTempView("v7_ok")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .localCheckpoint(eager=False)
+    )
+    cust.createOrReplaceTempView("v7_cust_keys")
     return spark.sql(
         """
-        WITH ok AS (
-          SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
-          FROM v7_orders WHERE o_custkey % 7 <> 0
-        )
         SELECT
-          (SELECT CAST(count(*) AS BIGINT) FROM v7_customer
-            WHERE c_custkey NOT IN (SELECT k FROM ok))            AS not_in_count,
-          (SELECT CAST(count(*) AS BIGINT) FROM v7_customer c
-            WHERE NOT EXISTS (SELECT 1 FROM ok WHERE ok.k = c.c_custkey))
-                                                                  AS not_exists_count,
-          (SELECT CAST(count(*) AS BIGINT) FROM v7_customer
-            WHERE c_custkey IN (SELECT k FROM ok))                AS in_count,
-          (SELECT CAST(count(*) AS BIGINT) FROM ok WHERE k IS NULL) AS n_nulls
+          (SELECT CAST(count(*) AS BIGINT) FROM v7_cust_keys
+            WHERE c_custkey NOT IN (SELECT k FROM v7_ok))            AS not_in_count,
+          (SELECT CAST(count(*) AS BIGINT) FROM v7_cust_keys c
+            WHERE NOT EXISTS (SELECT 1 FROM v7_ok WHERE v7_ok.k = c.c_custkey))
+                                                                     AS not_exists_count,
+          (SELECT CAST(count(*) AS BIGINT) FROM v7_cust_keys
+            WHERE c_custkey IN (SELECT k FROM v7_ok))                AS in_count,
+          (SELECT CAST(count(*) AS BIGINT) FROM v7_ok WHERE k IS NULL) AS n_nulls
         """
     )
