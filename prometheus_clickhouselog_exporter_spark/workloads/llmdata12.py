@@ -406,3 +406,86 @@ def streaming_enrich_static_fidelity(spark: SparkSession, sf_dir: str) -> DataFr
         spark, tmp, out,
         "event_type string, nation string, n_rows bigint, cents bigint",
     )
+
+
+@query(
+    "streaming_gapfill_fidelity",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+             floor(sum(value) * 100 + 0.5) / 100 AS total
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+    nums AS (SELECT t.i FROM range(0, 4096) t(i)),
+    grid AS (
+      SELECT b.event_type, b.lo + CAST(n.i AS INT) AS day
+      FROM b JOIN nums n ON n.i <= hi - lo
+    )
+    SELECT g.event_type, CAST(g.day AS VARCHAR) AS day,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+           last_value(d.total IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total,
+           d.day IS NULL AS is_filled
+    FROM grid g LEFT JOIN daily d
+      ON d.event_type = g.event_type AND d.day = g.day
+    ORDER BY 1, 2
+    """,
+)
+def streaming_gapfill_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL streaming calendar gap-fill
+    (streaming/gapfill.gapfill_stream: append-mode
+    applyInPandasWithState carrying one boundary observation per key —
+    the timer-family operator, r4 directive #6) over the per-type daily
+    series and value-hash-matches the emitted regularized series
+    against the batch calendar-grid + forward-fill SQL recomputation
+    (the timeseries_gapfill_daily shape). Append-mode rows are final
+    the batch they appear, so the emitted set is batch-split-invariant
+    and the comparison is exact: same days, same carried doubles (the
+    fill COPIES the observed frounded total, never recomputes it), same
+    is_filled flags. Timer eviction (series close) is golden-tested in
+    tests/test_streaming_gapfill.py — a processing-time timer never
+    quiesces under processAllAvailable, so the fidelity run uses
+    NoTimeout where drain semantics are exact."""
+    from ..streaming.gapfill import gapfill_stream
+    from .llmdata11 import _fidelity_tmp, _materialize, _run_stream_to_memory
+
+    tmp = _fidelity_tmp("gapfill-fidelity-")
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), fround(F.sum("value"), 2).alias("total"))
+    )
+    # Fail-loud at the oracle's 4096-day numbers-table bound (no-silent-
+    # caps rule): a wider span must raise, not let the SQL grid drop days.
+    guard = daily.agg(
+        F.when(
+            F.datediff(F.max("day"), F.min("day")) >= 4096,
+            F.raise_error(F.lit(
+                "streaming_gapfill_fidelity: calendar span exceeds the "
+                "4096-day oracle bound; raise the nums range and this "
+                "guard together"
+            )),
+        ).otherwise(F.lit(0)).alias("_g")
+    )
+    daily.crossJoin(F.broadcast(guard)).drop("_g").write.mode("overwrite").parquet(
+        f"{tmp}/in"
+    )
+    stream = gapfill_stream(
+        spark.readStream.schema(
+            "event_type string, day date, n bigint, total double"
+        ).parquet(f"{tmp}/in")
+    )
+    out = _run_stream_to_memory(spark, stream, tmp, mode="append").select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "n",
+        "total",
+        "is_filled",
+    ).orderBy("event_type", "day")
+    return _materialize(
+        spark, tmp, out,
+        "event_type string, day string, n bigint, total double, is_filled boolean",
+    )
