@@ -1,0 +1,103 @@
+"""Hand-value and brute-force tests for the suffix-array longest
+duplicate substring operators (llmdata13)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from prometheus_clickhouselog_exporter_spark.workloads.llmdata13 import (
+    _L,
+    _suffix_lcp,
+    dedup_longest_substring,
+    dedup_longest_substring_topk,
+)
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [
+        Row(doc_id=i, text=t, lang="en", source="src0", n_chars=len(t))
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def _brute_longest_dup(texts):
+    """Per-doc longest token span occurring at >= 2 distinct (doc, pos)
+    sites, O(n^2) reference."""
+    toks = [t.split() for t in texts]
+    sufs = []  # (doc, pos, tuple-of-tokens)
+    for d, tk in enumerate(toks):
+        for p in range(len(tk)):
+            sufs.append((d, p, tuple(tk[p:])))
+    best: dict[int, int] = {}
+    for i in range(len(sufs)):
+        for j in range(i + 1, len(sufs)):
+            a, b = sufs[i][2], sufs[j][2]
+            lcp = 0
+            while lcp < min(len(a), len(b)) and a[lcp] == b[lcp]:
+                lcp += 1
+            for d in (sufs[i][0], sufs[j][0]):
+                if lcp > best.get(d, 0):
+                    best[d] = lcp
+    return best
+
+
+def test_planted_duplicate_span(spark, tmp_path):
+    shared = " ".join(f"w{i}" for i in range(15))  # 15-token planted span
+    texts = [
+        "alpha beta " + shared + " gamma delta",
+        "zeta " + shared + " eta theta iota",
+        "unique tokens only here nothing repeats at all believe me",
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    got = {r.doc_id: r for r in dedup_longest_substring(spark, sf).collect()}
+    assert set(got) == {0, 1}  # doc 2 has no >= _L dup
+    assert got[0].longest_dup == 15
+    assert got[1].longest_dup == 15
+    assert got[0].longest_cross_dup == 15
+    top = dedup_longest_substring_topk(spark, sf).collect()
+    assert top[0].dup_text == shared
+    assert top[0].len_tokens == 15
+    assert top[0].n_pairs == 1
+
+
+def test_intra_doc_repeat_counts(spark, tmp_path):
+    span = " ".join(f"r{i}" for i in range(12))
+    texts = ["start " + span + " middle " + span + " end"]
+    sf = _write_docs(spark, tmp_path, texts)
+    got = dedup_longest_substring(spark, sf).collect()
+    assert len(got) == 1
+    assert got[0].longest_dup == 12
+    assert got[0].longest_cross_dup is None  # same-doc repeat only
+
+
+def test_adjacency_max_equals_bruteforce(spark, tmp_path):
+    # Mixed corpus: exact dup pair, overlapping partial copies, noise.
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [
+        base,
+        base,  # exact duplicate (13-token LCP at pos 0)
+        "prefix words " + " ".join(base.split()[:11]) + " custom tail here",
+        "completely different content with no overlap whatsoever in it",
+        "the quick brown fox sleeps " + " ".join(f"x{i}" for i in range(10)),
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    best = _brute_longest_dup(texts)
+    want = {d: v for d, v in best.items() if v >= _L}
+    got = {
+        r.doc_id: r.longest_dup
+        for r in dedup_longest_substring(spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_lcp_rows_are_exact(spark, tmp_path):
+    texts = [
+        "a b c d e f g h i j k l m n o p",
+        "z z a b c d e f g h i j k l m q r",
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    rows = _suffix_lcp(spark, sf).collect()
+    # max LCP must be the 13-token shared run "a b ... m"
+    assert max(r.lcp for r in rows) == 13
