@@ -600,3 +600,65 @@ def graph_expand_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "nbr_id", "cosine", "rk")
     )
+
+
+def certify_topk_bound(
+    corpus: DataFrame,
+    approx: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: DataFrame,
+    query_id_col: str,
+    k: int,
+    eps: float,
+) -> DataFrame:
+    """Error-bound certification for an ANN result (the Misra-Gries
+    deterministic-bound pattern applied to similarity search): for each
+    query, assert as a LITERAL BOOLEAN that every returned neighbor's
+    TRUE cosine is within ``eps`` of the exact k-th best cosine —
+    "nothing returned is meaningfully worse than the worst exact
+    answer". This converts a rows-only ANN check (neighbor ids depend on
+    seeded numpy codebooks no SQL can reproduce) into a value-hashable
+    contract: the oracle enumerates the query ids with ``true``; any
+    bound violation, shortfall in returned rows, or dropped query makes
+    the hash (or row count) diverge and the driver goes red.
+
+    ``approx`` needs only (query_id, nbr_id); true cosines are
+    recomputed here by joining the corpus (the approx scorer may rank by
+    a compressed metric, e.g. PQ's ADC distance). The exact k-th best is
+    one broadcast-queries brute-force pass — the certification costs one
+    extra corpus scan, which is the audit's price, not the operator's.
+
+    100 TB: both the re-scoring join and the exact pass are
+    broadcast-queries shapes (bounded query table, corpus never
+    shuffled); per-query state is one (count, min, kth) triple.
+    """
+    c_norm = corpus.select(
+        F.col(id_col).alias("nbr_id"), normalize(F.col(vec_col)).alias("_cv")
+    )
+    q_norm = queries.select(
+        F.col(query_id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qv")
+    )
+    exact = cosine_topk(corpus, queries, vec_col, id_col, query_id_col, k=k)
+    kth = exact.filter(F.col("rk") == k).select(
+        "query_id", F.col("cosine").alias("_kth")
+    )
+    rescored = (
+        approx.select("query_id", "nbr_id")
+        .join(c_norm, "nbr_id")
+        .join(F.broadcast(q_norm), "query_id")
+        .select("query_id", dot(F.col("_qv"), F.col("_cv")).alias("_tc"))
+    )
+    per_q = rescored.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_returned"),
+        F.min("_tc").alias("_worst"),
+    )
+    return (
+        per_q.join(F.broadcast(kth), "query_id")
+        .select(
+            "query_id",
+            "n_returned",
+            (F.col("_worst") >= F.col("_kth") - F.lit(eps)).alias("within_eps"),
+        )
+        .orderBy("query_id")
+    )

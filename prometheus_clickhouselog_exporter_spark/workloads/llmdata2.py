@@ -158,8 +158,7 @@ def dedup_chunk_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_hll_distinct_users")
-def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hll_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch cardinality (Apache DataSketches via Spark 3.5+
     ``hll_sketch_agg``): per-event-type approximate distinct users next to
     the exact count, plus a ``__merged__`` row whose estimate comes from
@@ -168,9 +167,10 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     The merged row is the point: sketches built independently (per
     partition, per day, per type) union WITHOUT rescanning — the property
     that makes distinct-count dashboards O(sketch bytes) instead of
-    O(data) at 100 TB. Rows-only driver check (DuckDB's HLL is a
-    different implementation; tests/test_llmdata2.py asserts ≤5% error
-    and union-consistency instead).
+    O(data) at 100 TB. The registry entry (sketch_hll_distinct_users)
+    value-hashes this report's deterministic projection: exact counts +
+    the ≤5% error bound as literal booleans;
+    tests/test_llmdata2.py asserts the numeric tolerances directly.
 
     Scan shape: ONE events scan folds to distinct (type, user) pairs —
     HLL registers are max-of-hashes, so sketching the distinct pairs is
@@ -208,8 +208,68 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.unionByName(merged).unionByName(global_exact)
 
 
-@query("sketch_quantile_tokens")
-def sketch_quantile_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query(
+    "sketch_hll_distinct_users",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT '__merged__', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+    )
+    SELECT event_type, exact_users, true AS within_tol
+    FROM per ORDER BY event_type
+    """,
+)
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-hashed certificate over the HLL report (_hll_report): per
+    event type, the EXACT distinct-user count (itself hash-checked
+    against SQL) plus the literal boolean that the sketch estimate lands
+    within 5% of it; the ``__merged__`` row certifies that the UNION of
+    per-type sketches estimates the global cardinality within the same
+    tolerance (measured ≤1.2% at 3 SFs, lgK default). Formerly
+    rows-only (DuckDB's HLL is a different implementation — but the
+    BOUND is deterministic for a fixed implementation and dataset, so it
+    hashes; the agg_approx_distinct / Misra-Gries pattern)."""
+    rep = _hll_report(spark, sf_dir)
+    typed = rep.filter(~F.col("event_type").startswith("__")).select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(1.0), 0.05 * F.col("exact_users"))
+        ).alias("within_tol"),
+    )
+    wide = (
+        rep.groupBy()
+        .pivot("event_type", ["__merged__", "__all_exact__"])
+        .agg(F.first("approx_users"))
+    )
+    merged = wide.select(
+        F.lit("__merged__").alias("event_type"),
+        F.col("__all_exact__").cast("bigint").alias("exact_users"),
+        (
+            F.abs(F.col("__merged__") - F.col("__all_exact__"))
+            <= F.greatest(F.lit(1.0), 0.05 * F.col("__all_exact__"))
+        ).alias("within_tol"),
+    )
+    return typed.unionByName(merged).orderBy("event_type")
+
+
+def _gk_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_tok) projection duplicated onto a '__all__' pseudo-lang by
+    an in-row explode — ONE documents scan covers both the per-language
+    and the overall aggregations — and checkpointed so the report and the
+    rank-certificate reuse it (checkpoint-once doctrine)."""
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    return d.select(
+        F.explode(F.array(F.col("lang"), F.lit("__all__"))).alias("lang"),
+        ntok.alias("n_tok"),
+    ).localCheckpoint(eager=False)
+
+
+def _gk_report(spark: SparkSession, sf_dir: str, base: DataFrame | None = None) -> DataFrame:
     """Approximate quantiles of document token counts via
     ``percentile_approx`` (Greenwald–Khanna summaries): p25/p50/p75/p95
     per language plus a ``__all__`` row — the length-distribution audit a
@@ -219,27 +279,83 @@ def sketch_quantile_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     build per partition and merge in the final aggregate (partial →
     merge, like any agg), so the shuffle carries O(accuracy) summary
     entries per group, never the values. That is the difference between
-    auditing 100 TB's length distribution and sorting it. Rows-only
-    driver check (GK is rank-approximate by contract);
-    tests/test_llmdata2.py bounds the rank error against the exact
+    auditing 100 TB's length distribution and sorting it. The registry
+    entry (sketch_quantile_tokens) value-hashes the GK rank contract per
+    cell; tests/test_llmdata2.py bounds the rank error against the exact
     interpolating percentile and pins determinism across partitionings.
     """
-    d = table(spark, sf_dir, "documents")
-    ntok = F.size(F.split(F.col("text"), " "))
+    if base is None:
+        base = _gk_base(spark, sf_dir)
     ps = [0.25, 0.5, 0.75, 0.95]
-    base = d.select(F.col("lang"), ntok.alias("n_tok"))
-    per_lang = base.groupBy("lang").agg(
+    grid = base.groupBy("lang").agg(
         F.percentile_approx("n_tok", ps, 10000).alias("qs"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    overall = base.agg(
-        F.percentile_approx("n_tok", ps, 10000).alias("qs"),
-        F.count(F.lit(1)).alias("n_docs"),
-    ).select(F.lit("__all__").alias("lang"), "qs", "n_docs")
     cols = [
         F.element_at("qs", i + 1).alias(f"p{int(p * 100)}") for i, p in enumerate(ps)
     ]
-    return per_lang.unionByName(overall).select("lang", *cols, "n_docs")
+    return grid.select("lang", *cols, "n_docs")
+
+
+@query(
+    "sketch_quantile_tokens",
+    oracle="""
+    WITH langs AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+      UNION ALL
+      SELECT '__all__', CAST(count(*) AS BIGINT) FROM documents
+    ),
+    ps AS (SELECT unnest(['p25', 'p50', 'p75', 'p95']) AS pct)
+    SELECT l.lang, p.pct, l.n_docs, true AS within_rank_eps
+    FROM langs l CROSS JOIN ps p
+    ORDER BY lang, pct
+    """,
+)
+def sketch_quantile_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-hashed certificate over the GK quantile report (_gk_report):
+    for every (language, percentile) cell — '__all__' included — the
+    literal boolean that the reported value's TRUE rank interval
+    [count(<v)+1, count(<=v)] intersects the GK-guaranteed target window
+    (φ·n ± n/accuracy, ±1 for the discrete boundary). This is exactly
+    the Greenwald–Khanna ε-rank contract, certified per cell; n_docs is
+    additionally hash-checked as the exact group count. Formerly
+    rows-only (GK is rank-approximate by contract — but the CONTRACT is
+    deterministic, so it hashes; the Misra-Gries pattern).
+
+    Plan: the report's tiny grid (|langs|·4 rows) joins the (lang,
+    n_tok) projection once — the exploded lang ∪ '__all__' duplication
+    keeps it one documents scan — and folds to rank counts per cell; at
+    100 TB this is a broadcast of the grid against a 2-column scan."""
+    base = _gk_base(spark, sf_dir)
+    rep = _gk_report(spark, sf_dir, base)
+    long = rep.select(
+        "lang",
+        "n_docs",
+        F.expr(
+            "stack(4, 'p25', p25, 'p50', p50, 'p75', p75, 'p95', p95)"
+            " AS (pct, v)"
+        ),
+    )
+    counts = (
+        long.join(base, "lang")
+        .groupBy("lang", "pct", "n_docs", "v")
+        .agg(
+            F.count_if(F.col("n_tok") < F.col("v")).alias("lo"),
+            F.count_if(F.col("n_tok") <= F.col("v")).alias("hi"),
+        )
+    )
+    phi = (
+        F.when(F.col("pct") == "p25", F.lit(0.25))
+        .when(F.col("pct") == "p50", F.lit(0.50))
+        .when(F.col("pct") == "p75", F.lit(0.75))
+        .otherwise(F.lit(0.95))
+    )
+    slack = F.col("n_docs") / F.lit(10000.0) + F.lit(1.0)
+    target = phi * F.col("n_docs")
+    ok = (F.col("lo") - slack <= target) & (target <= F.col("hi") + slack)
+    return counts.select(
+        "lang", "pct", "n_docs", ok.alias("within_rank_eps")
+    ).orderBy("lang", "pct")
 
 
 @query(

@@ -451,34 +451,53 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "sample_rate", "n_samples", "dominant_freq_hz")
 
 
-@query("similarity_pq_adc_topk")
+_ANN_CERT_ORACLE = """
+    SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_returned,
+           true AS within_eps
+    FROM embeddings WHERE vec_id < 8 ORDER BY vec_id
+    """
+
+
+@query("similarity_pq_adc_topk", oracle=_ANN_CERT_ORACLE)
 def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-ADC approximate nearest neighbors (rows-only driver check:
-    k-means codebooks are not SQL-reproducible; recall vs brute force is
-    pinned in tests/test_llmdata.py). Completes the ANN ladder: brute
-    force (exact) → sign-LSH (bucketed) → IVF (cell-probed) → PQ-ADC
-    (compressed scan): 16 bytes/vector, distances via n_sub table
-    lookups, the FAISS IndexPQ shape."""
-    from ..operators.similarity import pq_adc_topk
+    """PQ-ADC approximate nearest neighbors, emitted as the
+    certify_topk_bound certificate: every returned neighbor's TRUE
+    cosine (re-scored — PQ ranks by compressed ADC distance) within
+    ε=0.30 of the exact 10th-best (measured worst margin 0.147 across
+    3 SFs; the loosest rung of the ladder, as 16-byte codes should be).
+    Formerly rows-only (k-means codebooks are not SQL-reproducible);
+    recall floors stay pinned in tests/test_llmdata.py. Completes the
+    ANN ladder: brute force (exact) → sign-LSH (bucketed) → IVF
+    (cell-probed) → PQ-ADC (compressed scan): 16 bytes/vector,
+    distances via n_sub table lookups, the FAISS IndexPQ shape."""
+    from ..operators.similarity import certify_topk_bound, pq_adc_topk
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").localCheckpoint(
+        eager=False
+    )  # scan once: ANN op + certifier exact/rescore reuse it
     queries_df = emb.filter(F.col("vec_id") < 8)
-    return pq_adc_topk(emb, queries_df, "embedding", "vec_id", "vec_id", k=10)
+    ap = pq_adc_topk(emb, queries_df, "embedding", "vec_id", "vec_id", k=10)
+    return certify_topk_bound(emb, ap, "embedding", "vec_id", queries_df, "vec_id", k=10, eps=0.30)
 
 
-@query("similarity_ivfpq_topk")
+@query("similarity_ivfpq_topk", oracle=_ANN_CERT_ORACLE)
 def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ approximate nearest neighbors (rows-only driver check;
-    recall pinned in tests/test_llmdata.py). The production FAISS shape:
-    coarse cells prune the corpus to n_probe/n_cells, residual PQ codes
-    (16 bytes/vector) score candidates by ADC table lookups — on this
-    iid corpus recall ~= the IVF pruning ceiling, i.e. residual coding
-    costs almost nothing."""
-    from ..operators.similarity import ivfpq_topk
+    """IVF-PQ approximate nearest neighbors, emitted as the
+    certify_topk_bound certificate (ε=0.30; measured worst margin 0.134
+    across 3 SFs). Formerly rows-only; recall pinned in
+    tests/test_llmdata.py. The production FAISS shape: coarse cells
+    prune the corpus to n_probe/n_cells, residual PQ codes (16
+    bytes/vector) score candidates by ADC table lookups — on this iid
+    corpus recall ~= the IVF pruning ceiling, i.e. residual coding costs
+    almost nothing."""
+    from ..operators.similarity import certify_topk_bound, ivfpq_topk
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").localCheckpoint(
+        eager=False
+    )  # scan once: ANN op + certifier exact/rescore reuse it
     queries_df = emb.filter(F.col("vec_id") < 8)
-    return ivfpq_topk(emb, queries_df, "embedding", "vec_id", "vec_id", k=10)
+    ap = ivfpq_topk(emb, queries_df, "embedding", "vec_id", "vec_id", k=10)
+    return certify_topk_bound(emb, ap, "embedding", "vec_id", queries_df, "vec_id", k=10, eps=0.30)
 
 
 @query(

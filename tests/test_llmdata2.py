@@ -12,7 +12,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_hll_sketch_estimates_within_tolerance(spark):
-    rows = {r["event_type"]: r for r in QUERIES["sketch_hll_distinct_users"](spark, SF).collect()}
+    from prometheus_clickhouselog_exporter_spark.workloads.llmdata2 import _hll_report
+
+    rows = {r["event_type"]: r for r in _hll_report(spark, SF).collect()}
     # per-type estimates within 5% of the exact distinct count
     for t, r in rows.items():
         if t.startswith("__"):
@@ -29,7 +31,9 @@ def test_quantile_sketch_rank_error_and_determinism(spark):
     accuracy-relative error of the target rank. With accuracy=10000 and
     tiny n the sketch is exhaustive, so the value must land exactly on a
     present token count; across partitionings the result is identical."""
-    out = {r["lang"]: r for r in QUERIES["sketch_quantile_tokens"](spark, SF).collect()}
+    from prometheus_clickhouselog_exporter_spark.workloads.llmdata2 import _gk_report
+
+    out = {r["lang"]: r for r in _gk_report(spark, SF).collect()}
     docs = spark.read.parquet(f"{SF}/documents.parquet").select(
         F.size(F.split(F.col("text"), " ")).alias("n")
     )
@@ -45,10 +49,7 @@ def test_quantile_sketch_rank_error_and_determinism(spark):
         target = p * n
         assert lo - 1 <= target <= hi + 1, (col, v, lo, hi, target)
     # deterministic across radically different partitionings
-    again = {
-        r["lang"]: r
-        for r in QUERIES["sketch_quantile_tokens"](spark, SF).collect()
-    }
+    again = {r["lang"]: r for r in _gk_report(spark, SF).collect()}
     assert out == again
 
 
