@@ -45,6 +45,7 @@ from . import llmdata10  # noqa: F401,E402
 from . import llmdata11  # noqa: F401,E402
 from . import llmdata12  # noqa: F401,E402
 from . import llmdata13  # noqa: F401,E402
+from . import llmdata14  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import pipeline_ops2  # noqa: F401,E402
