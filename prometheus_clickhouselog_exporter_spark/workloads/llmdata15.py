@@ -1,0 +1,130 @@
+"""Streaming fidelity family, round 6: LEFT OUTER stream-stream join —
+the null-emission corner (unmatched opens become rows only once the
+watermark PROVES no close can arrive) value-hash-certified against a
+batch arithmetic oracle.
+
+This is the last of the stream-stream join modes without a hash
+certificate (inner landed in r4). The mechanics being certified are the
+delayed NULL-side emission itself: outer results for an open row are
+only produced after the event-time watermark passes
+``open_ts + max_duration``, i.e. in a LATER micro-batch than the open.
+The harness forces that lateness deterministically with
+``maxFilesPerTrigger=1`` plus two far-future sentinel opens appended as
+separate files: batch 1 carries the corpus, batches 2-3 carry one
+sentinel each, so by the final batch the watermark is an hour past every
+real open and ALL null-side rows must have been emitted. The sentinels
+themselves are filtered from the result (their own emission would race
+the final no-data micro-batch — the only nondeterminism in the design,
+excluded by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import query, table
+from .llmdata11 import (
+    _logpipe_stream_corpus,
+    _materialize,
+    _run_stream_to_memory,
+)
+
+_SENTINELS = (99999901, 99999902)
+
+
+@query(
+    "streaming_outer_join_fidelity",
+    oracle="""
+    SELECT 'q-' || CAST(event_id AS VARCHAR) AS id,
+           ts AS start_time,
+           CASE WHEN event_id % 3 <> 0 AND event_id % 7 <= 5
+                THEN ts + INTERVAL 1 SECOND * (event_id % 7) END AS end_time,
+           CASE WHEN event_id % 3 <> 0 AND event_id % 7 <= 5
+                THEN CAST(event_id % 7 AS DOUBLE) END AS elapsed,
+           (event_id % 3 <> 0 AND event_id % 7 <= 5) AS matched
+    FROM events
+    WHERE value IS NOT NULL AND value >= 0
+    """,
+)
+def streaming_outer_join_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL left-outer stream-stream join
+    (streaming/joins.join_initial_to_close_outer: both sides
+    watermarked, time-bound state, engine-decided orphan emission) as a
+    Structured Streaming query over the shared logpipe corpus
+    (llmdata11._logpipe_stream_corpus: every qualifying event opens at
+    ts; closes at ts + event_id%7 s exist for event_id%3≠0, of which
+    %7=6 falls outside the 5 s join window) and value-hash-matches the
+    COMPLETE output — matched pairs with elapsed AND unmatched opens
+    with NULL close fields — against DuckDB arithmetic. The unmatched
+    rows are the reference's ST5 orphan-eviction semantics
+    (main.go:125-129) emitted as data instead of a counter; any failure
+    of Spark to emit a null-side row (the classic
+    watermark-never-advanced bug) shows up as a row-count mismatch."""
+    from ..operators.parsing import parse_log_lines
+    from ..streaming.joins import join_initial_to_close_outer
+
+    tmp = _logpipe_stream_corpus(spark, sf_dir)
+    # Two sentinel opens, one file each, far past the corpus: with
+    # maxFilesPerTrigger=1 they form dedicated micro-batches whose sole
+    # job is to drag the watermark beyond every real open's outer
+    # deadline (open_ts + 5 s + 10 min watermark delay).
+    maxts = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .agg(F.max("ts").alias("m"))
+    )
+    for i, sid in enumerate(_SENTINELS, start=1):
+        # Each sentinel file carries an initial AND a close line at the
+        # same far-future instant: the join's state eviction runs on the
+        # GLOBAL watermark — the MIN across both watermarked inputs — so
+        # a sentinel that advanced only the open side would leave the
+        # close-side watermark at the corpus tail and strand every
+        # unmatched open from the last (delay + max_duration) window
+        # (caught live: q-999 at exactly max ts never emitted).
+        dt = F.date_format(
+            F.col("m") + F.make_interval(hours=F.lit(float(i))),
+            "yyyy.MM.dd HH:mm:ss.SSSSSS",
+        )
+        lines = maxts.select(
+            F.explode(
+                F.array(
+                    F.concat(
+                        dt,
+                        F.lit(f" [ 1 ] {{q-{sid}}} <Debug> executeQuery: "
+                              "(from 10.0.0.7:9000) SELECT 1"),
+                    ),
+                    F.concat(
+                        dt,
+                        F.lit(f" [ 1 ] {{q-{sid}}} <Debug> MemoryTracker: "
+                              "Peak memory usage (for query): 1.00 MiB."),
+                    ),
+                )
+            ).alias("value")
+        )
+        lines.coalesce(1).write.mode("append").text(f"{tmp}/logs")
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{tmp}/logs")
+    )
+    joined = join_initial_to_close_outer(
+        parse_log_lines(raw), max_duration="5 seconds"
+    )
+    out = (
+        _run_stream_to_memory(
+            spark,
+            joined.select("id", "start_time", "end_time", "elapsed", "matched"),
+            tmp,
+            mode="append",
+        )
+        .filter(~F.col("id").isin(*[f"q-{s}" for s in _SENTINELS]))
+        .orderBy("id")
+    )
+    return _materialize(
+        spark,
+        tmp,
+        out,
+        "id string, start_time timestamp, end_time timestamp, "
+        "elapsed double, matched boolean",
+    )
