@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from .core import query, table
 from .llmdata11 import (
+    _fidelity_tmp,
     _logpipe_stream_corpus,
     _materialize,
     _run_stream_to_memory,
@@ -127,4 +128,76 @@ def streaming_outer_join_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
         out,
         "id string, start_time timestamp, end_time timestamp, "
         "elapsed double, matched boolean",
+    )
+
+
+@query(
+    "streaming_chained_windows_fidelity",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                          * 3600 * 1000000) AS hour_start,
+           event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def streaming_chained_windows_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs CHAINED stateful operators — two cascaded event-time window
+    aggregations in ONE streaming query (10-minute tumbling counts
+    rolled up into 1-hour tumbling sums via ``window_time``), the
+    multiple-stateful-operators capability Spark gained in 3.4/4.0
+    (SPARK-40925) — and value-hash-matches the final hourly counts
+    against direct SQL arithmetic. Equivalence holds because 10-minute
+    windows never straddle hour boundaries, so the two-level rollup must
+    equal the one-level hourly count exactly; any watermark
+    mis-propagation between the stateful operators (the failure mode
+    this capability's design doc centers on) loses or duplicates a
+    window and breaks the hash.
+
+    Emission discipline: append mode is mandatory for chained stateful
+    ops, so final rows exist only after BOTH windows close — two
+    far-future sentinel batches (maxFilesPerTrigger=1, the
+    outer-join-fidelity recipe) push the watermark past every real
+    hour; the sentinel's own type is filtered from the result."""
+    from pyspark.sql.functions import window as Fwindow
+
+    tmp = _fidelity_tmp("chainwin-fidelity-")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
+        "event_type", "ts"
+    )
+    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    maxts = ev.agg(F.max("ts").alias("m"))
+    for i in (1, 2):
+        maxts.select(
+            F.lit("__sentinel__").alias("event_type"),
+            (F.col("m") + F.make_interval(hours=F.lit(float(2 * i)))).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+    src = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/in")
+    )
+    ten = (
+        src.withWatermark("ts", "5 minutes")
+        .groupBy(Fwindow("ts", "10 minutes").alias("w10"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n10"))
+    )
+    hourly = (
+        ten.groupBy(
+            Fwindow(F.window_time("w10"), "1 hour").alias("w60"), "event_type"
+        )
+        .agg(F.sum("n10").alias("n"))
+        .select(
+            F.col("w60.start").alias("hour_start"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+    out = (
+        _run_stream_to_memory(spark, hourly, tmp, mode="append")
+        .filter(F.col("event_type") != "__sentinel__")
+        .orderBy("hour_start", "event_type")
+    )
+    return _materialize(
+        spark, tmp, out, "hour_start timestamp, event_type string, n bigint"
     )
