@@ -111,3 +111,48 @@ def md5_long(col):
 
 
 MD5_SQL = "CAST(('0x' || substr(md5({x}), 1, 12)) AS UBIGINT)"
+
+
+# Shared oracle for the five ANN error-bound certificates (LSH / IVF /
+# PQ-ADC / IVF-PQ / graph-expand — operators/similarity.certify_topk_bound):
+# the contract is identical for every rung, only eps differs (and eps is
+# Spark-side), so one definition serves all @query decorators.
+ANN_CERT_ORACLE = """
+    SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_returned,
+           true AS within_eps
+    FROM embeddings WHERE vec_id < 8 ORDER BY vec_id
+    """
+
+
+def rank_contract_certificate(long_df, base, group_col, n_col, val_col, rank_eps):
+    """Shared quantile-sketch rank-contract certifier (GK and KLL): for
+    each (group, pct) cell of ``long_df`` — columns (group_col, n_col,
+    pct, v) — count the reported value's true rank interval
+    [count(<v)+1, count(<=v)] over ``base`` (columns (group_col,
+    val_col)) and emit the literal boolean that it intersects the
+    sketch-guaranteed window φ·n ± (rank_eps·n + 1). One join + one
+    conditional agg; both sketch certificates share this exact block so
+    a boundary-convention fix propagates to both.
+    """
+    from pyspark.sql import functions as F
+
+    counts = (
+        long_df.join(base, group_col)
+        .groupBy(group_col, "pct", n_col, "v")
+        .agg(
+            F.count_if(F.col(val_col) < F.col("v")).alias("lo"),
+            F.count_if(F.col(val_col) <= F.col("v")).alias("hi"),
+        )
+    )
+    phi = (
+        F.when(F.col("pct") == "p25", F.lit(0.25))
+        .when(F.col("pct") == "p50", F.lit(0.50))
+        .when(F.col("pct") == "p75", F.lit(0.75))
+        .otherwise(F.lit(0.95))
+    )
+    slack = F.col(n_col) * F.lit(rank_eps) + F.lit(1.0)
+    target = phi * F.col(n_col)
+    ok = (F.col("lo") - slack <= target) & (target <= F.col("hi") + slack)
+    return counts.select(
+        group_col, "pct", n_col, ok.alias("within_rank_eps")
+    ).orderBy(group_col, "pct")

@@ -30,7 +30,7 @@ from ..operators.textstats import (
     quality_score,
     token_count,
 )
-from .core import fan_out, fround, query, table
+from .core import ANN_CERT_ORACLE, fan_out, fround, query, table
 
 
 @query(
@@ -401,14 +401,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
-_ANN_CERT_ORACLE = """
-    SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_returned,
-           true AS within_eps
-    FROM embeddings WHERE vec_id < 8 ORDER BY vec_id
-    """
-
-
-@query("similarity_lsh_topk", oracle=_ANN_CERT_ORACLE)
+@query("similarity_lsh_topk", oracle=ANN_CERT_ORACLE)
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 neighbors via random-hyperplane LSH buckets
     (Arrow-vectorized projection), exact cosine re-rank inside buckets —
@@ -453,7 +446,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(media).select("doc_id", "width", "height", "payload_bytes", "checksum")
 
 
-@query("similarity_ivf_topk", oracle=_ANN_CERT_ORACLE)
+@query("similarity_ivf_topk", oracle=ANN_CERT_ORACLE)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 neighbors (k-means coarse quantizer, 4-of-16
     cells probed, exact re-rank), emitted as the certify_topk_bound

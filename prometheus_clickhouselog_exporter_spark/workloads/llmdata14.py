@@ -33,7 +33,7 @@ _DUP_THRESH = {5: 0.15, 10: 0.10}
     nums AS (SELECT t.i FROM range(0, 128) t(i)),
     pos AS (
       SELECT t.doc_id, t.total, t.tk, CAST(n.i AS BIGINT) AS p,
-             coalesce(sum(length(t.tk[n.i]) + 1) OVER (
+             coalesce(sum(length(t.tk[n.i + 1]) + 1) OVER (
                PARTITION BY t.doc_id ORDER BY n.i
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
       FROM toks t JOIN nums n ON n.i < len(t.tk)

@@ -70,10 +70,13 @@ def streaming_outer_join_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     # maxFilesPerTrigger=1 they form dedicated micro-batches whose sole
     # job is to drag the watermark beyond every real open's outer
     # deadline (open_ts + 5 s + 10 min watermark delay).
-    maxts = (
+    # collect the 1-row max ONCE (not once per sentinel write — each
+    # lazy reference re-runs the events scan + agg)
+    m = (
         table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull() & (F.col("value") >= 0))
-        .agg(F.max("ts").alias("m"))
+        .agg(F.max("ts"))
+        .first()[0]
     )
     for i, sid in enumerate(_SENTINELS, start=1):
         # Each sentinel file carries an initial AND a close line at the
@@ -84,10 +87,10 @@ def streaming_outer_join_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
         # unmatched open from the last (delay + max_duration) window
         # (caught live: q-999 at exactly max ts never emitted).
         dt = F.date_format(
-            F.col("m") + F.make_interval(hours=F.lit(float(i))),
+            F.lit(m) + F.make_interval(hours=F.lit(float(i))),
             "yyyy.MM.dd HH:mm:ss.SSSSSS",
         )
-        lines = maxts.select(
+        lines = spark.range(1).select(
             F.explode(
                 F.array(
                     F.concat(
@@ -165,12 +168,20 @@ def streaming_chained_windows_fidelity(spark: SparkSession, sf_dir: str) -> Data
     ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "event_type", "ts"
     )
-    ev.write.mode("overwrite").parquet(f"{tmp}/in")
-    maxts = ev.agg(F.max("ts").alias("m"))
+    # coalesce(1): the corpus MUST be one file — with maxFilesPerTrigger=1
+    # a multi-part corpus becomes multiple micro-batches whose 5-minute
+    # watermark would drop later parts' older rows as late data (the
+    # _logpipe_stream_corpus discipline, llmdata11).
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
+    # collect the 1-row max ONCE — timestamping each sentinel from the
+    # lazy agg would re-run the events scan per file write
+    m = ev.agg(F.max("ts")).first()[0]
     for i in (1, 2):
-        maxts.select(
-            F.lit("__sentinel__").alias("event_type"),
-            (F.col("m") + F.make_interval(hours=F.lit(float(2 * i)))).alias("ts"),
+        spark.createDataFrame(
+            [("__sentinel__",)], "event_type string"
+        ).select(
+            "event_type",
+            (F.lit(m) + F.make_interval(hours=F.lit(float(2 * i)))).alias("ts"),
         ).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
     src = (
         spark.readStream.schema("event_type string, ts timestamp")

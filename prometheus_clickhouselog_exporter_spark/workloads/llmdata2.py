@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .core import fan_out, fround, query, table
+from .core import fan_out, fround, query, rank_contract_certificate, table
 
 # Deterministic PII synthesis: the driver's documents are word-soup with no
 # real PII, so the workload plants it — an email on every doc_id % 3 != 0,
@@ -336,26 +336,9 @@ def sketch_quantile_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (pct, v)"
         ),
     )
-    counts = (
-        long.join(base, "lang")
-        .groupBy("lang", "pct", "n_docs", "v")
-        .agg(
-            F.count_if(F.col("n_tok") < F.col("v")).alias("lo"),
-            F.count_if(F.col("n_tok") <= F.col("v")).alias("hi"),
-        )
+    return rank_contract_certificate(
+        long, base, "lang", "n_docs", "n_tok", rank_eps=1.0 / 10000
     )
-    phi = (
-        F.when(F.col("pct") == "p25", F.lit(0.25))
-        .when(F.col("pct") == "p50", F.lit(0.50))
-        .when(F.col("pct") == "p75", F.lit(0.75))
-        .otherwise(F.lit(0.95))
-    )
-    slack = F.col("n_docs") / F.lit(10000.0) + F.lit(1.0)
-    target = phi * F.col("n_docs")
-    ok = (F.col("lo") - slack <= target) & (target <= F.col("hi") + slack)
-    return counts.select(
-        "lang", "pct", "n_docs", ok.alias("within_rank_eps")
-    ).orderBy("lang", "pct")
 
 
 @query(

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import fround, money, query, table
+from .core import ANN_CERT_ORACLE, fround, money, query, table
 
 
 @query(
@@ -451,14 +451,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "sample_rate", "n_samples", "dominant_freq_hz")
 
 
-_ANN_CERT_ORACLE = """
-    SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_returned,
-           true AS within_eps
-    FROM embeddings WHERE vec_id < 8 ORDER BY vec_id
-    """
-
-
-@query("similarity_pq_adc_topk", oracle=_ANN_CERT_ORACLE)
+@query("similarity_pq_adc_topk", oracle=ANN_CERT_ORACLE)
 def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC approximate nearest neighbors, emitted as the
     certify_topk_bound certificate: every returned neighbor's TRUE
@@ -480,7 +473,7 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return certify_topk_bound(emb, ap, "embedding", "vec_id", queries_df, "vec_id", k=10, eps=0.30)
 
 
-@query("similarity_ivfpq_topk", oracle=_ANN_CERT_ORACLE)
+@query("similarity_ivfpq_topk", oracle=ANN_CERT_ORACLE)
 def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate nearest neighbors, emitted as the
     certify_topk_bound certificate (ε=0.30; measured worst margin 0.134

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import fan_out, query, table
+from .core import ANN_CERT_ORACLE, fan_out, query, table
 
 
 @query(
@@ -153,14 +153,7 @@ def quantile_cont_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "similarity_graph_expand_topk",
-    oracle="""
-    SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_returned,
-           true AS within_eps
-    FROM embeddings WHERE vec_id < 8 ORDER BY vec_id
-    """,
-)
+@query("similarity_graph_expand_topk", oracle=ANN_CERT_ORACLE)
 def similarity_graph_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-expansion ANN: weak LSH candidates + one hop over a
     bucket-built kNN graph, exact cosine re-rank of the union — the

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import fround, query, table
+from .core import fround, query, rank_contract_certificate, table
 
 
 @query(
@@ -210,26 +210,9 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ") AS (pct, v)"
         ),
     )
-    counts = (
-        long.join(base, "g")
-        .groupBy("g", "pct", "n", "v")
-        .agg(
-            F.count_if(F.col("value") < F.col("v")).alias("lo"),
-            F.count_if(F.col("value") <= F.col("v")).alias("hi"),
-        )
+    return rank_contract_certificate(
+        long, base, "g", "n", "value", rank_eps=0.04
     )
-    phi = (
-        F.when(F.col("pct") == "p25", F.lit(0.25))
-        .when(F.col("pct") == "p50", F.lit(0.50))
-        .when(F.col("pct") == "p75", F.lit(0.75))
-        .otherwise(F.lit(0.95))
-    )
-    slack = F.col("n") * F.lit(0.04) + F.lit(1.0)
-    target = phi * F.col("n")
-    ok = (F.col("lo") - slack <= target) & (target <= F.col("hi") + slack)
-    return counts.select(
-        "g", "pct", "n", ok.alias("within_rank_eps")
-    ).orderBy("g", "pct")
 
 
 @query(

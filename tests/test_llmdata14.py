@@ -63,3 +63,40 @@ def test_quality_rules_reject_short_and_nonalpha(spark, tmp_path):
     assert not rows[0].keep
     assert not rows[1].keep
     assert rows[1].alpha_frac == 0.0
+
+
+def test_oracle_matches_spark_on_repetitive_fixture(spark, tmp_path):
+    """Dual-engine check on a corpus that actually HAS duplicated 5/10-grams
+    (the driver corpus has none at any SF, so the hash gate alone never
+    exercises the union-of-spans branch — this fixture does, in BOTH
+    engines; it is the test that caught the oracle's 1-based-list
+    char-offset bug)."""
+    import duckdb
+
+    from prometheus_clickhouselog_exporter_spark.workloads import ORACLE
+
+    span10 = " ".join(f"d{i}" for i in range(10))
+    texts = [
+        "p q r s t p q r s t u1 v2 w3",  # disjoint dup 5-gram spans
+        span10 + " mid " + span10,  # dup 10-gram
+        "a b a b a b a b a b a b",  # overlapping everything
+        "x1 y2 z3 unique words only here now",  # clean
+    ]
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = [
+        tuple(r)
+        for r in text_gopher_ngram_filter(spark, str(tmp_path)).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(ORACLE["text_gopher_ngram_filter"]).fetchall()
+    assert got == want
+    # and the branch is genuinely exercised: nonzero dup fractions exist
+    assert any(r[4] > 0 for r in got)  # dup5_frac
+    assert any(r[5] > 0 for r in got)  # dup10_frac
