@@ -212,3 +212,88 @@ def streaming_chained_windows_fidelity(spark: SparkSession, sf_dir: str) -> Data
     return _materialize(
         spark, tmp, out, "hour_start timestamp, event_type string, n bigint"
     )
+
+
+@query(
+    "streaming_native_session_fidelity",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WHERE ts IS NOT NULL AND event_type <> '__sentinel__'
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+      FROM q
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_native_session_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs Spark's NATIVE ``session_window`` aggregation (the engine's
+    own merging session-state operator — distinct from the
+    applyInPandasWithState sessionizer certified in r4) as a real
+    Structured Streaming query over the events table and
+    value-hash-matches the final (user, session-start, event-count)
+    rows against the gaps-and-islands SQL recomputation with the same
+    30-minute gap. Append mode + the sentinel-batch recipe closes every
+    real session; a session only ever contains one user's events, so
+    the island oracle is exact.
+
+    This certifies the session MERGE path (two windows coalescing when
+    a bridging event arrives) that tumbling/sliding windows never
+    exercise — the state-store operation unique to session windows."""
+    from pyspark.sql.functions import session_window
+
+    tmp = _fidelity_tmp("natsess-fidelity-")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
+        "user_id", "event_type", "ts"
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
+    m = ev.agg(F.max("ts")).first()[0]
+    for i in (1, 2):
+        spark.createDataFrame([(int(-1 - i),)], "user_id long").select(
+            "user_id",
+            F.lit("__sentinel__").alias("event_type"),
+            (F.lit(m) + F.make_interval(hours=F.lit(float(2 * i)))).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+    src = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/in")
+    )
+    # Sentinels MUST pass through the watermark node (filtering them
+    # before it would leave the watermark at the corpus tail and strand
+    # the last session); their negative user_ids keep them in their own
+    # sessions, filtered from the OUTPUT instead.
+    sess = (
+        src.withWatermark("ts", "5 minutes")
+        .groupBy(session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+    out = (
+        _run_stream_to_memory(spark, sess, tmp, mode="append")
+        .filter(F.col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    )
+    return _materialize(
+        spark,
+        tmp,
+        out,
+        "user_id long, session_start timestamp, n_events bigint",
+    )

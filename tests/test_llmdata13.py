@@ -101,3 +101,15 @@ def test_lcp_rows_are_exact(spark, tmp_path):
     rows = _suffix_lcp(spark, sf).collect()
     # max LCP must be the 13-token shared run "a b ... m"
     assert max(r.lcp for r in rows) == 13
+
+
+def test_token_bound_fails_loud(spark, tmp_path):
+    """A document beyond the 128-token oracle bound must raise, not let
+    the SQL side silently drop suffix positions (no-silent-caps rule)."""
+    import pytest
+
+    texts = [" ".join(f"w{i}" for i in range(129))]
+    sf = _write_docs(spark, tmp_path, texts)
+    with pytest.raises(Exception) as ei:
+        dedup_longest_substring(spark, sf).collect()
+    assert "exceeds the 128-token suffix bound" in str(ei.value)
