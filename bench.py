@@ -78,6 +78,14 @@ HEADLINE = [
     "timeseries_acf_by_type",
     "range_join_value_neighbors_distributed",
     "session_window_dynamic_gap",
+    # r6: suffix-array adjacency LCP (token-suffix sort + per-bucket
+    # windows), Gopher n-gram battery (5-way gram fan-out + islands),
+    # Theta sketch set algebra (distinct-pair fold + sketch lattice),
+    # deterministic label propagation (3 join+agg rounds, checkpointed)
+    "dedup_longest_substring",
+    "text_gopher_ngram_filter",
+    "sketch_theta_setops",
+    "graph_label_propagation",
 ]
 
 
