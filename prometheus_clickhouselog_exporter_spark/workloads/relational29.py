@@ -138,7 +138,9 @@ def subquery_df_api_scalar_exists(spark: SparkSession, sf_dir: str) -> DataFrame
     ``.scalar()`` plans the same single-row broadcast, ``.exists()``
     the same left-semi join — no correlated re-execution at any
     scale."""
-    c = table(spark, sf_dir, "customer")
+    # checkpoint-once: the scalar-average subquery and the main filter
+    # both read customer; without the cut the scan runs 3x (plan audit)
+    c = table(spark, sf_dir, "customer").localCheckpoint(eager=False)
     o = table(spark, sf_dir, "orders")
     avg_bal = c.select(F.avg(money(F.col("c_acctbal")).cast("double")))
     cond_exists = o.where(
