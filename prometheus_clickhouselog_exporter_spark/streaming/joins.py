@@ -76,6 +76,7 @@ def join_initial_to_close_outer(
     parsed: DataFrame,
     watermark: str = "10 minutes",
     max_duration: str = "10 minutes",
+    how: str = "leftOuter",
 ) -> DataFrame:
     """LEFT OUTER stream-stream join: like ``join_initial_to_close`` but
     opens that never close inside ``max_duration`` are still emitted —
@@ -110,14 +111,21 @@ def join_initial_to_close_outer(
         & (F.col("close_ts") >= F.col("open_ts"))
         & (F.col("close_ts") <= F.col("open_ts") + F.expr(f"INTERVAL {max_duration}"))
     )
-    joined = opens.join(closes, cond, "leftOuter")
+    joined = opens.join(closes, cond, how)
+    # id coalesces both sides: for leftOuter open_id is always present;
+    # fullOuter additionally emits close-only rows (a close whose open
+    # fell outside the time bound) identified by close_id.
     return joined.select(
-        F.col("open_id").alias("id"),
+        F.coalesce(F.col("open_id"), F.col("close_id")).alias("id"),
         "host", "port", "pid", "query",
         F.col("open_ts").alias("start_time"),
         F.col("close_ts").alias("end_time"),
         ((F.unix_micros(F.col("close_ts")) - F.unix_micros(F.col("open_ts"))) / 1e6).alias("elapsed"),
         F.col("close_ts").isNotNull().alias("matched"),
+        F.when(F.col("open_ts").isNotNull() & F.col("close_ts").isNotNull(), "both")
+        .when(F.col("open_ts").isNotNull(), "open_only")
+        .otherwise("close_only")
+        .alias("side"),
     )
 
 

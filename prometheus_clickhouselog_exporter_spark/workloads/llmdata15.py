@@ -34,6 +34,39 @@ from .llmdata11 import (
 _SENTINELS = (99999901, 99999902)
 
 
+def _append_log_sentinels(spark, tmp: str, m) -> None:
+    """Append the two far-future sentinel log files (one micro-batch
+    each under maxFilesPerTrigger=1). Each file carries an initial AND a
+    close line at the same instant: join state eviction runs on the
+    GLOBAL watermark — the MIN across both watermarked inputs — so a
+    sentinel advancing only the open side would leave the close-side
+    watermark at the corpus tail and strand every unmatched row from
+    the last (delay + max_duration) window (caught live: q-999 at
+    exactly max ts never emitted)."""
+    for i, sid in enumerate(_SENTINELS, start=1):
+        dt = F.date_format(
+            F.lit(m) + F.make_interval(hours=F.lit(float(i))),
+            "yyyy.MM.dd HH:mm:ss.SSSSSS",
+        )
+        lines = spark.range(1).select(
+            F.explode(
+                F.array(
+                    F.concat(
+                        dt,
+                        F.lit(f" [ 1 ] {{q-{sid}}} <Debug> executeQuery: "
+                              "(from 10.0.0.7:9000) SELECT 1"),
+                    ),
+                    F.concat(
+                        dt,
+                        F.lit(f" [ 1 ] {{q-{sid}}} <Debug> MemoryTracker: "
+                              "Peak memory usage (for query): 1.00 MiB."),
+                    ),
+                )
+            ).alias("value")
+        )
+        lines.coalesce(1).write.mode("append").text(f"{tmp}/logs")
+
+
 @query(
     "streaming_outer_join_fidelity",
     oracle="""
@@ -78,35 +111,7 @@ def streaming_outer_join_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.max("ts"))
         .first()[0]
     )
-    for i, sid in enumerate(_SENTINELS, start=1):
-        # Each sentinel file carries an initial AND a close line at the
-        # same far-future instant: the join's state eviction runs on the
-        # GLOBAL watermark — the MIN across both watermarked inputs — so
-        # a sentinel that advanced only the open side would leave the
-        # close-side watermark at the corpus tail and strand every
-        # unmatched open from the last (delay + max_duration) window
-        # (caught live: q-999 at exactly max ts never emitted).
-        dt = F.date_format(
-            F.lit(m) + F.make_interval(hours=F.lit(float(i))),
-            "yyyy.MM.dd HH:mm:ss.SSSSSS",
-        )
-        lines = spark.range(1).select(
-            F.explode(
-                F.array(
-                    F.concat(
-                        dt,
-                        F.lit(f" [ 1 ] {{q-{sid}}} <Debug> executeQuery: "
-                              "(from 10.0.0.7:9000) SELECT 1"),
-                    ),
-                    F.concat(
-                        dt,
-                        F.lit(f" [ 1 ] {{q-{sid}}} <Debug> MemoryTracker: "
-                              "Peak memory usage (for query): 1.00 MiB."),
-                    ),
-                )
-            ).alias("value")
-        )
-        lines.coalesce(1).write.mode("append").text(f"{tmp}/logs")
+    _append_log_sentinels(spark, tmp, m)
     raw = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", "1")
@@ -296,4 +301,72 @@ def streaming_native_session_fidelity(spark: SparkSession, sf_dir: str) -> DataF
         tmp,
         out,
         "user_id long, session_start timestamp, n_events bigint",
+    )
+
+
+@query(
+    "streaming_full_outer_join_fidelity",
+    oracle="""
+    SELECT 'q-' || CAST(event_id AS VARCHAR) AS id,
+           ts AS start_time,
+           CASE WHEN event_id % 3 <> 0 AND event_id % 7 <= 5
+                THEN ts + INTERVAL 1 SECOND * (event_id % 7) END AS end_time,
+           CASE WHEN event_id % 3 <> 0 AND event_id % 7 <= 5
+                THEN CAST(event_id % 7 AS DOUBLE) END AS elapsed,
+           CASE WHEN event_id % 3 <> 0 AND event_id % 7 <= 5
+                THEN 'both' ELSE 'open_only' END AS side
+    FROM events WHERE value IS NOT NULL AND value >= 0
+    UNION ALL
+    SELECT 'q-' || CAST(event_id AS VARCHAR),
+           NULL, ts + INTERVAL 6 SECOND, NULL, 'close_only'
+    FROM events
+    WHERE value IS NOT NULL AND value >= 0
+      AND event_id % 3 <> 0 AND event_id % 7 = 6
+    """,
+)
+def streaming_full_outer_join_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the FULL OUTER stream-stream join (the third and last join
+    mode: matched pairs + orphan opens + orphan CLOSES — a close whose
+    open fell outside the 5 s bound becomes its own null-open row once
+    the watermark proves it) over the shared logpipe corpus and
+    value-hash-matches the complete three-way output against DuckDB
+    arithmetic. The close-only rows here are exactly the %7=6 closes
+    (6 s > the 5 s join window); their emission exercises the
+    right-side state eviction path the left-outer certificate never
+    touches."""
+    from ..operators.parsing import parse_log_lines
+    from ..streaming.joins import join_initial_to_close_outer
+
+    tmp = _logpipe_stream_corpus(spark, sf_dir)
+    m = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .agg(F.max("ts"))
+        .first()[0]
+    )
+    _append_log_sentinels(spark, tmp, m)
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{tmp}/logs")
+    )
+    joined = join_initial_to_close_outer(
+        parse_log_lines(raw), max_duration="5 seconds", how="fullOuter"
+    )
+    out = (
+        _run_stream_to_memory(
+            spark,
+            joined.select("id", "start_time", "end_time", "elapsed", "side"),
+            tmp,
+            mode="append",
+        )
+        .filter(~F.col("id").isin(*[f"q-{s}" for s in _SENTINELS]))
+        .orderBy("id", "side")
+    )
+    return _materialize(
+        spark,
+        tmp,
+        out,
+        "id string, start_time timestamp, end_time timestamp, "
+        "elapsed double, side string",
     )
