@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import money, query, table
+from .core import fround, money, query, table
 
 
 @query(
@@ -155,3 +155,47 @@ def subquery_df_api_scalar_exists(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_rich_active"))
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "udf_arrow_native_surface",
+    oracle="""
+    SELECT event_id,
+           floor((value * value + value * 3.0) * 1e6 + 0.5) / 1e6 AS poly,
+           upper(event_type) AS type_upper
+    FROM events
+    WHERE value IS NOT NULL AND event_id % 25 = 0
+    ORDER BY event_id
+    """,
+)
+def udf_arrow_native_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4.1 Arrow-NATIVE UDF surface (``@F.arrow_udf``):
+    kernels receive and return ``pyarrow.Array`` directly — one step
+    below pandas UDFs (no Series materialization, zero-copy into
+    pyarrow.compute's vectorized C++ kernels). Certified here with a
+    numeric kernel (v² + 3v, element-wise IEEE ops the oracle mirrors
+    literally — no reduction, so bit-identical cross-engine) and a
+    string kernel (utf8_upper). Completes the UDF ladder: row Python →
+    pandas_udf (Arrow transport, pandas compute) → arrow_udf (Arrow
+    transport AND compute) → built-ins (JVM codegen).
+
+    100 TB: still the slow path vs codegen expressions — but the
+    cheapest possible Python escape hatch; scan-stage, no shuffle."""
+    import pyarrow.compute as pc
+
+    @F.arrow_udf("double")
+    def poly(v):
+        return pc.add(pc.multiply(v, v), pc.multiply(v, 3.0))
+
+    @F.arrow_udf("string")
+    def upper(s):
+        return pc.utf8_upper(s)
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("event_id") % 25 == 0)
+    )
+    return e.select(
+        "event_id",
+        fround(poly("value"), 6).alias("poly"),
+        upper("event_type").alias("type_upper"),
+    ).orderBy("event_id")
