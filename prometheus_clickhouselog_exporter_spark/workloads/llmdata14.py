@@ -189,11 +189,6 @@ def text_gopher_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    # ONE exchange for the whole tree: every downstream window/groupBy
-    # clusters on doc_id-prefixed keys ((doc,n,gram), (doc,n), (doc)),
-    # and HashPartitioning(doc_id) satisfies ClusteredDistribution of
-    # any superset — so repartitioning the checkpointed long-form by
-    # doc_id once lets both branches run shuffle-free (sorts only).
     grams = (
         pos.select(
             "doc_id", "total", "p", "start", F.explode(gram_structs).alias("g")
@@ -207,7 +202,6 @@ def text_gopher_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g.gram").alias("gram"),
             F.length("g.gram").cast("bigint").alias("gramlen"),
         )
-        .repartition("doc_id")
         .localCheckpoint(eager=False)  # feeds top-gram AND dup branches
     )
     # Branch A: top n-gram coverage for n in (2,3,4)
