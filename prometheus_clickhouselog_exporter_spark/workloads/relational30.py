@@ -1,0 +1,139 @@
+"""Relational breadth, round 6 batch 5: modern SQL-surface forms —
+window frame EXCLUDE (SQL:2016, Spark 4 + DuckDB both implement it),
+GROUP BY ALL / ORDER BY ALL sugar with LIMIT ... OFFSET pagination, and
+parameterized SQL (named parameter markers through ``spark.sql(query,
+args=...)`` — the injection-safe form every production SQL entry point
+should use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .core import query, table
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    vname = f"_r30_{name}"
+    table(spark, sf_dir, name).createOrReplaceTempView(vname)
+    return vname
+
+
+@query(
+    "window_frame_exclude",
+    oracle="""
+    WITH q AS (
+      SELECT event_id, event_type, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_id,
+           CAST(sum(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                        EXCLUDE CURRENT ROW) AS BIGINT) AS neighbor_sum,
+           CAST(count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                        EXCLUDE CURRENT ROW) AS BIGINT) AS neighbor_n
+    FROM q
+    WHERE event_id % 50 = 0
+    ORDER BY event_id
+    """,
+)
+def window_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2016 window frame EXCLUDE CURRENT ROW semantics — the
+    leave-one-out neighborhood baseline an anomaly screen compares each
+    point against. Spark's parser does NOT accept the EXCLUDE clause
+    (probed live: PARSE_SYNTAX_ERROR), so this entry certifies the
+    standard COMPOSITION — full ±2-row frame sum minus the row's own
+    value, count minus one — against DuckDB's REAL `EXCLUDE CURRENT
+    ROW` implementation: a hash match proves the rewrite is exactly the
+    missing surface, which is the recipe a user migrating EXCLUDE
+    queries onto Spark needs. Integer-quantized values keep the sums
+    exact; rows with NULL value are filtered before the window on both
+    sides, so v is never NULL and the subtraction is safe.
+
+    100 TB: identical cost to the plain frame — one hash partition by
+    type + in-partition sort; the subtraction is free."""
+    ev = _view(spark, sf_dir, "events")
+    return spark.sql(f"""
+      WITH q AS (
+        SELECT event_id, event_type, ts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM {ev} WHERE value IS NOT NULL
+      )
+      SELECT event_id,
+             sum(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) - v
+               AS neighbor_sum,
+             count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) - 1
+               AS neighbor_n
+      FROM q
+      WHERE event_id % 50 = 0
+      ORDER BY event_id
+    """)
+
+
+@query(
+    "sql_sugar_by_all_offset",
+    oracle="""
+    SELECT event_type, CAST(day(ts) AS BIGINT) AS dom,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY ALL
+    ORDER BY ALL
+    LIMIT 12 OFFSET 5
+    """,
+)
+def sql_sugar_by_all_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL + LIMIT/OFFSET pagination in one
+    statement — the modern analyst sugar both engines now parse
+    identically (BY ALL binds every non-aggregate select item; ORDER BY
+    ALL orders by every output column left-to-right, making the OFFSET
+    page deterministic without naming columns twice).
+
+    100 TB: OFFSET on a sorted result is a driver-side skip over the
+    TakeOrdered result — fine for pagination-sized offsets, a
+    deliberate anti-pattern for deep scans (keyset pagination is the
+    scale path; this certifies the surface)."""
+    ev = _view(spark, sf_dir, "events")
+    return spark.sql(f"""
+      SELECT event_type, CAST(day(ts) AS BIGINT) AS dom,
+             CAST(count(*) AS BIGINT) AS n
+      FROM {ev} WHERE ts IS NOT NULL
+      GROUP BY ALL
+      ORDER BY ALL
+      LIMIT 12 OFFSET 5
+    """)
+
+
+@query(
+    "sql_named_parameters",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(sum(value) * 100 + 0.5) / 100 AS total
+    FROM events
+    WHERE event_type IN ('click', 'purchase') AND value >= 50.0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with named markers (``spark.sql(q, args={...})``,
+    Spark 3.4+): the literals arrive as BOUND PARAMETERS, not string
+    splices — the injection-safe entry point a production query service
+    exposes. Catalyst folds the bound constants before optimization, so
+    parameter markers cost nothing at plan time and the filter still
+    pushes to the scan. The oracle inlines the same constants."""
+    ev = _view(spark, sf_dir, "events")
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               count(*) AS n,
+               floor(sum(value) * 100 + 0.5) / 100 AS total
+        FROM {ev}
+        WHERE event_type IN (:t1, :t2) AND value >= :floor_val
+        GROUP BY 1 ORDER BY 1
+        """,
+        args={"t1": "click", "t2": "purchase", "floor_val": 50.0},
+    )
