@@ -1,9 +1,10 @@
 """Relational breadth, round 6 batch 5: modern SQL-surface forms —
-window frame EXCLUDE (SQL:2016, Spark 4 + DuckDB both implement it),
-GROUP BY ALL / ORDER BY ALL sugar with LIMIT ... OFFSET pagination, and
-parameterized SQL (named parameter markers through ``spark.sql(query,
-args=...)`` — the injection-safe form every production SQL entry point
-should use).
+the SQL:2016 window frame EXCLUDE semantics (Spark's parser lacks the
+clause, so its standard composition is certified against DuckDB's real
+EXCLUDE), GROUP BY ALL / ORDER BY ALL sugar with LIMIT ... OFFSET
+pagination, parameterized SQL (named markers through
+``spark.sql(query, args=...)``), the Spark 4.0 GoogleSQL pipe dialect
+(`|>`), and UTF8_LCASE collation grouping.
 """
 
 from __future__ import annotations
@@ -137,3 +138,75 @@ def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"t1": "click", "t2": "purchase", "floor_val": 50.0},
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(sum(value) * 100 + 0.5) / 100 AS total,
+           floor(CAST(floor(sum(value) * 100 + 0.5) / 100 AS DOUBLE)
+                 / count(*) * 1e4 + 0.5) / 1e4 AS per_event
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    ORDER BY n DESC, event_type
+    LIMIT 4
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, the GoogleSQL `|>` operator chain):
+    the same logical pipeline an analyst reads top-to-bottom — FROM →
+    WHERE → AGGREGATE → EXTEND (computed column over the aggregate) →
+    ORDER BY → LIMIT — parsed by Spark's pipe dialect and certified
+    against the classic nested-SELECT oracle. Pipe stages compile to
+    the identical Catalyst plan (the parser is sugar), so this is a
+    pure surface certification: same rows, same values, same types.
+    """
+    ev = _view(spark, sf_dir, "events")
+    return spark.sql(f"""
+      FROM {ev}
+      |> WHERE value IS NOT NULL
+      |> AGGREGATE count(*) AS n,
+                   floor(sum(value) * 100 + 0.5) / 100 AS total
+         GROUP BY event_type
+      |> EXTEND floor(CAST(total AS DOUBLE) / n * 1e4 + 0.5) / 1e4
+           AS per_event
+      |> SELECT event_type, n, total, per_event
+      |> ORDER BY n DESC, event_type
+      |> LIMIT 4
+    """)
+
+
+@query(
+    "collation_case_insensitive",
+    oracle="""
+    WITH q AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS mk
+      FROM events
+    )
+    SELECT lower(min(mk)) AS k, CAST(count(*) AS BIGINT) AS n
+    FROM q GROUP BY lower(mk) ORDER BY k
+    """,
+)
+def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4.0): grouping under UTF8_LCASE —
+    case-insensitive equality WITHOUT rewriting the data through
+    lower() — over a synthesized mixed-case key (every even event_id
+    upper-cased). The oracle mirrors the semantics with lower()
+    grouping; both sides take min() under BINARY comparison so the
+    representative value is deterministic ('CLICK' < 'click'). The
+    production win collations buy at 100 TB: comparison semantics move
+    into the COLUMN TYPE, so joins/groupBys/sorts stay case-insensitive
+    with zero per-row rewrite cost and full pushdown."""
+    ev = _view(spark, sf_dir, "events")
+    return spark.sql(f"""
+      WITH q AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                    ELSE event_type END AS mk
+        FROM {ev}
+      )
+      SELECT lower(min(mk COLLATE UTF8_BINARY)) AS k, count(*) AS n
+      FROM q GROUP BY mk COLLATE UTF8_LCASE ORDER BY k
+    """)
