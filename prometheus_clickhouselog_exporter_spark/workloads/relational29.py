@@ -199,3 +199,119 @@ def udf_arrow_native_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(poly("value"), 6).alias("poly"),
         upper("event_type").alias("type_upper"),
     ).orderBy("event_id")
+
+
+@query(
+    "map_in_arrow_surface",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           length(event_type) AS type_len
+    FROM events
+    WHERE value IS NOT NULL AND event_id % 40 = 0
+    ORDER BY event_id
+    """,
+)
+def map_in_arrow_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.mapInArrow`` — the whole-partition Arrow transform
+    (iterator of pyarrow.RecordBatch in, iterator out): quantize values
+    to integer cents and measure the type string, per batch, zero
+    pandas materialization. The row-wise kernels are IEEE/integer ops
+    the oracle mirrors literally. Distinct from @arrow_udf (column
+    kernel): mapInArrow owns the whole batch — the shape for
+    multi-column restructuring and schema-changing transforms.
+
+    100 TB: scan-stage, no shuffle; batches stream through Python one
+    Arrow buffer at a time — memory bounded by
+    maxRecordsPerBatch, not partition size."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for b in batches:
+            vals = b.column("value")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("event_id"),
+                    pc.cast(
+                        pc.floor(pc.add(pc.multiply(vals, 100.0), 0.5)),
+                        pa.int64(),
+                    ),
+                    pc.cast(
+                        pc.utf8_length(b.column("event_type")), pa.int32()
+                    ),
+                ],
+                names=["event_id", "cents", "type_len"],
+            )
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("event_id") % 40 == 0)
+    )
+    return (
+        e.select("event_id", "value", "event_type")
+        .mapInArrow(kernel, "event_id bigint, cents bigint, type_len int")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "apply_in_arrow_groups",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def apply_in_arrow_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GroupedData.applyInArrow`` — grouped-map over pyarrow.Tables
+    (the Arrow-native sibling of applyInPandas): per event type, an
+    integer-cents aggregate computed inside the Python kernel with
+    pyarrow.compute and returned as a one-row Table. Integer sums make
+    the kernel's fold order irrelevant — the certified-exact discipline
+    applied to the grouped-Arrow API.
+
+    100 TB: one shuffle by the group key; each group streams into
+    Python as Arrow buffers. For plain aggregates the JVM built-ins win
+    (no Python hop) — the API exists for group-shaped logic
+    expressions can't write (per-group model fits, custom folds); this
+    certifies its plumbing with an expressible kernel."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(tbl: "pa.Table") -> "pa.Table":
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(tbl.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": [tbl.column("event_type")[0].as_py()],
+                "n": [tbl.num_rows],
+                "total_cents": [pc.sum(cents).as_py()],
+                "max_cents": [pc.max(cents).as_py()],
+            },
+            schema=pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n", pa.int64()),
+                    ("total_cents", pa.int64()),
+                    ("max_cents", pa.int64()),
+                ]
+            ),
+        )
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        e.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInArrow(
+            kernel,
+            "event_type string, n bigint, total_cents bigint, max_cents bigint",
+        )
+        .orderBy("event_type")
+    )
