@@ -27,7 +27,13 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _ARCHIVE_SUFFIXES = (".gz", ".zst", ".bz2", ".xz", ".zip", ".tar")
 
@@ -85,3 +91,74 @@ class ClickhouseLogReader(DataSourceReader):
         with open(partition.path, "r", encoding="utf-8", errors="replace") as fh:
             for i, line in enumerate(fh, start=1):
                 yield (partition.path, i, line.rstrip("\n"))
+
+
+class PromTextfileDataSource(DataSource):
+    """Python DataSource WRITER for the Prometheus textfile-collector
+    exposition format — the reference ecosystem's file-drop metrics
+    handoff (node_exporter --collector.textfile reads ``*.prom`` files;
+    the exporter's /metrics payload is the same line grammar,
+    metrics.go:16-69). ``df.write.format("prom_textfile").save(dir)``
+    with rows (name string, labels string, value double) renders
+    ``name{labels} value`` lines, one ``part-N.prom`` file per
+    partition, plus a manifest on commit.
+
+    This is the WRITE half of the Python DataSource API
+    (DataSourceWriter / WriterCommitMessage / commit-abort protocol) —
+    the read half is clickhouse_log above. Same scope doctrine: the
+    format is line-oriented text Spark has no native sink for; all
+    heavy lifting (aggregation to metric rows) stays in the JVM plan,
+    and the writer only renders+appends, so Python touches
+    snapshot-cardinality rows, never the corpus.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "prom_textfile"
+
+    def schema(self) -> str:
+        return "name string, labels string, value double"
+
+    def writer(self, schema, overwrite: bool) -> "PromTextfileWriter":
+        return PromTextfileWriter(self.options, overwrite)
+
+
+class PromFileCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class PromTextfileWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("prom_textfile: a path is required")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> PromFileCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{pid:05d}.prom")
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                labels = f"{{{row.labels}}}" if row.labels else ""
+                fh.write(f"{row.name}{labels} {row.value!r}\n")
+                n += 1
+        return PromFileCommit(out, n)
+
+    def commit(self, messages) -> None:
+        manifest = os.path.join(self.path, "_MANIFEST")
+        with open(manifest, "w", encoding="utf-8") as fh:
+            for m in messages:
+                fh.write(f"{os.path.basename(m.path)}\t{m.rows}\n")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass

@@ -73,3 +73,41 @@ def test_rejects_archives_and_missing(registered, tmp_path):
     for bad in (str(gz), str(tmp_path / "nope")):
         with pytest.raises((Py4JJavaError, PySparkException, Exception)):
             registered.read.format("clickhouse_log").load(bad).collect()
+
+
+def test_prom_textfile_writer_roundtrip(spark, tmp_path):
+    """Write half of the Python DataSource API: metric rows render to
+    node_exporter textfile-collector .prom files with a commit
+    manifest; parse-back equals the input set."""
+    from pyspark.sql import Row
+
+    from prometheus_clickhouselog_exporter_spark.sources.pydatasource import (
+        PromTextfileDataSource,
+    )
+
+    spark.dataSource.register(PromTextfileDataSource)
+    rows = [
+        Row(name="ch_read_lines_total", labels='host="a"', value=52.0),
+        Row(name="ch_query_count", labels='type="SELECT"', value=7.0),
+        Row(name="ch_up", labels="", value=1.0),
+    ]
+    out = str(tmp_path / "prom")
+    spark.createDataFrame(rows).coalesce(1).write.format("prom_textfile").mode(
+        "append"
+    ).save(out)
+    import os
+
+    files = [f for f in os.listdir(out) if f.endswith(".prom")]
+    assert files, os.listdir(out)
+    lines = []
+    for f in files:
+        lines += open(os.path.join(out, f)).read().splitlines()
+    assert sorted(lines) == sorted(
+        [
+            'ch_read_lines_total{host="a"} 52.0',
+            'ch_query_count{type="SELECT"} 7.0',
+            "ch_up 1.0",
+        ]
+    )
+    manifest = open(os.path.join(out, "_MANIFEST")).read()
+    assert sum(int(ln.split("\t")[1]) for ln in manifest.splitlines()) == 3
