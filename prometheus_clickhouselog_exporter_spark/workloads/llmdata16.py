@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import fan_out, fround, query, table
+from .core import MD5_SQL, fan_out, fround, md5_long, query, table
 
 # the certified cosine recipe (see similarity_cosine_topk)
 _COS_SQL = """round(list_dot_product(q.qe, c.ce) /
@@ -235,4 +235,119 @@ def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford"),
         )
         .orderBy("digit")
+    )
+
+
+_DSIR_B = 256  # hashed feature buckets
+_DSIR_A = 1.0  # additive smoothing
+
+
+@query(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, u.tok
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      WHERE text IS NOT NULL
+    ),
+    b AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CAST({MD5_SQL.format(x='tok')} % {_DSIR_B} AS BIGINT) AS bkt
+      FROM toks
+    ),
+    tgt AS (
+      SELECT bkt, CAST(count(*) AS BIGINT) AS ct FROM b
+      WHERE lang = 'en' GROUP BY 1
+    ),
+    src AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cs FROM b GROUP BY 1),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b WHERE lang = 'en'),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+    lam AS MATERIALIZED (
+      SELECT s.bkt,
+             CAST(floor((ln((coalesce(t.ct, 0) + {_DSIR_A})
+                            / (nt.n + {_DSIR_A} * {_DSIR_B}))
+                         - ln((s.cs + {_DSIR_A})
+                              / (ns.n + {_DSIR_A} * {_DSIR_B}))) * 1e9)
+                  AS BIGINT) AS lq
+      FROM src s CROSS JOIN nt CROSS JOIN ns
+      LEFT JOIN tgt t ON t.bkt = s.bkt
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(CAST(sum(l.lq) AS DOUBLE) / 1e9 * 1e4 + 0.5) / 1e4
+             AS log_ratio,
+           (sum(l.lq) > 0) AS prefer
+    FROM b JOIN lam l ON l.bkt = b.bkt
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling — the published method behind
+    domain-targeted pre-training mixes): hash every token into 256
+    feature buckets, fit smoothed bucket distributions for the TARGET
+    domain (lang='en') and the raw corpus, and score each document by
+    its summed log-likelihood ratio Σ log(p_target(b)/p_raw(b)) — the
+    resampling weight that tilts selection toward target-like text.
+
+    Cross-engine exactness: the per-bucket log-ratio λ_b is computed
+    ONCE (256 rows), quantized to integer nano-units, and per-doc
+    weights are INTEGER sums of λ quantities — no double-accumulation
+    order anywhere (ln() runs per bucket, not per token). The hashed
+    bucket table is the same engine-portable 48-bit md5 family every
+    sampling operator here uses.
+
+    100 TB: bucket stats are one 256-group aggregate; λ broadcasts;
+    scoring is scan-stage join + integer sum — exactly how DSIR runs
+    over a crawl in practice."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    b = (
+        d.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (md5_long(F.col("tok")) % _DSIR_B).cast("bigint").alias("bkt"),
+        )
+        .localCheckpoint(eager=False)  # feeds tgt/src stats AND doc scoring
+    )
+    tgt = b.filter(F.col("lang") == "en").groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    src = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cs"))
+    nt = b.filter(F.col("lang") == "en").agg(F.count(F.lit(1)).alias("n_t"))
+    ns = b.agg(F.count(F.lit(1)).alias("n_s"))
+    lam = (
+        src.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "bkt",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + _DSIR_A)
+                        / (F.col("n_t") + _DSIR_A * _DSIR_B)
+                    )
+                    - F.log(
+                        (F.col("cs") + _DSIR_A)
+                        / (F.col("n_s") + _DSIR_A * _DSIR_B)
+                    )
+                )
+                * 1e9
+            )
+            .cast("bigint")
+            .alias("lq"),
+        )
+    )
+    return (
+        b.join(F.broadcast(lam), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            fround(F.sum("lq").cast("double") / 1e9, 4).alias("log_ratio"),
+            (F.sum("lq") > 0).alias("prefer"),
+        )
+        .orderBy("doc_id")
     )
