@@ -1,0 +1,212 @@
+"""LLM-data ops, round 6 batch 6: EXACT-CERTIFIED distributed k-means
+(Lloyd's algorithm, 3 synchronous rounds) over the embeddings table.
+
+k-means is normally uncertifiable across engines (float centroid means
+accumulate in engine-specific reduction orders). This rendering makes
+every step exact:
+
+- coordinates quantize ONCE to integer micro-units (floor(x*1e6));
+- centroids are stored as (integer coordinate SUMS, count) — never as
+  float means — so the update step is a pure integer aggregation
+  (order-independent by commutativity);
+- the assignment metric compares ||x - s/c||² via the exact integer
+  form Σ(x·c − s_d)² (DECIMAL(38)/HUGEINT — max ~6.4e21 ≪ 1e38),
+  divided by c² in ONE double division for the cross-centroid argmin
+  (deterministic: same exact ints → same doubles → same order, ties by
+  centroid id);
+- seeds are vec_id < k (deterministic, content-independent).
+
+The DuckDB oracle unrolls the three rounds as MATERIALIZED CTEs
+(SCALE.md: DuckDB inlines CTEs) and must reproduce the census and the
+integer-derived inertia bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import fround, query, table
+
+_K = 8
+_ROUNDS = 3
+_Q = 1e6  # coordinate quantization (micro-units)
+
+
+def _spark_d2(xq_col, s_col, cnt_col):
+    """Exact integer Σ(x·cnt − s_d)² as DECIMAL(38,0)."""
+    def term(x, sd):
+        t = (x * cnt_col - sd).cast("decimal(38,0)")
+        return t * t
+
+    return F.aggregate(
+        F.zip_with(xq_col, s_col, term),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _kmeans_state(spark: SparkSession, sf_dir: str):
+    """Run _ROUNDS Lloyd iterations; return (pts, centroids) where
+    centroids = (cid, s array<bigint>, cnt bigint)."""
+    emb = table(spark, sf_dir, "embeddings")
+    xq = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * _Q).cast("bigint")
+    )
+    pts = emb.select("vec_id", xq.alias("xq")).localCheckpoint(eager=False)
+    cent = pts.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("xq").alias("s"),
+        F.lit(1).cast("bigint").alias("cnt"),
+    )
+    wmin = Window.partitionBy("vec_id").orderBy("ratio", "cid")
+    for _ in range(_ROUNDS):
+        scored = pts.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "xq",
+            "cid",
+            (
+                _spark_d2(F.col("xq"), F.col("s"), F.col("cnt")).cast("double")
+                / (F.col("cnt") * F.col("cnt")).cast("double")
+            ).alias("ratio"),
+        )
+        assigned = (
+            scored.withColumn("rk", F.row_number().over(wmin))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "xq", "cid")
+        )
+        dims = assigned.select(
+            "cid", F.posexplode("xq").alias("dim", "v")
+        ).groupBy("cid", "dim").agg(F.sum("v").alias("sv"))
+        cent = (
+            dims.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "sv"))
+                    ),
+                    lambda t: t.getField("sv"),
+                ).alias("s"),
+                (F.max("dim") * 0 + F.count(F.lit(1))).alias("_nd"),
+            )
+            .join(
+                assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("cnt")),
+                "cid",
+            )
+            .select("cid", "s", "cnt")
+            .localCheckpoint(eager=False)
+        )
+    return pts, cent, wmin
+
+
+def _sql_d2(x: str, s: str, cnt: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({x}, {s}), "
+        f"z -> CAST(z[1] * {cnt} - z[2] AS HUGEINT)"
+        f" * CAST(z[1] * {cnt} - z[2] AS HUGEINT)))"
+    )
+
+
+def _sql_round(prev: str, a: str, this: str) -> str:
+    d2 = _sql_d2("p.xq", "c.s", "c.cnt")
+    return f"""
+    {a} AS MATERIALIZED (
+      SELECT vec_id, xq, cid FROM (
+        SELECT p.vec_id, p.xq, c.cid,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY CAST({d2} AS DOUBLE)
+                          / CAST(c.cnt * c.cnt AS DOUBLE), c.cid) AS rk
+        FROM pts p CROSS JOIN {prev} c
+      ) WHERE rk = 1
+    ),
+    {this} AS MATERIALIZED (
+      SELECT cid,
+             list(sv ORDER BY dim) AS s,
+             any_value(cnt) AS cnt
+      FROM (
+        SELECT a.cid, n.i AS dim, sum(a.xq[n.i + 1]) AS sv,
+               count(*) AS cnt
+        FROM {a} a JOIN nums n ON n.i < len(a.xq)
+        GROUP BY a.cid, n.i
+      ) GROUP BY cid
+    )"""
+
+
+@query(
+    "ml_kmeans_exact",
+    oracle=f"""
+    WITH nums AS (SELECT t.i FROM range(0, 64) t(i)),
+    pts AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {_Q}) AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+      SELECT vec_id AS cid, xq AS s, CAST(1 AS BIGINT) AS cnt
+      FROM pts WHERE vec_id < {_K}
+    ),{_sql_round('c0', 'a1', 'c1')},{_sql_round('c1', 'a2', 'c2')},{_sql_round('c2', 'a3', 'c3')},
+    final AS (
+      SELECT p.vec_id, c.cid,
+             CAST({_sql_d2('p.xq', 'c.s', 'c.cnt')} AS DOUBLE)
+               / CAST(c.cnt * c.cnt AS DOUBLE) AS d2,
+             row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY CAST({_sql_d2('p.xq', 'c.s', 'c.cnt')} AS DOUBLE)
+                        / CAST(c.cnt * c.cnt AS DOUBLE), c.cid) AS rk
+      FROM pts p CROSS JOIN c3 c
+    )
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+           floor(CAST(sum(CAST(floor(d2 / 1e12 * 1e4) AS BIGINT)) AS DOUBLE)
+                 / 1e4 * 1e4 + 0.5) / 1e4 AS inertia
+    FROM final WHERE rk = 1
+    GROUP BY cid ORDER BY cid
+    """,
+)
+def ml_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means, exact-certified: 3 synchronous Lloyd rounds
+    (k=8, deterministic vec_id<k seeds) where centroids live as INTEGER
+    coordinate sums + counts and assignment compares the exact integer
+    quantity Σ(x·cnt − s_d)² / cnt² — so the entire iteration has no
+    float accumulation anywhere and DuckDB must reproduce the final
+    census bit-for-bit. Per-point final inertia (in original coordinate
+    units, d2/cnt²/Q²) is floor-quantized to 1e-4 BEFORE the per-cluster
+    sum, keeping that last aggregation in exact integers too.
+
+    The MLlib twin (used by the IVF coarse quantizer,
+    operators/similarity.ivf_topk) trains driver-side on a sample; this
+    is the fully-distributed data-parallel form: each round is one
+    broadcast of k centroid states + one scan (assignment) + one
+    integer aggregation (update), the textbook shape at any scale.
+
+    100 TB: k centroid states broadcast (KB); assignment is scan-stage;
+    the update shuffles (cid, dim, partial-sum) triples — k·64 groups;
+    localCheckpoint cuts round lineage (the PageRank discipline)."""
+    pts, cent, wmin = _kmeans_state(spark, sf_dir)
+    final = pts.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        (
+            _spark_d2(F.col("xq"), F.col("s"), F.col("cnt")).cast("double")
+            / (F.col("cnt") * F.col("cnt")).cast("double")
+        ).alias("ratio"),
+    )
+    assigned = (
+        final.withColumn("rk", F.row_number().over(wmin))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cid",
+            F.floor(F.col("ratio") / F.lit(1e12) * F.lit(1e4))
+            .cast("bigint")
+            .alias("d2q"),
+        )
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            fround(F.sum("d2q").cast("double") / 1e4, 4).alias("inertia"),
+        )
+        .orderBy("cid")
+    )
