@@ -113,3 +113,26 @@ def test_token_bound_fails_loud(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         dedup_longest_substring(spark, sf).collect()
     assert "exceeds the 128-token suffix bound" in str(ei.value)
+
+
+def test_kmeans_recovers_planted_pairs(spark, tmp_path):
+    """8 identical-twin pairs, seeds = vec_id<8: every point must land
+    with its twin (n_points=2, inertia 0 per cluster)."""
+    from pyspark.sql import Row
+
+    from prometheus_clickhouselog_exporter_spark.workloads.llmdata17 import (
+        ml_kmeans_exact,
+    )
+
+    rows = []
+    for i in range(8):
+        base = [float(10 * i + d % 3) for d in range(64)]
+        rows.append(Row(vec_id=i, embedding=base, label=i))
+        rows.append(Row(vec_id=i + 8, embedding=base, label=i))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    got = ml_kmeans_exact(spark, str(tmp_path)).collect()
+    assert len(got) == 8
+    assert all(r.n_points == 2 for r in got)
+    assert all(r.inertia == 0.0 for r in got)
