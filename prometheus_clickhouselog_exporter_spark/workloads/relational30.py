@@ -210,3 +210,41 @@ def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lower(min(mk COLLATE UTF8_BINARY)) AS k, count(*) AS n
       FROM q GROUP BY mk COLLATE UTF8_LCASE ORDER BY k
     """)
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+    WITH thr AS (SELECT avg(value) AS t FROM events WHERE value IS NOT NULL)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_above
+    FROM events, thr
+    WHERE value > thr.t
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4: DECLARE VARIABLE / SET VAR): a
+    threshold computed by one statement into a typed session variable,
+    then referenced by name in a second — the multi-statement scripting
+    shape (parameter tables, config-driven filters) SQL-only users
+    previously needed temp views for. The variable materializes the
+    scalar ONCE at SET time (not per reference), so the consuming query
+    plans it as a folded literal; the oracle expresses the same
+    two-phase semantics as a scalar CTE.
+
+    100 TB: SET VAR runs the aggregate as its own job; the main query
+    then gets a constant predicate — pushdown-friendly in a way a
+    correlated scalar subquery only becomes after decorrelation."""
+    ev = _view(spark, sf_dir, "events")
+    spark.sql("DECLARE OR REPLACE VARIABLE _r30_thr DOUBLE DEFAULT 0.0")
+    spark.sql(
+        f"SET VAR _r30_thr = (SELECT avg(value) FROM {ev} "
+        "WHERE value IS NOT NULL)"
+    )
+    return spark.sql(f"""
+      SELECT event_type, count(*) AS n_above
+      FROM {ev}
+      WHERE value > _r30_thr
+      GROUP BY event_type ORDER BY event_type
+    """)
