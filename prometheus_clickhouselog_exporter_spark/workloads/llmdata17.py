@@ -270,3 +270,64 @@ def layout_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "schema_evolution_mergeschema",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,
+           (event_id % 2 = 1) AS from_v2
+    FROM events
+    WHERE value IS NOT NULL AND event_id % 10 < 2
+    ORDER BY event_id
+    """,
+)
+def schema_evolution_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution round-trip (``mergeSchema``): two parquet batches
+    written with DIFFERENT schemas — v1 carries (event_id, cents), v2
+    adds the event_type column — then read back as ONE table with
+    ``mergeSchema=true``. The certified contract is exactly what a
+    100 TB lake relies on when a producer adds a column mid-stream:
+    old files surface NULL for the new column, new files carry it, no
+    row is lost or duplicated, and the unified schema is the field
+    union. The oracle reconstructs the expected merged view
+    arithmetically from the source table (even event_ids were written
+    as v1 → NULL type, odd as v2).
+
+    100 TB: mergeSchema pays a footer-read per file at planning —
+    production pins the table schema in a catalog instead; the
+    EVOLUTION semantics certified here are the same."""
+    from .llmdata11 import _fidelity_tmp
+
+    tmp = _fidelity_tmp("schemaevo-")
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("event_id") % 10 < 2))
+        .select(
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+            "event_type",
+        )
+    )
+    e.filter(F.col("event_id") % 2 == 0).select("event_id", "cents").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/t")
+    e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "cents", "event_type"
+    ).write.mode("append").parquet(f"{tmp}/t")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/t")
+    out = merged.select(
+        "event_id",
+        "cents",
+        "event_type",
+        F.col("event_type").isNotNull().alias("from_v2"),
+    ).orderBy("event_id")
+    rows, schema = out.collect(), out.schema
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
