@@ -10,6 +10,7 @@ pagination, parameterized SQL (named markers through
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .core import query, table
 
@@ -248,3 +249,68 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE value > _r30_thr
       GROUP BY event_type ORDER BY event_type
     """)
+
+
+@query(
+    "join_hints_battery",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_custs,
+             floor(sum(o.o_totalprice) * 100 + 0.5) / 100 AS total
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+    )
+    SELECT s.strategy, a.n_orders, a.n_custs, a.total
+    FROM agg a, (SELECT unnest(['broadcast', 'merge', 'shuffle_hash'])
+                 AS strategy) s
+    ORDER BY s.strategy
+    """,
+)
+def join_hints_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join strategy hints, plan-asserted: the SAME customer⋈orders
+    aggregate executed three times under /*+ BROADCAST */,
+    /*+ SHUFFLE_HASH */ and /*+ MERGE */ — each run's physical plan is
+    checked for the corresponding node (BroadcastHashJoin /
+    ShuffledHashJoin / SortMergeJoin; a silently ignored hint fails
+    loudly) — and all three must hash-identical against one oracle
+    aggregate. This certifies both halves of the optimizer contract:
+    hints CONTROL the physical strategy, and the strategy NEVER changes
+    the answer.
+
+    100 TB: the decision these hints override is the one that matters
+    most at scale — broadcast beats shuffle while the dim fits, degrades
+    catastrophically past it; shuffled-hash beats sort-merge when one
+    side is much smaller than the other but too big to broadcast."""
+    o = _view(spark, sf_dir, "orders")
+    c = _view(spark, sf_dir, "customer")
+    parts = []
+    for hint, node in [
+        ("BROADCAST(c)", "BroadcastHashJoin"),
+        ("MERGE(c)", "SortMergeJoin"),
+        ("SHUFFLE_HASH(c)", "ShuffledHashJoin"),
+    ]:
+        df = spark.sql(f"""
+          SELECT /*+ {hint} */
+                 count(*) AS n_orders,
+                 count(DISTINCT o.o_custkey) AS n_custs,
+                 floor(sum(o.o_totalprice) * 100 + 0.5) / 100 AS total
+          FROM {o} o JOIN {c} c ON c.c_custkey = o.o_custkey
+          WHERE c.c_mktsegment = 'BUILDING'
+        """)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if node not in plan:
+            raise AssertionError(
+                f"join_hints_battery: hint {hint} did not produce {node}:\n"
+                + plan[:1500]
+            )
+        strategy = hint.split("(")[0].lower()
+        parts.append(
+            df.select(
+                F.lit(strategy).alias("strategy"), "n_orders", "n_custs", "total"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("strategy")
