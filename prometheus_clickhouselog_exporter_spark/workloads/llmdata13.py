@@ -32,6 +32,7 @@ from .core import query, table
 
 _T = 128  # suffix truncation + oracle numbers-table bound (tokens)
 _L = 10  # minimum duplicated span worth reporting (tokens)
+_ACTION_L = 20  # document-removal policy threshold (tokens)
 
 # Shared SQL prefix: tokenize -> emit (pos, first-two-token bucket,
 # truncated suffix) -> sort within bucket -> adjacent LCP. lcps is
@@ -230,4 +231,59 @@ def dedup_longest_substring_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy(F.desc("len_tokens"), "dup_text")
         .limit(20)
+    )
+
+
+@query(
+    "dedup_substring_action",
+    oracle=_SUFFIX_CTE
+    + f""",
+    flagged AS (
+      SELECT DISTINCT d FROM (
+        SELECT doc_id AS d FROM lcps WHERE lcp >= {_ACTION_L} AND crossdoc
+        UNION ALL
+        SELECT pdoc FROM lcps WHERE lcp >= {_ACTION_L} AND crossdoc
+      )
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count_if(f.d IS NOT NULL) AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN f.d IS NULL THEN length(t.text) END)
+                AS BIGINT) AS surviving_chars
+    FROM documents t LEFT JOIN flagged f ON f.d = t.doc_id
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def dedup_substring_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION the suffix-array instrument exists for
+    (deduplicate-text-datasets' document-removal policy): flag every
+    document sharing a cross-document duplicated span of >= 20 (_ACTION_L)
+    tokens, report per-source survival (doc counts, flagged counts,
+    surviving character volume). Composes _suffix_lcp end-to-end —
+    instrument → policy → corpus accounting — the way a curation run
+    actually consumes it. (Span-level REMOVAL, cutting just the
+    duplicated tokens, is the other published policy; the per-doc span
+    coordinates this pipeline already emits are exactly its input.)"""
+    lcps = _suffix_lcp(spark, sf_dir).filter(
+        (F.col("lcp") >= _ACTION_L) & F.col("crossdoc")
+    )
+    flagged = (
+        lcps.select(
+            F.explode(F.array(F.col("doc_id"), F.col("pdoc"))).alias("d")
+        )
+        .distinct()
+        .withColumn("is_flagged", F.lit(True))
+    )
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.join(flagged, d["doc_id"] == flagged["d"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("is_flagged").isNotNull()).alias("n_flagged"),
+            F.sum(
+                F.when(F.col("is_flagged").isNull(), F.length("text"))
+            ).cast("bigint").alias("surviving_chars"),
+        )
+        .orderBy("source")
     )

@@ -331,3 +331,30 @@ def schema_evolution_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "union_by_name_reconcile",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars END AS BIGINT)
+             AS n_chars,
+           CASE WHEN doc_id % 2 = 1 THEN source END AS source
+    FROM documents WHERE doc_id % 7 = 0
+    ORDER BY doc_id
+    """,
+)
+def union_by_name_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unionByName(allowMissingColumns=True)`` — schema reconciliation
+    by COLUMN NAME with NULL backfill, the union a pipeline needs when
+    two producers of the same logical feed drift apart (one kept
+    n_chars, the other kept source). Positional union would silently
+    misalign columns; by-name union with backfill is the safe form, and
+    the oracle reconstructs the exact expected NULL pattern from the
+    split rule (even doc_ids came from producer A, odd from B)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    a = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    b = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "source")
+    return a.unionByName(b, allowMissingColumns=True).orderBy("doc_id")
