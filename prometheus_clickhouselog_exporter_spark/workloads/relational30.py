@@ -281,7 +281,13 @@ def join_hints_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: the decision these hints override is the one that matters
     most at scale — broadcast beats shuffle while the dim fits, degrades
     catastrophically past it; shuffled-hash beats sort-merge when one
-    side is much smaller than the other but too big to broadcast."""
+    side is much smaller than the other but too big to broadcast.
+
+    plan_audit's rescan x3 flag here is SEMANTICALLY IRREDUCIBLE: the
+    battery's purpose is three independent physical plans over the same
+    scans — checkpointing the inputs would collapse the very strategies
+    under test (a checkpointed side can't be broadcast-planned from the
+    hint's perspective the same way)."""
     o = _view(spark, sf_dir, "orders")
     c = _view(spark, sf_dir, "customer")
     parts = []
