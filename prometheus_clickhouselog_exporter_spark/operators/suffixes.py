@@ -1,0 +1,109 @@
+"""Suffix-adjacency LCP with prefix-doubling extension — the unbounded-
+document path of the suffix-array substring dedup (workloads/llmdata13
+is the fixed-bound registry form; this operator removes the bound).
+
+Why doubling: sorting truncated suffixes is exact only while no two
+DISTINCT suffixes share an entire truncation-length prefix — past that,
+tie blocks sort arbitrarily and the max-LCP pair may not be adjacent.
+Rather than materializing full suffixes (O(n·maxlen) data), the loop
+re-sorts with a doubled slice length only while a tie at the current
+cap exists, detected by a 1-row convergence aggregate (the CC-checksum
+discipline, operators/dedup.py): each round costs one sort of
+O(n · cap) tokens, and caps grow geometrically, so total work is within
+2x of the final cap — the classical prefix-doubling bound, rendered as
+plain DataFrame ops.
+
+100 TB: the sort is Spark's range-partitioned sort (never a global
+window); the convergence check collects ONE row per round. Web-corpus
+distributions converge at small caps (shared prefixes longer than a few
+hundred tokens are exactly the near-duplicate mass the operator exists
+to find).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def suffix_lcp_unbounded(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    start_cap: int = 16,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Adjacency rows (doc_id, pos, pdoc, ppos, crossdoc, lcp) with EXACT
+    LCPs for arbitrarily long documents: the sort key doubles from
+    ``start_cap`` tokens until no adjacent pair ties at the cap (or
+    ``max_rounds`` doublings — then it fails loud rather than return a
+    truncated answer).
+    """
+    tokens = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), tokens.alias("tokens")
+    )
+    sufs_base = toks.select(
+        "doc_id",
+        F.posexplode("tokens").alias("pos", "tok1"),
+        "tokens",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        "tok1",
+        F.coalesce(F.get("tokens", F.col("pos") + 1), F.lit("")).alias("tok2"),
+        "tokens",
+    ).localCheckpoint(eager=False)
+
+    cap = start_cap
+    for _ in range(max_rounds):
+        sufs = sufs_base.select(
+            "doc_id",
+            "pos",
+            "tok1",
+            "tok2",
+            F.slice("tokens", F.col("pos") + 1, cap).alias("suf"),
+        )
+        w = Window.partitionBy("tok1", "tok2").orderBy("suf", "doc_id", "pos")
+        adj = sufs.select(
+            "doc_id",
+            "pos",
+            "suf",
+            F.lag("doc_id").over(w).alias("pdoc"),
+            F.lag("pos").over(w).alias("ppos"),
+            F.lag("suf").over(w).alias("psuf"),
+        ).filter(F.col("psuf").isNotNull())
+        lcp = F.coalesce(
+            F.nullif(
+                F.array_position(
+                    F.zip_with("suf", "psuf", lambda x, y: x == y), F.lit(False)
+                ),
+                F.lit(0),
+            )
+            - 1,
+            F.least(F.size("suf"), F.size("psuf")).cast("long"),
+        ).cast("bigint")
+        out = adj.select(
+            "doc_id",
+            "pos",
+            "pdoc",
+            "ppos",
+            (F.col("doc_id") != F.col("pdoc")).alias("crossdoc"),
+            lcp.alias("lcp"),
+            # a tie at the cap means BOTH sides filled the cap and
+            # matched it entirely — only then can the true LCP exceed it
+            (
+                (lcp == cap)
+                & (F.size("suf") == cap)
+                & (F.size("psuf") == cap)
+            ).alias("_capped"),
+        ).localCheckpoint(eager=False)
+        ties = out.agg(F.count_if(F.col("_capped")).alias("n")).first()["n"]
+        if ties == 0:
+            return out.drop("_capped")
+        cap *= 2
+    raise RuntimeError(
+        f"suffix_lcp_unbounded: ties persist at cap={cap} after "
+        f"{max_rounds} doublings — raise max_rounds (corpus has "
+        "duplicated prefixes longer than the cap)"
+    )

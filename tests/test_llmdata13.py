@@ -136,3 +136,49 @@ def test_kmeans_recovers_planted_pairs(spark, tmp_path):
     assert len(got) == 8
     assert all(r.n_points == 2 for r in got)
     assert all(r.inertia == 0.0 for r in got)
+
+
+def test_unbounded_suffix_lcp_matches_bruteforce_on_long_docs(spark, tmp_path):
+    """Prefix-doubling path: documents far beyond the registry query's
+    128-token bound, with a planted 200-token shared run — exact LCPs
+    must match the O(n^2) reference, and the doubling loop must have
+    actually extended past its 16-token start cap."""
+    from prometheus_clickhouselog_exporter_spark.operators.suffixes import (
+        suffix_lcp_unbounded,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(200))  # 200-token dup run
+    texts = [
+        shared + " " + " ".join(f"a{i}" for i in range(150)),
+        " ".join(f"b{i}" for i in range(100)) + " " + shared,
+        " ".join(f"c{i}" for i in range(300)),  # long, unique
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    rows = suffix_lcp_unbounded(docs).collect()
+    got_max = max(r.lcp for r in rows)
+    best = _brute_longest_dup(texts)
+    assert got_max == max(best.values()) == 200
+    # per-doc maxima also agree for every doc the brute force flags
+    per_doc: dict[int, int] = {}
+    for r in rows:
+        for d in (r.doc_id, r.pdoc):
+            per_doc[d] = max(per_doc.get(d, 0), r.lcp)
+    for d, v in best.items():
+        if v >= 2:  # bucketed adjacency is exact for LCP >= 2
+            assert per_doc[d] == v, (d, per_doc.get(d), v)
+
+
+def test_unbounded_suffix_fails_loud_past_max_rounds(spark, tmp_path):
+    import pytest
+
+    from prometheus_clickhouselog_exporter_spark.operators.suffixes import (
+        suffix_lcp_unbounded,
+    )
+
+    dup = " ".join(f"w{i}" for i in range(80))
+    texts = [dup + " x", dup + " y"]
+    sf = _write_docs(spark, tmp_path, texts)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    with pytest.raises(RuntimeError, match="ties persist"):
+        suffix_lcp_unbounded(docs, start_cap=4, max_rounds=2)
