@@ -18,9 +18,10 @@ until buckets fit an executor; the per-bucket sort is Spark's own
 range-partitioned sort, never a single-partition window (plan_audit
 enforces). Suffixes are truncated to _T tokens: exact here because the
 corpus max doc length (100 tokens) is below _T = 128, fail-loud past it
-(no-silent-caps rule); unbounded documents would take the
-prefix-doubling extension (re-rank ties at 2T, 4T, ...) — the same
-boundary-stitch shape streaming/sequential.py uses.
+(no-silent-caps rule); unbounded documents take the
+prefix-doubling extension — implemented in operators/suffixes.py
+(suffix_lcp_unbounded: the sort cap doubles while any adjacent pair
+ties at it; brute-force-certified on 300-token fixture docs).
 """
 
 from __future__ import annotations
