@@ -358,3 +358,59 @@ def union_by_name_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "source")
     return a.unionByName(b, allowMissingColumns=True).orderBy("doc_id")
+
+
+@query(
+    "layout_compaction_maxrecords",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events
+               WHERE value IS NOT NULL)
+    SELECT n_rows,
+           CAST(ceil(CAST(n_rows AS DOUBLE) / 2500) AS BIGINT) AS n_files,
+           (SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT)
+            FROM events WHERE value IS NOT NULL) AS checksum_cents
+    FROM n
+    """,
+)
+def layout_compaction_maxrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-size governance round-trip (the small-files problem's write-
+    side control): one logical partition written with
+    ``maxRecordsPerFile=2500`` must split into exactly ceil(rows/2500)
+    parquet files — certified by counting the actual files on disk —
+    and re-reading them must preserve every row (integer-cents checksum
+    vs the source table). This is the compaction knob a 100 TB lake
+    tunes so downstream scans get row-group-sized files instead of a
+    million shards or one unsplittable blob; the file COUNT reaching
+    the oracle makes a silent regression of the option (writing one
+    giant file) a hash mismatch, not a slow surprise."""
+    from .llmdata11 import _fidelity_tmp
+
+    tmp = _fidelity_tmp("compaction-")
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        "event_id", "value"
+    )
+    (
+        e.coalesce(1)
+        .write.option("maxRecordsPerFile", 2500)
+        .mode("overwrite")
+        .parquet(f"{tmp}/t")
+    )
+    import os
+
+    n_files = len(
+        [f for f in os.listdir(f"{tmp}/t") if f.endswith(".parquet")]
+    )
+    back = spark.read.parquet(f"{tmp}/t")
+    out = back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(n_files).cast("bigint").alias("n_files"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("checksum_cents"),
+    )
+    rows, schema = out.collect(), out.schema
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
