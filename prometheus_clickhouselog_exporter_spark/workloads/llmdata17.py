@@ -414,3 +414,34 @@ def layout_compaction_maxrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "metadata_columns_provenance",
+    oracle="""
+    SELECT 'events.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    """,
+)
+def metadata_columns_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns (Spark 3.5+ ``_metadata`` struct on
+    file-source scans): per-file row provenance — file name, row count,
+    distinct types — pulled from the scan's OWN metadata column instead
+    of a side-channel (the engine-native form of what the
+    clickhouse_log Python source synthesizes by hand). The driver's
+    single-file-per-table layout makes the expected name a constant the
+    oracle can state; on a real lake this is the query auditors run to
+    trace a bad record to its source file.
+
+    100 TB: `_metadata` is populated at scan time per split — zero
+    extra I/O (constant per file), and filters on `_metadata.file_path`
+    prune files before reading data pages."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("_metadata.file_name").alias("file_name"), "event_type"
+    )
+    return e.groupBy("file_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
