@@ -498,6 +498,66 @@ def ivfpq_topk(
     )
 
 
+def _lsh_candidate_graph(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    graph_degree: int,
+    seed: int,
+):
+    """Shared LSH candidate stage + in-bucket kNN graph (the expansion
+    substrate for graph_expand_topk and beam_search_topk): returns
+    (c_base, q_base, base candidates, top-degree edges), each
+    checkpointed so the corpus is normalized/bucketed ONCE (plan audit:
+    embeddings was rescanned 10x through recomputed lineage)."""
+    bucketer = _sign_buckets_udf(dim, n_planes, n_tables, seed)
+    c_base = corpus.select(
+        F.col(id_col).alias("nbr_id"), normalize(F.col(vec_col)).alias("_cv")
+    ).localCheckpoint(eager=False)
+    q_base = queries.select(
+        F.col(query_id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qv")
+    ).localCheckpoint(eager=False)
+    c_ids = c_base.withColumn("_bucket", F.explode(bucketer(F.col("_cv")))).select(
+        "nbr_id", "_bucket"
+    ).localCheckpoint(eager=False)
+    q_ids = q_base.withColumn("_bucket", F.explode(bucketer(F.col("_qv")))).select(
+        "query_id", "_bucket"
+    )
+    base = (
+        c_ids.join(q_ids, ["_bucket"])
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id")
+        .dropDuplicates(["query_id", "nbr_id"])
+        .localCheckpoint(eager=False)
+    )
+    a = c_ids.select(F.col("nbr_id").alias("src"), "_bucket")
+    b = c_ids.select(F.col("nbr_id").alias("dst"), "_bucket")
+    cand_edges = (
+        a.join(b, ["_bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    sv = c_base.select(F.col("nbr_id").alias("src"), F.col("_cv").alias("_sv"))
+    dv = c_base.select(F.col("nbr_id").alias("dst"), F.col("_cv").alias("_dv"))
+    wg = Window.partitionBy("src").orderBy(F.col("edge_cos").desc(), F.col("dst"))
+    edges = (
+        cand_edges.join(sv, "src")
+        .join(dv, "dst")
+        .withColumn("edge_cos", dot(F.col("_sv"), F.col("_dv")))
+        .withColumn("erk", F.row_number().over(wg))
+        .filter(F.col("erk") <= graph_degree)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    return c_base, q_base, base, edges
+
+
 def graph_expand_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -534,51 +594,9 @@ def graph_expand_topk(
     candidate ids to graph edges — ids only, vectors rejoin for the
     final re-rank exactly once per distinct candidate.
     """
-    bucketer = _sign_buckets_udf(dim, n_planes, n_tables, seed)
-    # c_base feeds bucketing + both graph-edge vector sides + the final
-    # re-rank; c_ids feeds the base join and both edge-candidate sides —
-    # checkpoint each so the corpus is normalized/bucketed ONCE (plan
-    # audit: embeddings was rescanned 10x through recomputed lineage).
-    c_base = corpus.select(
-        F.col(id_col).alias("nbr_id"), normalize(F.col(vec_col)).alias("_cv")
-    ).localCheckpoint(eager=False)
-    q_base = queries.select(
-        F.col(query_id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qv")
-    ).localCheckpoint(eager=False)
-    c_ids = c_base.withColumn("_bucket", F.explode(bucketer(F.col("_cv")))).select(
-        "nbr_id", "_bucket"
-    ).localCheckpoint(eager=False)
-    q_ids = q_base.withColumn("_bucket", F.explode(bucketer(F.col("_qv")))).select(
-        "query_id", "_bucket"
-    )
-    base = (
-        c_ids.join(q_ids, ["_bucket"])
-        .filter(F.col("query_id") != F.col("nbr_id"))
-        .select("query_id", "nbr_id")
-        .dropDuplicates(["query_id", "nbr_id"])
-        .localCheckpoint(eager=False)
-    )
-
-    # kNN graph from the same buckets: distinct in-bucket pairs, exact
-    # cosine, keep top-degree per source node (WindowGroupLimit).
-    a = c_ids.select(F.col("nbr_id").alias("src"), "_bucket")
-    b = c_ids.select(F.col("nbr_id").alias("dst"), "_bucket")
-    cand_edges = (
-        a.join(b, ["_bucket"])
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .dropDuplicates(["src", "dst"])
-    )
-    sv = c_base.select(F.col("nbr_id").alias("src"), F.col("_cv").alias("_sv"))
-    dv = c_base.select(F.col("nbr_id").alias("dst"), F.col("_cv").alias("_dv"))
-    wg = Window.partitionBy("src").orderBy(F.col("edge_cos").desc(), F.col("dst"))
-    edges = (
-        cand_edges.join(sv, "src")
-        .join(dv, "dst")
-        .withColumn("edge_cos", dot(F.col("_sv"), F.col("_dv")))
-        .withColumn("erk", F.row_number().over(wg))
-        .filter(F.col("erk") <= graph_degree)
-        .select("src", "dst")
+    c_base, q_base, base, edges = _lsh_candidate_graph(
+        corpus, queries, vec_col, id_col, query_id_col,
+        dim, n_planes, n_tables, graph_degree, seed,
     )
 
     # one-hop expansion: candidates ∪ neighbors-of-candidates (ids only)
@@ -661,4 +679,74 @@ def certify_topk_bound(
             (F.col("_worst") >= F.col("_kth") - F.lit(eps)).alias("within_eps"),
         )
         .orderBy("query_id")
+    )
+
+
+def beam_search_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 10,
+    beam: int = 16,
+    hops: int = 2,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    graph_degree: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Beam search over the bucket-built kNN graph — the HNSW search
+    loop in batch form: from the weak LSH candidates, iterate `hops`
+    rounds of (score frontier by TRUE cosine → keep top-`beam` per
+    query → expand via graph edges → add unseen nodes), then exact
+    re-rank of everything visited. One hop with an unbounded beam is
+    graph_expand_topk; the beam bound is what keeps multi-hop state
+    linear in (queries × beam × degree) instead of exploding with the
+    neighborhood power.
+
+    100 TB: each hop is two id-only joins (frontier×vectors for the
+    beam cut, frontier×edges for expansion) plus a left-anti against
+    the visited set; vectors rejoin once per NEW node only. State per
+    query is O(beam·degree·hops) ids — the property that lets beam
+    search run as a handful of batch rounds at any corpus size."""
+    c_base, q_base, base, edges = _lsh_candidate_graph(
+        corpus, queries, vec_col, id_col, query_id_col,
+        dim, n_planes, n_tables, graph_degree, seed,
+    )
+    wbeam = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id")
+    )
+    visited = base
+    frontier = base
+    for _ in range(hops):
+        cut = (
+            frontier.join(c_base, "nbr_id")
+            .join(q_base, "query_id")
+            .withColumn("cosine", dot(F.col("_qv"), F.col("_cv")))
+            .withColumn("brk", F.row_number().over(wbeam))
+            .filter(F.col("brk") <= beam)
+            .select("query_id", "nbr_id")
+        )
+        hop = cut.join(edges, cut["nbr_id"] == edges["src"]).select(
+            "query_id", F.col("dst").alias("nbr_id")
+        ).dropDuplicates(["query_id", "nbr_id"])
+        new = (
+            hop.filter(F.col("query_id") != F.col("nbr_id"))
+            .join(visited, ["query_id", "nbr_id"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id")
+    )
+    return (
+        visited.join(c_base, "nbr_id")
+        .join(q_base, "query_id")
+        .withColumn("cosine", dot(F.col("_qv"), F.col("_cv")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "nbr_id", "cosine", "rk")
     )

