@@ -26,6 +26,46 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def adjacency_lcp(sufs: DataFrame) -> DataFrame:
+    """Shared suffix-adjacency core (used by the fixed-bound registry
+    form, workloads/llmdata13, AND the doubling loop below): given
+    (doc_id, pos, tok1, tok2, suf) rows, sort within the 2-token
+    bucket, lag to the sorted neighbor, and fold the token LCP with the
+    cross-engine-verified zip-equality recipe (array_position returns 0
+    when not found in BOTH engines; zip padding NULLs are skipped by
+    both — the coalesce(nullif(..., 0) - 1, least(sizes)) shape).
+    Returns (doc_id, pos, suf, psuf, pdoc, ppos, crossdoc, lcp)."""
+    w = Window.partitionBy("tok1", "tok2").orderBy("suf", "doc_id", "pos")
+    adj = sufs.select(
+        "doc_id",
+        "pos",
+        "suf",
+        F.lag("doc_id").over(w).alias("pdoc"),
+        F.lag("pos").over(w).alias("ppos"),
+        F.lag("suf").over(w).alias("psuf"),
+    ).filter(F.col("psuf").isNotNull())
+    lcp = F.coalesce(
+        F.nullif(
+            F.array_position(
+                F.zip_with("suf", "psuf", lambda x, y: x == y), F.lit(False)
+            ),
+            F.lit(0),
+        )
+        - 1,
+        F.least(F.size("suf"), F.size("psuf")).cast("long"),
+    ).cast("bigint")
+    return adj.select(
+        "doc_id",
+        "pos",
+        "suf",
+        "psuf",
+        "pdoc",
+        "ppos",
+        (F.col("doc_id") != F.col("pdoc")).alias("crossdoc"),
+        lcp.alias("lcp"),
+    )
+
+
 def suffix_lcp_unbounded(
     docs: DataFrame,
     text_col: str = "text",
@@ -40,60 +80,45 @@ def suffix_lcp_unbounded(
     truncated answer).
     """
     tokens = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    # Checkpoint the token ARRAYS once per doc and the slim per-position
+    # rows separately: materializing the full array on every position
+    # row would be O(doc_len^2) cells per document — exactly the blowup
+    # the doubling loop exists to avoid. Each round re-joins positions
+    # to the per-doc arrays and slices to the current cap, so storage is
+    # O(n) and per-round data is O(n * cap).
     toks = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), tokens.alias("tokens")
-    )
+    ).localCheckpoint(eager=False)
     sufs_base = toks.select(
         "doc_id",
         F.posexplode("tokens").alias("pos", "tok1"),
-        "tokens",
     ).select(
         "doc_id",
         F.col("pos").cast("bigint").alias("pos"),
         "tok1",
-        F.coalesce(F.get("tokens", F.col("pos") + 1), F.lit("")).alias("tok2"),
-        "tokens",
     ).localCheckpoint(eager=False)
 
     cap = start_cap
     for _ in range(max_rounds):
-        sufs = sufs_base.select(
+        sufs = sufs_base.join(toks, "doc_id").select(
             "doc_id",
             "pos",
             "tok1",
-            "tok2",
+            F.coalesce(F.get("tokens", F.col("pos") + 1), F.lit("")).alias("tok2"),
             F.slice("tokens", F.col("pos") + 1, cap).alias("suf"),
         )
-        w = Window.partitionBy("tok1", "tok2").orderBy("suf", "doc_id", "pos")
-        adj = sufs.select(
-            "doc_id",
-            "pos",
-            "suf",
-            F.lag("doc_id").over(w).alias("pdoc"),
-            F.lag("pos").over(w).alias("ppos"),
-            F.lag("suf").over(w).alias("psuf"),
-        ).filter(F.col("psuf").isNotNull())
-        lcp = F.coalesce(
-            F.nullif(
-                F.array_position(
-                    F.zip_with("suf", "psuf", lambda x, y: x == y), F.lit(False)
-                ),
-                F.lit(0),
-            )
-            - 1,
-            F.least(F.size("suf"), F.size("psuf")).cast("long"),
-        ).cast("bigint")
-        out = adj.select(
+        rows = adjacency_lcp(sufs)
+        out = rows.select(
             "doc_id",
             "pos",
             "pdoc",
             "ppos",
-            (F.col("doc_id") != F.col("pdoc")).alias("crossdoc"),
-            lcp.alias("lcp"),
+            "crossdoc",
+            "lcp",
             # a tie at the cap means BOTH sides filled the cap and
             # matched it entirely — only then can the true LCP exceed it
             (
-                (lcp == cap)
+                (F.col("lcp") == cap)
                 & (F.size("suf") == cap)
                 & (F.size("psuf") == cap)
             ).alias("_capped"),

@@ -124,41 +124,72 @@ class PromTextfileDataSource(DataSource):
 
 
 class PromFileCommit(WriterCommitMessage):
-    def __init__(self, path: str, rows: int):
-        self.path = path
+    def __init__(self, tmp_path: str, final_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.final_path = final_path
         self.rows = rows
 
 
 class PromTextfileWriter(DataSourceWriter):
+    """Two-phase commit discipline: every task writes to an
+    attempt-unique DOTFILE temp name (speculative/retried attempts can
+    never interleave into one file, and the textfile collector ignores
+    dotfiles), the driver-side commit() renames the winning attempts to
+    their final names, and abort() removes temps. Overwrite clears
+    pre-existing .prom files at PLANNING time (driver), so a 2-partition
+    overwrite of a 4-partition directory cannot leave stale shards for
+    the collector to scrape. A per-write token in the final names keeps
+    append mode append (a second write never clobbers part-00000 of the
+    first)."""
+
     def __init__(self, options, overwrite: bool):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("prom_textfile: a path is required")
-        self.overwrite = overwrite
+        self.token = uuid.uuid4().hex[:8]
+        if overwrite and os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if f.endswith(".prom") or f == "_MANIFEST":
+                    os.remove(os.path.join(self.path, f))
 
     def write(self, iterator) -> PromFileCommit:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid, att = ctx.partitionId(), ctx.taskAttemptId()
         os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{pid:05d}.prom")
+        final = os.path.join(self.path, f"part-{self.token}-{pid:05d}.prom")
+        tmp = os.path.join(self.path, f".part-{self.token}-{pid:05d}-{att}.tmp")
         n = 0
-        with open(out, "w", encoding="utf-8") as fh:
+        with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
                 labels = f"{{{row.labels}}}" if row.labels else ""
                 fh.write(f"{row.name}{labels} {row.value!r}\n")
                 n += 1
-        return PromFileCommit(out, n)
+        return PromFileCommit(tmp, final, n)
 
     def commit(self, messages) -> None:
+        for m in messages:
+            os.replace(m.tmp_path, m.final_path)
         manifest = os.path.join(self.path, "_MANIFEST")
         with open(manifest, "w", encoding="utf-8") as fh:
             for m in messages:
-                fh.write(f"{os.path.basename(m.path)}\t{m.rows}\n")
+                fh.write(f"{os.path.basename(m.final_path)}\t{m.rows}\n")
+        # sweep losing-attempt temps of this write (zombie speculative
+        # tasks that returned no commit message)
+        for f in os.listdir(self.path):
+            if f.startswith(f".part-{self.token}-") and f.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
 
     def abort(self, messages) -> None:
-        for m in messages:
-            try:
-                os.remove(m.path)
-            except OSError:
-                pass
+        for f in os.listdir(self.path) if os.path.isdir(self.path) else []:
+            if f.startswith(f".part-{self.token}-") and f.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass

@@ -109,33 +109,10 @@ def _suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.get("tokens", F.col("pos") + 1), F.lit("")).alias("tok2"),
         F.slice("tokens", F.col("pos") + 1, _T).alias("suf"),
     )
-    w = Window.partitionBy("tok1", "tok2").orderBy("suf", "doc_id", "pos")
-    adj = sufs.select(
-        "doc_id",
-        "pos",
-        "suf",
-        F.lag("doc_id").over(w).alias("pdoc"),
-        F.lag("pos").over(w).alias("ppos"),
-        F.lag("suf").over(w).alias("psuf"),
-    ).filter(F.col("psuf").isNotNull())
-    lcp = F.coalesce(
-        F.nullif(
-            F.array_position(
-                F.zip_with("suf", "psuf", lambda x, y: x == y), F.lit(False)
-            ),
-            F.lit(0),
-        )
-        - 1,
-        F.least(F.size("suf"), F.size("psuf")).cast("long"),
-    ).cast("bigint")
-    return adj.select(
-        "doc_id",
-        "pos",
-        "pdoc",
-        "ppos",
-        (F.col("doc_id") != F.col("pdoc")).alias("crossdoc"),
-        "suf",
-        lcp.alias("lcp"),
+    from ..operators.suffixes import adjacency_lcp
+
+    return adjacency_lcp(sufs).select(
+        "doc_id", "pos", "pdoc", "ppos", "crossdoc", "suf", "lcp"
     )
 
 

@@ -75,9 +75,15 @@ def _kmeans_state(spark: SparkSession, sf_dir: str):
             .filter(F.col("rk") == 1)
             .select("vec_id", "xq", "cid")
         )
-        dims = assigned.select(
-            "cid", F.posexplode("xq").alias("dim", "v")
-        ).groupBy("cid", "dim").agg(F.sum("v").alias("sv"))
+        # carry the member count through the per-(cid,dim) fold (every
+        # dim sees all the cluster's points, so count(*) there IS the
+        # cluster size) — one pass over `assigned`, no second groupBy
+        # re-evaluating the N×k scored crossJoin (the oracle's shape)
+        dims = (
+            assigned.select("cid", F.posexplode("xq").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("cdim"))
+        )
         cent = (
             dims.groupBy("cid")
             .agg(
@@ -87,13 +93,8 @@ def _kmeans_state(spark: SparkSession, sf_dir: str):
                     ),
                     lambda t: t.getField("sv"),
                 ).alias("s"),
-                (F.max("dim") * 0 + F.count(F.lit(1))).alias("_nd"),
+                F.max("cdim").alias("cnt"),
             )
-            .join(
-                assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("cnt")),
-                "cid",
-            )
-            .select("cid", "s", "cnt")
             .localCheckpoint(eager=False)
         )
     return pts, cent, wmin
@@ -265,11 +266,11 @@ def layout_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
-    rows, schema = out.collect(), out.schema
-    import shutil
+    from .llmdata11 import _materialize
 
-    shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return _materialize(
+        spark, tmp, out, "event_type string, n bigint, n_users bigint"
+    )
 
 
 @query(
@@ -326,11 +327,12 @@ def schema_evolution_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("event_type").isNotNull().alias("from_v2"),
     ).orderBy("event_id")
-    rows, schema = out.collect(), out.schema
-    import shutil
+    from .llmdata11 import _materialize
 
-    shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return _materialize(
+        spark, tmp, out,
+        "event_id bigint, cents bigint, event_type string, from_v2 boolean",
+    )
 
 
 @query(
@@ -409,11 +411,11 @@ def layout_compaction_maxrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("checksum_cents"),
     )
-    rows, schema = out.collect(), out.schema
-    import shutil
+    from .llmdata11 import _materialize
 
-    shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return _materialize(
+        spark, tmp, out, "n_rows bigint, n_files bigint, checksum_cents bigint"
+    )
 
 
 @query(

@@ -50,9 +50,12 @@ def window_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
     value, count minus one — against DuckDB's REAL `EXCLUDE CURRENT
     ROW` implementation: a hash match proves the rewrite is exactly the
     missing surface, which is the recipe a user migrating EXCLUDE
-    queries onto Spark needs. Integer-quantized values keep the sums
-    exact; rows with NULL value are filtered before the window on both
-    sides, so v is never NULL and the subtraction is safe.
+    queries onto Spark needs — including the empty-frame corner: real
+    EXCLUDE yields NULL (not 0) when the current row is its whole
+    frame, so the composition guards the subtraction with the frame
+    count. Integer-quantized values keep the sums exact; rows with NULL
+    value are filtered before the window on both sides, so v is never
+    NULL and the subtraction is safe.
 
     100 TB: identical cost to the plain frame — one hash partition by
     type + in-partition sort; the subtraction is free."""
@@ -64,9 +67,15 @@ def window_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {ev} WHERE value IS NOT NULL
       )
       SELECT event_id,
-             sum(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             -- empty-frame parity: real EXCLUDE yields NULL (not 0)
+             -- when the current row is the whole frame
+             CASE WHEN count(*) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) > 1
+                  THEN sum(v) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id
                           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) - v
-               AS neighbor_sum,
+             END AS neighbor_sum,
              count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
                           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) - 1
                AS neighbor_n
@@ -216,11 +225,16 @@ def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_session_variables",
     oracle="""
-    WITH thr AS (SELECT avg(value) AS t FROM events WHERE value IS NOT NULL)
+    WITH thr AS (
+      SELECT CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                              AS DOUBLE) / count(*)) AS BIGINT) AS t
+      FROM events WHERE value IS NOT NULL
+    )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_above
     FROM events, thr
-    WHERE value > thr.t
+    WHERE value IS NOT NULL
+      AND CAST(floor(value * 100 + 0.5) AS BIGINT) > thr.t
     GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -229,7 +243,10 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold computed by one statement into a typed session variable,
     then referenced by name in a second — the multi-statement scripting
     shape (parameter tables, config-driven filters) SQL-only users
-    previously needed temp views for. The variable materializes the
+    previously needed temp views for. The threshold is the FLOOR of the
+    integer-cents mean — exact in both engines, where a raw float avg
+    would differ in the last ulp by reduction order and could flip a
+    count on a knife-edge value. The variable materializes the
     scalar ONCE at SET time (not per reference), so the consuming query
     plans it as a folded literal; the oracle expresses the same
     two-phase semantics as a scalar CTE.
@@ -238,15 +255,19 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     then gets a constant predicate — pushdown-friendly in a way a
     correlated scalar subquery only becomes after decorrelation."""
     ev = _view(spark, sf_dir, "events")
-    spark.sql("DECLARE OR REPLACE VARIABLE _r30_thr DOUBLE DEFAULT 0.0")
+    # integer-cents mean floor: exact in both engines (the float-avg
+    # form would hang the certified counts on an engine-fold-order ulp)
+    spark.sql("DECLARE OR REPLACE VARIABLE _r30_thr BIGINT DEFAULT 0")
     spark.sql(
-        f"SET VAR _r30_thr = (SELECT avg(value) FROM {ev} "
-        "WHERE value IS NOT NULL)"
+        f"SET VAR _r30_thr = (SELECT CAST(floor(CAST(sum(CAST(floor("
+        f"value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*)) AS BIGINT) "
+        f"FROM {ev} WHERE value IS NOT NULL)"
     )
     return spark.sql(f"""
       SELECT event_type, count(*) AS n_above
       FROM {ev}
-      WHERE value > _r30_thr
+      WHERE value IS NOT NULL
+        AND CAST(floor(value * 100 + 0.5) AS BIGINT) > _r30_thr
       GROUP BY event_type ORDER BY event_type
     """)
 

@@ -111,3 +111,35 @@ def test_prom_textfile_writer_roundtrip(spark, tmp_path):
     )
     manifest = open(os.path.join(out, "_MANIFEST")).read()
     assert sum(int(ln.split("\t")[1]) for ln in manifest.splitlines()) == 3
+
+
+def test_prom_textfile_overwrite_clears_stale_shards(spark, tmp_path):
+    """mode('overwrite') must remove prior .prom shards — the textfile
+    collector scrapes every *.prom file, so stale shards would serve a
+    mix of old and new values."""
+    import os
+
+    from pyspark.sql import Row
+
+    from prometheus_clickhouselog_exporter_spark.sources.pydatasource import (
+        PromTextfileDataSource,
+    )
+
+    spark.dataSource.register(PromTextfileDataSource)
+    out = str(tmp_path / "prom")
+    four = [Row(name=f"m{i}", labels="", value=float(i)) for i in range(4)]
+    spark.createDataFrame(four).repartition(4).write.format(
+        "prom_textfile"
+    ).mode("append").save(out)
+    assert len([f for f in os.listdir(out) if f.endswith(".prom")]) == 4
+    two = [Row(name="n0", labels="", value=9.0), Row(name="n1", labels="", value=8.0)]
+    spark.createDataFrame(two).repartition(2).write.format(
+        "prom_textfile"
+    ).mode("overwrite").save(out)
+    files = [f for f in os.listdir(out) if f.endswith(".prom")]
+    assert len(files) == 2, files
+    lines = []
+    for f in files:
+        lines += open(os.path.join(out, f)).read().splitlines()
+    assert sorted(lines) == ["n0 9.0", "n1 8.0"]
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
