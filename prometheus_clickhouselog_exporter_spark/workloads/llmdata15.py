@@ -370,3 +370,64 @@ def streaming_full_outer_join_fidelity(spark: SparkSession, sf_dir: str) -> Data
         "id string, start_time timestamp, end_time timestamp, "
         "elapsed double, side string",
     )
+
+
+@query(
+    "streaming_right_outer_join_fidelity",
+    oracle="""
+    SELECT 'q-' || CAST(event_id AS VARCHAR) AS id,
+           CASE WHEN event_id % 7 <= 5 THEN ts END AS start_time,
+           ts + INTERVAL 1 SECOND * (event_id % 7) AS end_time,
+           CASE WHEN event_id % 7 <= 5
+                THEN CAST(event_id % 7 AS DOUBLE) END AS elapsed,
+           CASE WHEN event_id % 7 <= 5 THEN 'both'
+                ELSE 'close_only' END AS side
+    FROM events
+    WHERE value IS NOT NULL AND value >= 0 AND event_id % 3 <> 0
+    """,
+)
+def streaming_right_outer_join_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER stream-stream join — the remaining outer mode:
+    every CLOSE row survives (matched to its open inside the 5 s bound,
+    or emitted with NULL open fields once the watermark proves no open
+    can match), opens without closes vanish. Over the shared corpus the
+    preserved side is exactly the %3≠0 events (those have closes), with
+    %7=6 closes unmatched. Same sentinel discipline as the left/full
+    variants; together the three certificates cover every preserved-side
+    eviction path Spark's stream-stream join state machine has."""
+    from ..operators.parsing import parse_log_lines
+    from ..streaming.joins import join_initial_to_close_outer
+
+    tmp = _logpipe_stream_corpus(spark, sf_dir)
+    m = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .agg(F.max("ts"))
+        .first()[0]
+    )
+    _append_log_sentinels(spark, tmp, m)
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{tmp}/logs")
+    )
+    joined = join_initial_to_close_outer(
+        parse_log_lines(raw), max_duration="5 seconds", how="rightOuter"
+    )
+    out = (
+        _run_stream_to_memory(
+            spark,
+            joined.select("id", "start_time", "end_time", "elapsed", "side"),
+            tmp,
+            mode="append",
+        )
+        .filter(~F.col("id").isin(*[f"q-{s}" for s in _SENTINELS]))
+        .orderBy("id", "side")
+    )
+    return _materialize(
+        spark,
+        tmp,
+        out,
+        "id string, start_time timestamp, end_time timestamp, "
+        "elapsed double, side string",
+    )
