@@ -1,19 +1,19 @@
-"""Streaming fidelity family, round 6: LEFT OUTER stream-stream join —
-the null-emission corner (unmatched opens become rows only once the
-watermark PROVES no close can arrive) value-hash-certified against a
-batch arithmetic oracle.
+"""Streaming fidelity family, round 6: the OUTER stream-stream join
+modes (left, full, right — the null-emission corners where unmatched
+rows only appear once the watermark PROVES no partner can arrive),
+chained stateful window aggregations (SPARK-40925), and the native
+session_window merge path — each value-hash-certified against a batch
+arithmetic oracle.
 
-This is the last of the stream-stream join modes without a hash
-certificate (inner landed in r4). The mechanics being certified are the
-delayed NULL-side emission itself: outer results for an open row are
-only produced after the event-time watermark passes
-``open_ts + max_duration``, i.e. in a LATER micro-batch than the open.
-The harness forces that lateness deterministically with
-``maxFilesPerTrigger=1`` plus two far-future sentinel opens appended as
-separate files: batch 1 carries the corpus, batches 2-3 carry one
-sentinel each, so by the final batch the watermark is an hour past every
-real open and ALL null-side rows must have been emitted. The sentinels
-themselves are filtered from the result (their own emission would race
+The shared mechanics being certified are delayed NULL-side emission:
+outer results for a buffered row are only produced after the event-time
+watermark passes its join deadline, i.e. in a LATER micro-batch. The
+harness forces that lateness deterministically with
+``maxFilesPerTrigger=1`` plus two far-future sentinel files — each
+feeding an event into EVERY watermarked input (the global watermark is
+the MIN across inputs) — so by the final batch the watermark is an hour
+past every real deadline and ALL null-side rows must have been emitted.
+Sentinels are filtered from the result (their own emission would race
 the final no-data micro-batch — the only nondeterminism in the design,
 excluded by construction).
 """
