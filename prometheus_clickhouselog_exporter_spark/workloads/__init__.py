@@ -37,6 +37,7 @@ from . import relational27  # noqa: F401,E402
 from . import relational28  # noqa: F401,E402
 from . import relational29  # noqa: F401,E402
 from . import relational30  # noqa: F401,E402
+from . import relational31  # noqa: F401,E402
 from . import logpipe  # noqa: F401,E402
 from . import llmdata  # noqa: F401,E402
 from . import llmdata2  # noqa: F401,E402

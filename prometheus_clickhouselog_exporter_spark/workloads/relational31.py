@@ -1,0 +1,226 @@
+"""Relational breadth, round 6 batch 6: classical seasonal
+decomposition over the daily revenue series (seasonal-naive + centered
+moving-average trend — the additive STL-lite every metrics stack runs
+before alerting on residuals) and graph link-prediction scores
+(common-neighbors / Jaccard / Adamic–Adar over the name-similarity
+graph — the classic missing-edge ranking features).
+
+Both follow the exact-arithmetic discipline: integer cents for all
+sums, one quantized division at the end of each derived statistic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import fround, query, table
+from .relational26 import _name_graph
+
+
+@query(
+    "timeseries_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+      GROUP BY 1
+    ),
+    trend AS (
+      SELECT day, cents,
+             CASE WHEN count(*) OVER w = 7
+                  THEN CAST(sum(cents) OVER w AS BIGINT) END AS tsum
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    season AS (
+      SELECT dayofweek(day) AS dow,
+             CAST(sum(cents) AS BIGINT) AS s_sum,
+             CAST(count(*) AS BIGINT) AS s_n
+      FROM daily GROUP BY 1
+    )
+    SELECT CAST(t.day AS VARCHAR) AS day, t.cents AS actual_cents,
+           floor(CAST(t.tsum AS DOUBLE) / 7 / 100 * 1e4 + 0.5) / 1e4
+             AS trend,
+           floor(CAST(s.s_sum AS DOUBLE) / s.s_n / 100 * 1e4 + 0.5) / 1e4
+             AS seasonal,
+           floor((CAST(t.cents AS DOUBLE) / 100
+                  - CAST(t.tsum AS DOUBLE) / 7 / 100
+                  - CAST(s.s_sum AS DOUBLE) / s.s_n / 100) * 1e4 + 0.5)
+             / 1e4 AS residual
+    FROM trend t JOIN season s ON s.dow = dayofweek(t.day)
+    WHERE t.tsum IS NOT NULL
+    ORDER BY t.day
+    """,
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily purchase revenue —
+    trend = centered 7-day moving average (NULL at the edges where the
+    window is partial, like every real decomposition), seasonal =
+    day-of-week mean, residual = actual − trend − seasonal. The
+    residual column is what a metrics stack alerts on: it removes both
+    the weekly rhythm and the slow drift that make raw thresholds
+    useless. All sums fold in integer cents; each emitted statistic is
+    one double division quantized at 1e-4.
+
+    The 7-row centered window rides a GLOBAL day order — bounded by the
+    CALENDAR (30 rows here, 365 in production), not the corpus, which
+    is the documented exception plan_audit's whitelist encodes: the
+    window input is the pre-aggregated daily series.
+
+    100 TB: one scan folds to the daily series; everything after runs
+    on calendar-sized data."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+    )
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.floor(F.sum("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)  # trend window + seasonal means
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trend = daily.select(
+        "day",
+        "cents",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.sum("cents").over(w)).alias(
+            "tsum"
+        ),
+    )
+    season = daily.groupBy(F.dayofweek("day").alias("dow")).agg(
+        F.sum("cents").alias("s_sum"), F.count(F.lit(1)).alias("s_n")
+    )
+    t_d = F.col("tsum").cast("double") / 7 / 100
+    s_d = F.col("s_sum").cast("double") / F.col("s_n") / 100
+    return (
+        trend.filter(F.col("tsum").isNotNull())
+        .join(F.broadcast(season), F.dayofweek("day") == F.col("dow"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("cents").alias("actual_cents"),
+            fround(t_d, 4).alias("trend"),
+            fround(s_d, 4).alias("seasonal"),
+            fround(F.col("cents").cast("double") / 100 - t_d - s_d, 4).alias(
+                "residual"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "graph_link_prediction",
+    oracle="""
+    WITH nm AS (
+      SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS blk FROM part
+    ),
+    e AS MATERIALIZED (
+      SELECT a.p_name AS src, b.p_name AS dst
+      FROM nm a JOIN nm b
+        ON a.blk = b.blk AND a.p_name <> b.p_name
+       AND levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM e GROUP BY 1),
+    wedges AS (
+      SELECT e1.src AS u, e2.dst AS v, e1.dst AS via
+      FROM e e1 JOIN e e2 ON e2.src = e1.dst
+      WHERE e1.src < e2.dst
+        AND NOT EXISTS (SELECT 1 FROM e x
+                        WHERE x.src = e1.src AND x.dst = e2.dst)
+    ),
+    scored AS (
+      SELECT w.u, w.v,
+             CAST(count(*) AS BIGINT) AS common_n,
+             CAST(floor(sum(1e6 / ln(CAST(d.d AS DOUBLE)))) AS BIGINT)
+               AS aa_micro
+      FROM wedges w JOIN deg d ON d.node = w.via
+      WHERE d.d >= 2
+      GROUP BY 1, 2
+    )
+    SELECT s.u, s.v, s.common_n,
+           floor(CAST(s.common_n AS DOUBLE)
+                 / (du.d + dv.d - s.common_n) * 1e6 + 0.5) / 1e6
+             AS jaccard,
+           s.aa_micro
+    FROM scored s
+    JOIN deg du ON du.node = s.u
+    JOIN deg dv ON dv.node = s.v
+    ORDER BY s.common_n DESC, s.u, s.v
+    LIMIT 25
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores for NON-edges of the name-similarity
+    graph — the classical missing-edge features: common-neighbor count,
+    Jaccard overlap of neighborhoods, and Adamic–Adar (Σ 1/ln(deg(via)),
+    down-weighting hub-mediated wedges), top-25 candidate pairs. The
+    wedge enumeration is the triangle-counting join shape with an
+    anti-join (NOT EXISTS) removing pairs already connected — so what
+    remains is exactly the 2-hop candidate set every friend-of-friend
+    recommender scores.
+
+    Determinism: Adamic–Adar's per-wedge 1/ln(d) terms are floored to
+    integer MICRO-units before summing (the DSIR λ discipline) — the
+    aggregation is an integer sum with no fold-order hazard; Jaccard is
+    one quantized division from exact integer counts.
+
+    100 TB: wedges = Σ deg² over the blocked graph (candidate pairs,
+    never all-pairs); degrees broadcast; the anti-join is a shuffle on
+    the wedge endpoints."""
+    nm, e0 = _name_graph(spark, sf_dir)
+    e = e0.select("src", "dst").localCheckpoint(eager=False)
+    deg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    e1 = e.select(F.col("src").alias("u"), F.col("dst").alias("via"))
+    e2 = e.select(F.col("src").alias("via"), F.col("dst").alias("v"))
+    wedges = (
+        e1.join(e2, "via")
+        .filter(F.col("u") < F.col("v"))
+        .join(
+            e.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+    )
+    # per-wedge AA term in integer micro-units (only via-nodes with
+    # degree >= 2 contribute a finite 1/ln)
+    scored = (
+        wedges.join(F.broadcast(deg.withColumnRenamed("node", "via")), "via")
+        .filter(F.col("d") >= 2)
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("common_n"),
+            F.sum(
+                F.floor(F.lit(1e6) / F.log(F.col("d").cast("double")))
+            )
+            .cast("bigint")
+            .alias("aa_micro"),
+        )
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        scored.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            "common_n",
+            fround(
+                F.col("common_n").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common_n")),
+                6,
+            ).alias("jaccard"),
+            "aa_micro",
+        )
+        .orderBy(F.desc("common_n"), "u", "v")
+        .limit(25)
+    )
