@@ -53,6 +53,9 @@ BOUNDED_GLOBAL_WINDOW_OK: set[str] = {
     "stats_theil_sen_trend",
     # value-cardinality n_chars step series (groupBy n_chars, ckpt)
     "stats_ks_two_sample",
+    # calendar-cardinality daily-revenue series (groupBy day, ckpt) —
+    # the centered-MA trend window rides ~30 rows (365 at a year)
+    "timeseries_seasonal_decompose",
 }
 
 
