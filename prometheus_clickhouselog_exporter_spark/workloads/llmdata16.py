@@ -351,3 +351,119 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "curation_pipeline_funnel",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, text, md5(text) AS h,
+             string_split(text, ' ') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ),
+    w AS (
+      SELECT doc_id, source, h,
+             len(tk) AS n_words,
+             CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT)
+               AS sum_len,
+             CAST(len(list_filter(tk, x -> x IN ('the','be','to','of','and',
+                  'that','have','with'))) AS BIGINT) AS n_stop,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+             CAST(list_max(list_transform(list_distinct(tk),
+                  d -> len(list_filter(tk, x -> x = d)))) AS BIGINT) AS top_c,
+             length(text) AS n_chars
+      FROM t
+    ),
+    flags AS (
+      SELECT source, n_chars,
+             (n_words BETWEEN 50 AND 100000
+              AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10
+              AND n_stop >= 2) AS pass_lex,
+             (CAST(n_distinct AS DOUBLE) / n_words >= 0.3
+              AND CAST(top_c AS DOUBLE) / n_words <= 0.2) AS pass_rep,
+             (row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1)
+               AS pass_dedup
+      FROM w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count_if(pass_lex) AS BIGINT) AS n_lex,
+           CAST(count_if(pass_lex AND pass_rep) AS BIGINT) AS n_rep,
+           CAST(count_if(pass_lex AND pass_rep AND pass_dedup) AS BIGINT)
+             AS n_final,
+           CAST(sum(CASE WHEN pass_lex AND pass_rep AND pass_dedup
+                         THEN n_chars END) AS BIGINT) AS surviving_chars
+    FROM flags GROUP BY source ORDER BY source
+    """,
+)
+def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation CAPSTONE: one end-to-end survival funnel through the
+    composed filter stages a pre-training pipeline actually chains —
+    lexical gates (Gopher word-count/mean-length/stopword rules) →
+    repetition gates (distinct-token and top-token ratios) → exact
+    dedup (first-doc-wins on the content digest) — reported per source
+    as monotone surviving counts plus final character volume. This is
+    the management-facing number for every curation run ("how much of
+    src3 survives, and which stage eats it"); each underlying stage is
+    certified standalone elsewhere, the funnel certifies their
+    COMPOSITION (flag interactions, stage ordering, survivor
+    accounting) in one scan + one digest window.
+
+    100 TB: one pass computes every lexical/repetition flag scan-stage;
+    the only shuffle is the digest window for first-doc-wins (16-byte
+    keys); the funnel aggregation is per-source."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tk = F.split("text", " ")
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    w = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.length("text").alias("n_chars"),
+        F.size(tk).alias("n_words"),
+        F.aggregate(tk, F.lit(0).cast("bigint"), lambda s, x: s + F.length(x)).alias(
+            "sum_len"
+        ),
+        F.size(F.filter(tk, lambda x: x.isin(*stops))).cast("bigint").alias("n_stop"),
+        F.size(F.array_distinct(tk)).cast("bigint").alias("n_distinct"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(tk),
+                lambda dtok: F.size(F.filter(tk, lambda x: x == dtok)),
+            )
+        )
+        .cast("bigint")
+        .alias("top_c"),
+    )
+    pass_lex = (
+        F.col("n_words").between(50, 100000)
+        & (F.col("sum_len").cast("double") / F.col("n_words")).between(3, 10)
+        & (F.col("n_stop") >= 2)
+    )
+    pass_rep = (
+        F.col("n_distinct").cast("double") / F.col("n_words") >= 0.3
+    ) & (F.col("top_c").cast("double") / F.col("n_words") <= 0.2)
+    pass_dedup = (
+        F.row_number().over(Window.partitionBy("h").orderBy("doc_id")) == 1
+    )
+    flags = w.select(
+        "source",
+        "n_chars",
+        pass_lex.alias("pass_lex"),
+        pass_rep.alias("pass_rep"),
+        pass_dedup.alias("pass_dedup"),
+    )
+    survives = F.col("pass_lex") & F.col("pass_rep") & F.col("pass_dedup")
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("pass_lex")).alias("n_lex"),
+            F.count_if(F.col("pass_lex") & F.col("pass_rep")).alias("n_rep"),
+            F.count_if(survives).alias("n_final"),
+            F.sum(F.when(survives, F.col("n_chars"))).cast("bigint").alias(
+                "surviving_chars"
+            ),
+        )
+        .orderBy("source")
+    )
