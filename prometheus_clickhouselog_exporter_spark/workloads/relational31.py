@@ -224,3 +224,130 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("common_n"), "u", "v")
         .limit(25)
     )
+
+
+@query(
+    "er_golden_record_merge",
+    oracle="""
+    WITH g AS (
+      SELECT p_name,
+             CAST(count(*) AS BIGINT) AS n_records,
+             max(p_retailprice) AS best_price,
+             min(p_size) AS min_size,
+             max(p_size) AS max_size
+      FROM part GROUP BY p_name
+    ),
+    brand_votes AS (
+      SELECT p_name, p_brand, CAST(count(*) AS BIGINT) AS c
+      FROM part GROUP BY 1, 2
+    ),
+    brand_pick AS (
+      SELECT p_name, p_brand AS golden_brand
+      FROM (SELECT *, row_number() OVER (PARTITION BY p_name
+                                         ORDER BY c DESC, p_brand) AS rk
+            FROM brand_votes)
+      WHERE rk = 1
+    ),
+    type_pick AS (
+      SELECT p_name, max(p_type) AS golden_type FROM part GROUP BY 1
+    )
+    SELECT g.p_name, g.n_records, b.golden_brand, t.golden_type,
+           g.best_price, g.min_size, g.max_size
+    FROM g JOIN brand_pick b USING (p_name)
+    JOIN type_pick t USING (p_name)
+    WHERE g.n_records >= 2
+    ORDER BY g.p_name
+    """,
+)
+def er_golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (the MDM merge step AFTER entity
+    resolution clusters records): for every duplicated part name, fuse
+    one canonical record by per-FIELD rules — brand by majority vote
+    with deterministic ties (count desc, value asc), type by longest/
+    max, price by maximum, size as the [min, max] conflict range kept
+    for audit. This is what er_blocked_name_match's clusters feed in a
+    real pipeline; each rule is a different aggregation pattern
+    (mode-with-ties via WindowGroupLimit, plain max, range).
+
+    100 TB: everything keys on the entity id — one shuffle; the vote
+    window runs per entity over member-count rows."""
+    p = table(spark, sf_dir, "part").localCheckpoint(eager=False)
+    g = p.groupBy("p_name").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.max("p_retailprice").alias("best_price"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+    votes = p.groupBy("p_name", "p_brand").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.partitionBy("p_name").orderBy(F.desc("c"), "p_brand")
+    brand = (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("p_name", F.col("p_brand").alias("golden_brand"))
+    )
+    tpick = p.groupBy("p_name").agg(F.max("p_type").alias("golden_type"))
+    return (
+        g.join(brand, "p_name")
+        .join(tpick, "p_name")
+        .filter(F.col("n_records") >= 2)
+        .select(
+            "p_name",
+            "n_records",
+            "golden_brand",
+            "golden_type",
+            "best_price",
+            "min_size",
+            "max_size",
+        )
+        .orderBy("p_name")
+    )
+
+
+@query(
+    "bitmap_exact_distinct_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+             AS n_users_global
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def bitmap_exact_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through Spark's bitmap aggregate family
+    (``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``):
+    per-type user bitmaps built bucket-wise, counted exactly, and OR-
+    merged across types into the global count WITHOUT rescanning —
+    HLL's mergeability with NONE of its error, at the cost of
+    cardinality-proportional state (the roaring-bitmap trade every
+    OLAP store offers). The oracle is plain count(DISTINCT): bitmaps
+    must reproduce it bit-for-bit.
+
+    100 TB: state per group is |ids|/8 bytes spread over 32k-bit
+    buckets; the merge row reuses the per-(type,bucket) bitmaps —
+    checkpoint-once, no second events scan."""
+    e = table(spark, sf_dir, "events")
+    per_bucket = (
+        e.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .localCheckpoint(eager=False)  # per-type counts + global merge
+    )
+    typed = per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )
+    glob = (
+        per_bucket.groupBy("bkt")
+        .agg(F.bitmap_or_agg("bm").alias("gbm"))
+        .agg(F.sum(F.bitmap_count("gbm")).alias("n_users_global"))
+    )
+    return (
+        typed.crossJoin(F.broadcast(glob))
+        .select("event_type", "n_users", "n_users_global")
+        .orderBy("event_type")
+    )
