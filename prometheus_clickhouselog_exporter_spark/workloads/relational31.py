@@ -351,3 +351,182 @@ def bitmap_exact_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_users", "n_users_global")
         .orderBy("event_type")
     )
+
+
+@query(
+    "stats_trimmed_winsorized",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type, cents, n,
+             CAST(floor(n * 0.1) AS BIGINT) AS k,
+             rn
+      FROM q
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           floor(CAST(sum(CASE WHEN rn > k AND rn <= n - k
+                               THEN cents END) AS DOUBLE)
+                 / (max(n) - 2 * max(k)) / 100 * 1e4 + 0.5) / 1e4
+             AS trimmed_mean,
+           floor(CAST(sum(CASE
+                   WHEN rn <= k THEN NULL
+                   WHEN rn > n - k THEN NULL
+                   ELSE cents END)
+                 + max(k) * (SELECT min(c2.cents) FROM b c2
+                             WHERE c2.event_type = b.event_type
+                               AND c2.rn = c2.k + 1)
+                 + max(k) * (SELECT max(c3.cents) FROM b c3
+                             WHERE c3.event_type = b.event_type
+                               AND c3.rn = c3.n - c3.k)
+                 AS DOUBLE) / max(n) / 100 * 1e4 + 0.5) / 1e4
+             AS winsorized_mean
+    FROM b GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stats_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimators per event type: the 10% TRIMMED mean
+    (drop the lowest and highest decile, average the middle) and the
+    10% WINSORIZED mean (CLAMP the tails to the cut values instead of
+    dropping them — same robustness, keeps n constant). The pair is the
+    standard heavy-tail defense when a median loses too much
+    information; the gap between them is itself a tail-weight signal.
+
+    Exactness: ranks come from one per-type window with (value,
+    event_id) tie order; sums fold in integer cents; the clamp values
+    are the exact boundary elements (rank k+1 and n−k). One scan, one
+    per-type window, one aggregate.
+
+    100 TB: the window partitions by type (bounded groups); the
+    unbounded-group form swaps the rank window for the value-grouped
+    rank arithmetic (hist_equidepth_values pattern)."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    q = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn("k", F.floor(F.col("n") * 0.1).cast("bigint"))
+    mid = F.col("rn").between(F.col("k") + 1, F.col("n") - F.col("k"))
+    agg = q.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.sum(F.when(mid, F.col("cents"))).alias("mid_sum"),
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("cents"))).alias(
+            "lo_clamp"
+        ),
+        F.max(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("cents"))).alias(
+            "hi_clamp"
+        ),
+    )
+    trimmed = (
+        F.col("mid_sum").cast("double")
+        / (F.col("n") - 2 * F.col("k"))
+        / 100
+    )
+    wins = (
+        (
+            F.col("mid_sum")
+            + F.col("k") * F.col("lo_clamp")
+            + F.col("k") * F.col("hi_clamp")
+        ).cast("double")
+        / F.col("n")
+        / 100
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        fround(trimmed, 4).alias("trimmed_mean"),
+        fround(wins, 4).alias("winsorized_mean"),
+    ).orderBy("event_type")
+
+
+@query(
+    "crosssource_vocab_similarity",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT source, u.tok
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      WHERE text IS NOT NULL
+    ),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+              FROM v GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS common
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.common, sa.n AS n_a, sb.n AS n_b,
+           floor(CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common)
+                 * 1e6 + 0.5) / 1e6 AS jaccard,
+           floor(2.0 * i.common / (sa.n + sb.n) * 1e6 + 0.5) / 1e6
+             AS dice,
+           floor(CAST(i.common AS DOUBLE) / least(sa.n, sb.n)
+                 * 1e6 + 0.5) / 1e6 AS overlap
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY i.src_a, i.src_b
+    """,
+)
+def crosssource_vocab_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary similarity matrix — Jaccard, Sørensen–
+    Dice, and the overlap coefficient over each source's DISTINCT token
+    set: the corpus-mixing diagnostic that says which feeds are
+    near-clones (drop one) and which bring genuinely new vocabulary
+    (upweight). Three coefficients because they answer different
+    questions: Jaccard penalizes size mismatch, Dice rewards sheer
+    intersection, overlap detects strict containment (≈1 when one
+    vocabulary swallows the other).
+
+    Plan: distinct (source, token) posting set checkpointed once, then
+    the token-keyed self-join emits |sources|²-bounded pairs — the
+    inverted-index discipline (crosssource_leakage_matrix's shape at
+    vocabulary granularity)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    v = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=False)  # sizes + both join sides
+    )
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "tok")
+    b = v.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    c = F.col("common").cast("double")
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "common",
+            "n_a",
+            "n_b",
+            fround(c / (F.col("n_a") + F.col("n_b") - F.col("common")), 6).alias(
+                "jaccard"
+            ),
+            fround(F.lit(2.0) * F.col("common") / (F.col("n_a") + F.col("n_b")), 6).alias(
+                "dice"
+            ),
+            fround(c / F.least("n_a", "n_b"), 6).alias("overlap"),
+        )
+        .orderBy("src_a", "src_b")
+    )
