@@ -31,11 +31,13 @@ def _registration_order() -> list[str]:
     The driver samples a subset of the registry per round; if that sample is
     order-dependent, queries that have never received a green driver stamp
     (or whose last stamp was a FAIL) should be first in line. Priority:
-    0 = appeared but last stamp not hash-green (a red row the driver should
-    re-check first — these are few and already fixed locally), 1 = never
-    appeared in any CORRECTNESS_r*.json, 2 = hash-green on the most recent
-    stamp. Ties keep registry insertion order, so this is a stable re-sort,
-    never a filter.
+    0 = appeared but last stamp not hash-green — including rows whose last
+    stamp carried ``err`` (e.g. the formerly rows-only ``no_oracle`` ANN /
+    sketch entries: every registry query now has a DuckDB oracle, so any
+    stamp short of a value-hash match should be re-certified first),
+    1 = never appeared in any CORRECTNESS_r*.json, 2 = hash-green on the
+    most recent stamp. Ties keep registry insertion order, so this is a
+    stable re-sort, never a filter.
     """
     last: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
@@ -44,10 +46,7 @@ def _registration_order() -> list[str]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            ok = row.get("hash_match") is True or (
-                row.get("err") == "no_oracle" and row.get("rows_match") is not False
-            )
-            last[name] = ok
+            last[name] = row.get("hash_match") is True and row.get("err") is None
     rank = {name: i for i, name in enumerate(QUERIES)}
 
     def prio(name: str) -> tuple[int, int]:
