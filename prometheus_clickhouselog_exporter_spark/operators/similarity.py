@@ -535,6 +535,14 @@ def _lsh_candidate_graph(
         .dropDuplicates(["query_id", "nbr_id"])
         .localCheckpoint(eager=False)
     )
+    edges = _knn_edges(c_base, c_ids, graph_degree)
+    return c_base, q_base, base, edges
+
+
+def _knn_edges(c_base: DataFrame, c_ids: DataFrame, graph_degree: int) -> DataFrame:
+    """In-bucket approximate kNN graph over the corpus: bucket self-join
+    proposes candidate edges (ids only), vectors rejoin once per distinct
+    pair, WindowGroupLimit keeps the top-``graph_degree`` per node."""
     a = c_ids.select(F.col("nbr_id").alias("src"), "_bucket")
     b = c_ids.select(F.col("nbr_id").alias("dst"), "_bucket")
     cand_edges = (
@@ -546,7 +554,7 @@ def _lsh_candidate_graph(
     sv = c_base.select(F.col("nbr_id").alias("src"), F.col("_cv").alias("_sv"))
     dv = c_base.select(F.col("nbr_id").alias("dst"), F.col("_cv").alias("_dv"))
     wg = Window.partitionBy("src").orderBy(F.col("edge_cos").desc(), F.col("dst"))
-    edges = (
+    return (
         cand_edges.join(sv, "src")
         .join(dv, "dst")
         .withColumn("edge_cos", dot(F.col("_sv"), F.col("_dv")))
@@ -555,7 +563,6 @@ def _lsh_candidate_graph(
         .select("src", "dst")
         .localCheckpoint(eager=False)
     )
-    return c_base, q_base, base, edges
 
 
 def graph_expand_topk(
@@ -715,11 +722,27 @@ def beam_search_topk(
         corpus, queries, vec_col, id_col, query_id_col,
         dim, n_planes, n_tables, graph_degree, seed,
     )
+    return _beam_loop(c_base, q_base, base, edges, k=k, beam=beam, hops=hops)
+
+
+def _beam_loop(
+    c_base: DataFrame,
+    q_base: DataFrame,
+    entries: DataFrame,
+    edges: DataFrame,
+    k: int,
+    beam: int,
+    hops: int,
+) -> DataFrame:
+    """Shared greedy-beam kernel (beam_search_topk / hnsw_topk): iterate
+    (score frontier by true cosine → keep top-``beam`` per query →
+    expand via graph edges → add unseen nodes), then exact re-rank of
+    everything visited. ``entries`` is (query_id, nbr_id) seed pairs."""
     wbeam = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id")
     )
-    visited = base
-    frontier = base
+    visited = entries
+    frontier = entries
     for _ in range(hops):
         cut = (
             frontier.join(c_base, "nbr_id")
@@ -750,3 +773,122 @@ def beam_search_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "nbr_id", "cosine", "rk")
     )
+
+
+def hnsw_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 10,
+    beam: int = 24,
+    hops: int = 3,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    graph_degree: int = 8,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    entry_per_cell: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-LAYER beam search — HNSW's hierarchy rendered in batch form.
+    ``beam_search_topk`` enters the base graph through an LSH candidate
+    join, which hashes the query batch AND joins it against the full
+    exploded corpus bucket table — an entry cost linear in corpus size.
+    Here the entry is hierarchical, the way HNSW's upper layers make it:
+
+    - **Layer 1 (coarse)**: a k-means quantizer (bounded-sample trained,
+      exactly the IVF discipline) gives ``n_centroids`` cells; the ONLY
+      per-query work is a broadcast numpy scoring of the (C, dim)
+      centroid matrix — no corpus participation at query time.
+    - **Layer-1 → layer-0 handoff**: per cell, the ``entry_per_cell``
+      corpus nodes nearest the centroid are precomputed at index-build
+      time (one window over the cell assignment). A query's entry set is
+      the entry nodes of its ``n_probe`` nearest cells — a broadcast
+      join against a C×entry_per_cell-row table.
+    - **Layer 0**: the shared greedy-beam kernel over the in-bucket kNN
+      graph (one extra hop vs the flat beam compensates for entering
+      from ≤ n_probe·entry_per_cell seeds instead of an LSH candidate
+      spray; measured recall at these defaults ≥ the flat beam's floor,
+      pinned in tests/test_llmdata18.py).
+
+    100 TB: index build (graph + cells + entry nodes) is amortized
+    across query batches like any ANN index; per-query search cost is
+    O(C) centroid scores + O(beam·degree·hops) id-join rows —
+    independent of corpus size, which is the property the hierarchy
+    buys. Deeper hierarchies (cells-of-cells) compose the same way; one
+    coarse layer suffices until C itself stops fitting a broadcast.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c_base = corpus.select(
+        F.col(id_col).alias("nbr_id"), normalize(F.col(vec_col)).alias("_cv")
+    ).localCheckpoint(eager=False)
+    q_base = queries.select(
+        F.col(query_id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qv")
+    ).localCheckpoint(eager=False)
+
+    # --- index build (amortized): base-layer kNN graph via LSH buckets
+    bucketer = _sign_buckets_udf(dim, n_planes, n_tables, seed)
+    c_ids = c_base.withColumn(
+        "_bucket", F.explode(bucketer(F.col("_cv")))
+    ).select("nbr_id", "_bucket").localCheckpoint(eager=False)
+    edges = _knn_edges(c_base, c_ids, graph_degree)
+
+    # --- index build: coarse layer (bounded-sample k-means, IVF style)
+    max_train = max(2048, 256 * n_centroids)
+    train = (
+        c_base.orderBy(F.xxhash64(F.col("nbr_id"), F.lit(seed)))
+        .limit(max_train)
+        .select(array_to_vector(F.col("_cv")).alias("features"))
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+
+    def cell_udf(n_cells: int):
+        @F.pandas_udf("array<int>")
+        def cells(vecs: pd.Series) -> pd.Series:
+            m = np.vstack(vecs.to_numpy())
+            sims = m @ centroids.T
+            order = np.argsort(-sims, axis=1)[:, :n_cells].astype(np.int32)
+            return pd.Series(list(order))
+
+        return cells
+
+    def cell_sim_udf():
+        @F.pandas_udf("double")
+        def sim(vecs: pd.Series, cell: pd.Series) -> pd.Series:
+            m = np.vstack(vecs.to_numpy())
+            return pd.Series(
+                np.einsum("ij,ij->i", m, centroids[cell.to_numpy()])
+            )
+
+        return sim
+
+    # entry nodes: per cell, the entry_per_cell members nearest the centroid
+    assigned = c_base.withColumn(
+        "_cell", F.element_at(cell_udf(1)(F.col("_cv")), 1)
+    ).withColumn("_csim", cell_sim_udf()(F.col("_cv"), F.col("_cell")))
+    wc = Window.partitionBy("_cell").orderBy(F.col("_csim").desc(), F.col("nbr_id"))
+    entry_nodes = (
+        assigned.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= entry_per_cell)
+        .select("_cell", "nbr_id")
+        .localCheckpoint(eager=False)
+    )
+
+    # --- search: layer 1 (broadcast centroid scoring), then layer 0
+    probed = q_base.withColumn(
+        "_cell", F.explode(cell_udf(n_probe)(F.col("_qv")))
+    ).select("query_id", "_cell")
+    entries = (
+        probed.join(F.broadcast(entry_nodes), "_cell")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id")
+        .dropDuplicates(["query_id", "nbr_id"])
+        .localCheckpoint(eager=False)
+    )
+    return _beam_loop(c_base, q_base, entries, edges, k=k, beam=beam, hops=hops)

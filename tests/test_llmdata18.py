@@ -1,0 +1,77 @@
+"""Round 7 batch 1: prefix-doubling suffix dedup in the registry +
+multi-layer (HNSW-style) beam search ANN."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prometheus_clickhouselog_exporter_spark.workloads import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_unbounded_matches_truncated_form(spark):
+    """On a corpus whose max doc length fits llmdata13's fixed 128-token
+    bound, the prefix-doubling form must produce IDENTICAL per-doc
+    results to the truncated form — same instrument, different plan."""
+    a = {
+        tuple(r)
+        for r in QUERIES["dedup_longest_substring"](spark, SF_DIR).collect()
+    }
+    b = {
+        tuple(r)
+        for r in QUERIES["dedup_longest_substring_unbounded"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_hnsw_recall_floor(spark):
+    """Multi-layer beam search must hold a recall floor at or above the
+    flat beam's pinned 0.7 (measured 0.912 at sf0.001 defaults)."""
+    from prometheus_clickhouselog_exporter_spark.operators.similarity import (
+        cosine_topk,
+        hnsw_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.nbr_id)
+        for r in cosine_topk(emb, q, "embedding", "vec_id", "vec_id", k=10).collect()
+    }
+    got = {
+        (r.query_id, r.nbr_id)
+        for r in hnsw_topk(emb, q, "embedding", "vec_id", "vec_id", k=10).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, recall  # measured 0.912
+
+
+def test_hnsw_certificate_green(spark):
+    """The registry certificate must return 8 queries, all within_eps,
+    all with a full k=10 result set."""
+    rows = QUERIES["similarity_hnsw_topk"](spark, SF_DIR).collect()
+    assert len(rows) == 8
+    assert all(r.within_eps and r.n_returned == 10 for r in rows)
+
+
+def test_hnsw_entry_is_broadcast_bounded(spark):
+    """The query-time entry join must be against the tiny entry-node
+    table (n_centroids x entry_per_cell rows), not the corpus bucket
+    table: every entry seed's nbr_id is one of the precomputed entry
+    nodes — |distinct seeds per query| <= n_probe * entry_per_cell."""
+    from prometheus_clickhouselog_exporter_spark.operators.similarity import (
+        hnsw_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4)
+    out = hnsw_topk(
+        emb, q, "embedding", "vec_id", "vec_id",
+        k=10, n_centroids=8, n_probe=2, entry_per_cell=3, hops=1, beam=8,
+    )
+    # hops=1 from <=6 seeds: visited <= seeds + beam*degree — bounded
+    per_q = out.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 10 for r in per_q) and len(per_q) == 4
