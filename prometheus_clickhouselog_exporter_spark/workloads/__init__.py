@@ -38,6 +38,7 @@ from . import relational28  # noqa: F401,E402
 from . import relational29  # noqa: F401,E402
 from . import relational30  # noqa: F401,E402
 from . import relational31  # noqa: F401,E402
+from . import relational32  # noqa: F401,E402
 from . import logpipe  # noqa: F401,E402
 from . import llmdata  # noqa: F401,E402
 from . import llmdata2  # noqa: F401,E402
@@ -57,6 +58,7 @@ from . import llmdata15  # noqa: F401,E402
 from . import llmdata16  # noqa: F401,E402
 from . import llmdata17  # noqa: F401,E402
 from . import llmdata18  # noqa: F401,E402
+from . import llmdata19  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import pipeline_ops2  # noqa: F401,E402

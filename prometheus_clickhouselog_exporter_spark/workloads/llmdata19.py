@@ -1,0 +1,347 @@
+"""Round 7 batch 3: count-min sketch with error certificates,
+deterministic differential-privacy noise, and an exactly-reproducible
+multinomial naive Bayes — three operators a training-data platform runs
+beside dedup/sampling (frequency estimation under memory bounds,
+privacy-preserving release of corpus statistics, and a cheap strong
+baseline classifier for source/quality routing).
+
+All three follow the repo's established verification disciplines:
+sketch bounds become LITERAL BOOLEANS (the certify-the-contract
+pattern), noise derives from content hashes instead of RNG (the
+md5-uniform recipe, operators/sampling.py), and log-likelihoods fold in
+QUANTIZED integer micro-nats so the argmax is bit-identical across
+engines (SCALE.md quantized-folds rule — a float sum's reduction order
+would eventually flip a near-tie prediction in one engine only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import MD5_SQL, fround, md5_long, query, table
+
+_CMS_D = 4  # rows (independent hashes)
+_CMS_W = 256  # columns per row
+_PROBE_K = 30  # point-query probe set: top-K exact tokens
+
+_TOKENS_SQL = """
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents WHERE text IS NOT NULL
+"""
+
+
+@query(
+    "sketch_countmin_errors",
+    oracle=f"""
+    WITH toks AS ({_TOKENS_SQL}),
+    exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+      FROM toks GROUP BY tok
+    ),
+    cells AS (
+      SELECT r.r,
+             CAST({MD5_SQL.format(x="CAST(r.r AS VARCHAR) || ':' || tok")}
+                  % {_CMS_W} AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM toks, (VALUES (0), (1), (2), (3)) r(r)
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT tok, n_exact, n_total FROM exact
+      ORDER BY n_exact DESC, tok LIMIT {_PROBE_K}
+    ),
+    est AS (
+      SELECT p.tok, p.n_exact, p.n_total, min(c.cnt) AS n_est
+      FROM probe p
+      JOIN cells c
+        ON c.r IN (0, 1, 2, 3)
+       AND c.c = CAST({MD5_SQL.format(x="CAST(c.r AS VARCHAR) || ':' || p.tok")}
+                      % {_CMS_W} AS BIGINT)
+      GROUP BY 1, 2, 3
+    )
+    SELECT tok, n_exact, CAST(n_est AS BIGINT) AS n_est,
+           CAST(n_est - n_exact AS BIGINT) AS overcount,
+           n_est >= n_exact AS never_underestimates,
+           n_est - n_exact <= CAST(ceil(2.0 * n_total / {_CMS_W}) AS BIGINT)
+             AS within_eps_bound
+    FROM est ORDER BY n_exact DESC, tok
+    """,
+)
+def sketch_countmin_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan) built as a {_CMS_D}x{_CMS_W}
+    grid of counters via ONE groupBy — the memory-bounded frequency
+    table a streaming pipeline keeps when the token universe doesn't
+    fit — then audited against exact counts on the top-{_PROBE_K} probe
+    set with its two published guarantees emitted as literal booleans:
+    estimates NEVER underestimate (min over d rows of non-negative
+    overcounts), and the overcount stays within e·N/w ≈ 2N/w with
+    probability 1−(1/e)^d — deterministic hashes make the bound check
+    reproducible, so a hash match certifies both the sketch build and
+    its error contract.
+
+    100 TB: the sketch is d·w integers regardless of corpus size —
+    the groupBy shuffles (row, col) keys, i.e. at most d·w groups with
+    map-side partial aggregation; point queries join d cells per probe.
+    The exact-count branch exists only as the audit."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")
+                )
+            ).alias("tok"),
+        )
+        .localCheckpoint(eager=False)  # feeds exact counts AND the sketch build
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    total = exact.agg(F.sum("n_exact").cast("bigint").alias("n_total"))
+    rows = F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
+    keyed = toks.select(rows, "tok").select(
+        "r",
+        (md5_long(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("tok")))
+         % _CMS_W).alias("c"),
+    )
+    cells = keyed.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    probe = (
+        exact.orderBy(F.desc("n_exact"), "tok")
+        .limit(_PROBE_K)
+        .crossJoin(F.broadcast(total))
+    )
+    probe_cells = probe.select(
+        "tok", "n_exact", "n_total", rows
+    ).withColumn(
+        "c",
+        md5_long(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("tok")))
+        % _CMS_W,
+    )
+    est = (
+        probe_cells.join(cells, ["r", "c"])
+        .groupBy("tok", "n_exact", "n_total")
+        .agg(F.min("cnt").cast("bigint").alias("n_est"))
+    )
+    bound = F.ceil(2.0 * F.col("n_total") / _CMS_W).cast("bigint")
+    return est.select(
+        "tok",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).cast("bigint").alias("overcount"),
+        (F.col("n_est") >= F.col("n_exact")).alias("never_underestimates"),
+        (F.col("n_est") - F.col("n_exact") <= bound).alias("within_eps_bound"),
+    ).orderBy(F.desc("n_exact"), "tok")
+
+
+@query(
+    "privacy_dp_noisy_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_true
+      FROM documents GROUP BY source, lang
+    ),
+    u AS (
+      SELECT source, lang, n_true,
+             (CAST({MD5_SQL.format(x="source || '|' || lang || '|dp'")}
+                   % 1048576 AS DOUBLE) + 0.5) / 1048576.0 AS unif
+      FROM g
+    )
+    SELECT source, lang, n_true,
+           floor((n_true
+                  - 2.0 * sign(unif - 0.5) * ln(1.0 - 2.0 * abs(unif - 0.5)))
+                 * 1e4 + 0.5) / 1e4 AS n_noisy,
+           0.5 AS epsilon,
+           1.0 AS sensitivity
+    FROM u ORDER BY source, lang
+    """,
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release (the Laplace mechanism,
+    Dwork et al.): per (source, lang) document counts + Laplace(Δ/ε)
+    noise with Δ=1 (one document changes one cell by one) and ε=0.5 —
+    scale b = Δ/ε = 2. The uniform driving the inverse-CDF transform
+    (noise = −b·sign(u−½)·ln(1−2|u−½|)) derives from a content hash of
+    the group key instead of an RNG: the release is REPRODUCIBLE (and
+    therefore hash-certifiable cross-engine) while keeping the exact
+    Laplace marginal over the key universe. Production DP swaps the
+    hash-uniform for a seeded CSPRNG — one line — without touching the
+    plan; the half-ulp offset keeps u strictly inside (0,1) so the log
+    never sees 0.
+
+    100 TB: the histogram is one map-side-combined groupBy; the noise
+    is scan-stage arithmetic on |groups| rows. The true counts ride
+    along here for the audit; a real release DROPS them."""
+    g = table(spark, sf_dir, "documents").groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    unif = (
+        (
+            md5_long(
+                F.concat(F.col("source"), F.lit("|"), F.col("lang"), F.lit("|dp"))
+            )
+            % 1048576
+        ).cast("double")
+        + 0.5
+    ) / 1048576.0
+    centered = unif - 0.5
+    noise = -2.0 * F.signum(centered) * F.log(1.0 - 2.0 * F.abs(centered))
+    return g.select(
+        "source",
+        "lang",
+        "n_true",
+        fround(F.col("n_true") + noise, 4).alias("n_noisy"),
+        F.lit(0.5).alias("epsilon"),
+        F.lit(1.0).alias("sensitivity"),
+    ).orderBy("source", "lang")
+
+
+@query(
+    "ml_naive_bayes_train",
+    oracle=f"""
+    WITH toks AS ({_TOKENS_SQL}),
+    cls AS (
+      SELECT source AS c, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM toks GROUP BY source
+    ),
+    nall AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM cls),
+    tc AS (
+      SELECT source AS c, tok, CAST(count(*) AS BIGINT) AS n FROM toks
+      GROUP BY source, tok
+    ),
+    ctot AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc FROM tc GROUP BY c),
+    vocab AS (SELECT DISTINCT tok FROM toks),
+    vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    grid AS MATERIALIZED (
+      SELECT ct.c, vb.tok,
+             CAST(floor(ln((coalesce(tc.n, 0) + 1.0) / (ct.nc + vs.v)) * 1e6
+                        + 0.5) AS BIGINT) AS ll_q
+      FROM vocab vb
+      CROSS JOIN ctot ct
+      CROSS JOIN vsize vs
+      LEFT JOIN tc ON tc.c = ct.c AND tc.tok = vb.tok
+    ),
+    prior AS (
+      SELECT cls.c,
+             CAST(floor(ln(CAST(cls.n_docs AS DOUBLE) / na.n) * 1e6 + 0.5)
+                  AS BIGINT) AS lp_q
+      FROM cls, nall na
+    ),
+    dt AS (
+      SELECT doc_id, source, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY doc_id, source, tok
+    ),
+    scores AS (
+      SELECT dt.doc_id, dt.source AS true_source, g.c,
+             CAST(max(p.lp_q) + sum(dt.cnt * g.ll_q) AS BIGINT) AS score_q
+      FROM dt JOIN grid g ON g.tok = dt.tok
+      JOIN prior p ON p.c = g.c
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT doc_id, true_source, c AS predicted
+      FROM (SELECT doc_id, true_source, c,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score_q DESC, c DESC) AS rk
+            FROM scores)
+      WHERE rk = 1
+    )
+    SELECT true_source, predicted AS pred_source,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes with Laplace smoothing, trained on the
+    corpus and evaluated in-sample (resubstitution confusion matrix,
+    source-from-tokens) — the cheap strong baseline a curation pipeline
+    uses for source/quality routing before anything neural. Exactly
+    reproducible across engines: log-likelihoods ln((n_ct+1)/(N_c+|V|))
+    and log-priors quantize to integer MICRO-NATS before the per-doc
+    fold, so every score is an exact integer sum and the argmax (ties
+    broken toward the lexicographically LARGER class via (score, name)
+    max_by — deterministic either way) cannot flip on float reduction
+    order.
+
+    Plan note: the audit's multi-BNLJ flag here is the whitelisted
+    benign class — three broadcast nested-loop joins against 1-row
+    (|V|, N) and |classes|-row scalar frames that parameterize the
+    smoothing; no large side ever enters a BNLJ.
+
+    100 TB: training is two token-keyed aggregates; scoring joins doc
+    term vectors to the |V|x|classes| likelihood grid on the token key
+    (broadcast when classes are few — the grid carries 8-byte ints).
+    The smoothed grid is |V|x|C|; sparse scoring (only observed (c,tok)
+    rows + per-class absent-token base) is the production variant when
+    |V|x|C| outgrows memory — noted, unnecessary at this vocab."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")
+                )
+            ).alias("tok"),
+        )
+        .localCheckpoint(eager=False)  # feeds class counts, term counts, doc vectors
+    )
+    cls = toks.groupBy(F.col("source").alias("c")).agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    nall = cls.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    tc = toks.groupBy(F.col("source").alias("c"), "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ctot = tc.groupBy("c").agg(F.sum("n").cast("bigint").alias("nc"))
+    vocab = toks.select("tok").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    grid = (
+        vocab.crossJoin(F.broadcast(ctot))
+        .crossJoin(F.broadcast(vsize))
+        .join(tc, ["c", "tok"], "left")
+        .select(
+            "c",
+            "tok",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("n"), F.lit(0)) + 1.0)
+                    / (F.col("nc") + F.col("v"))
+                )
+                * 1e6
+                + F.lit(0.5)
+            ).cast("bigint").alias("ll_q"),
+        )
+    )
+    prior = cls.crossJoin(F.broadcast(nall)).select(
+        "c",
+        F.floor(
+            F.log(F.col("n_docs").cast("double") / F.col("n")) * 1e6 + F.lit(0.5)
+        ).cast("bigint").alias("lp_q"),
+    )
+    dt = toks.groupBy("doc_id", F.col("source").alias("true_source"), "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    scores = (
+        dt.join(grid, "tok")
+        .join(F.broadcast(prior), "c")
+        .groupBy("doc_id", "true_source", "c")
+        .agg(
+            (F.max("lp_q") + F.sum(F.col("cnt") * F.col("ll_q"))).alias("score_q")
+        )
+    )
+    pred = scores.groupBy("doc_id", "true_source").agg(
+        F.max_by(F.col("c"), F.struct(F.col("score_q"), F.col("c"))).alias(
+            "predicted"
+        )
+    )
+    return (
+        pred.groupBy("true_source", F.col("predicted").alias("pred_source"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("true_source", "pred_source")
+    )
