@@ -59,6 +59,7 @@ from . import llmdata16  # noqa: F401,E402
 from . import llmdata17  # noqa: F401,E402
 from . import llmdata18  # noqa: F401,E402
 from . import llmdata19  # noqa: F401,E402
+from . import llmdata20  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import pipeline_ops2  # noqa: F401,E402

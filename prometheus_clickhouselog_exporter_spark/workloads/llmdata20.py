@@ -1,0 +1,199 @@
+"""Round 7 batch 4: streaming count-min sketch fidelity + embedding-space
+benchmark decontamination.
+
+``streaming_cms_fidelity`` extends the streaming certification family
+(llmdata11/15 discipline: REAL Structured Streaming execution, final
+state value-hashed against a batch arithmetic oracle) to the sketch the
+batch registry just gained (llmdata19.sketch_countmin_errors): count-min
+is a pure counter grid, so its streaming form is Spark's own stateful
+streaming aggregation — no custom state code at all, which is exactly
+the design argument for rendering sketches as groupBy counters instead
+of binary blobs: update-mode incremental maintenance comes free.
+
+``decontam_embedding_neighbors`` completes the decontamination pair:
+`decontam_ngram_overlap` catches verbatim leaks, this catches
+PARAPHRASE-level leaks (near-identical embeddings with different
+surface forms — the published eval-contamination failure n-gram methods
+miss). Contamination is synthesized in-plan (each probe is a 0.9/0.1
+mix of two corpus vectors) so BOTH oracle branches are live at every
+SF: each probe must flag its dominant source (cos ≈ 0.995) and must NOT
+flag the unrelated mass (max background cos ≈ 0.49 on this corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import MD5_SQL, fround, md5_long, query, table
+from .llmdata11 import _fidelity_tmp, _materialize, _run_stream_to_memory
+
+_CMS_D = 4
+_CMS_W = 256
+
+
+@query(
+    "streaming_cms_fidelity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT r.r,
+           CAST({MD5_SQL.format(x="CAST(r.r AS VARCHAR) || ':' || tok")}
+                % {_CMS_W} AS BIGINT) AS c,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM toks, (VALUES (0), (1), (2), (3)) r(r)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def streaming_cms_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained BY A REAL STREAM: the document corpus
+    is re-fed as a multi-file stream (maxFilesPerTrigger=1 → several
+    micro-batches), tokens explode into the d x w counter grid, and the
+    grid accumulates through Spark's own stateful streaming aggregation
+    in update mode. The final sketch (max emission per cell — counter
+    cells are monotone) must hash-match the batch-built sketch exactly:
+    a count-min grid is a commutative monoid, so batch/stream equality
+    is the algebraic property being certified, per micro-batch boundary.
+
+    100 TB/streaming: state is d·w integers REGARDLESS of stream volume
+    — the sketch's entire point rendered in streaming terms; no
+    watermark needed because the aggregate never grows keys. Contrast
+    with streaming_heavyhitters_fidelity, whose Misra-Gries state is
+    order-sensitive and certifies bounds instead."""
+    tmp = _fidelity_tmp("cms-fidelity-")
+    toks = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")
+                )
+            ).alias("tok")
+        )
+    )
+    toks.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in")
+    )
+    rows = F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
+    grid = (
+        stream.select(rows, "tok")
+        .select(
+            "r",
+            (
+                md5_long(
+                    F.concat(F.col("r").cast("string"), F.lit(":"), F.col("tok"))
+                )
+                % _CMS_W
+            ).alias("c"),
+        )
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    sink = _run_stream_to_memory(spark, grid, tmp)
+    out = (
+        sink.groupBy("r", "c")
+        .agg(F.max("cnt").cast("bigint").alias("cnt"))
+        .orderBy("r", "c")
+    )
+    return _materialize(spark, tmp, out, "r int, c bigint, cnt bigint")
+
+
+@query(
+    "decontam_embedding_neighbors",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id, a.embedding::DOUBLE[] AS ea, b.embedding::DOUBLE[] AS eb
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 40
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id,
+             list_transform(list_zip(ea, eb),
+                            x -> 0.9 * x[1] + 0.1 * x[2]) AS qe
+      FROM pairs
+    ),
+    scored AS (
+      SELECT p.probe_id, c.vec_id,
+             floor(list_dot_product(p.qe, c.ce)
+                   / (sqrt(list_dot_product(p.qe, p.qe))
+                      * sqrt(list_dot_product(c.ce, c.ce))) * 1e6 + 0.5) / 1e6
+               AS cosine
+      FROM probes p
+      CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings) c
+    )
+    SELECT probe_id,
+           CAST(count_if(cosine >= 0.9) AS BIGINT) AS n_leaks,
+           max(cosine) AS max_cos,
+           min(CASE WHEN cosine >= 0.9 THEN vec_id END) AS top_leak_id,
+           count_if(cosine >= 0.9) > 0 AS contaminated,
+           min(CASE WHEN cosine >= 0.9 THEN vec_id END) = probe_id
+             AS source_recovered
+    FROM scored GROUP BY probe_id ORDER BY probe_id
+    """,
+)
+def decontam_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: for every eval probe,
+    count corpus vectors whose quantized cosine reaches 0.9 — the
+    paraphrase-leak screen run before a benchmark score is trusted.
+    Probes are synthesized in-plan as 0.9·v_i + 0.1·v_{i+1} mixes, so
+    the detector faces REAL positives (the dominant source, cos≈0.995)
+    against a background whose max cosine is ~0.49 on this corpus, and
+    `source_recovered` asserts the flagged leak IS the dominant source.
+    Cosines quantize (fround 1e-6) BEFORE the threshold compare on both
+    engines, so the decision boundary cannot flip on a last-ulp libm
+    divergence.
+
+    100 TB: broadcast-probes brute force (probes are benchmark-sized,
+    corpus scanned once, map-side aggregation per probe); swap the scan
+    for the IVF/beam index when the probe set itself is corpus-scale —
+    same contract, same certificate shape."""
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # one embeddings scan feeds probe-a, probe-b AND the corpus side
+    # (checkpoint-once doctrine; audit flagged the naive form x3)
+    base = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double.alias("ce"))
+        .localCheckpoint(eager=False)
+    )
+    a = base.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("probe_id"), F.col("ce").alias("ea")
+    )
+    b = base.select((F.col("vec_id") - 1).alias("probe_id"), F.col("ce").alias("eb"))
+    probes = a.join(b, "probe_id").select(
+        "probe_id",
+        F.zip_with("ea", "eb", lambda x, y: 0.9 * x + 0.1 * y).alias("qe"),
+    )
+    corpus = base
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    cos = fround(
+        dot(F.col("qe"), F.col("ce"))
+        / (
+            F.sqrt(dot(F.col("qe"), F.col("qe")))
+            * F.sqrt(dot(F.col("ce"), F.col("ce")))
+        ),
+        6,
+    )
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "probe_id", "vec_id", cos.alias("cosine")
+    )
+    leak = F.when(F.col("cosine") >= 0.9, F.col("vec_id"))
+    return (
+        scored.groupBy("probe_id")
+        .agg(
+            F.count_if(F.col("cosine") >= 0.9).cast("bigint").alias("n_leaks"),
+            F.max("cosine").alias("max_cos"),
+            F.min(leak).alias("top_leak_id"),
+            (F.count_if(F.col("cosine") >= 0.9) > 0).alias("contaminated"),
+            (F.min(leak) == F.col("probe_id")).alias("source_recovered"),
+        )
+        .orderBy("probe_id")
+    )

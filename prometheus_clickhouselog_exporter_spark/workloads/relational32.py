@@ -424,3 +424,128 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_f").cast("double").alias("recomputed_revenue"),
         ((b + d) == F.col("_f")).alias("ivm_exact"),
     ).orderBy("n_name")
+
+
+@query(
+    "stats_fdr_bh",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, isodow(ts) - 1 AS dow,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    cell AS (
+      SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM cents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(s) AS BIGINT) AS st
+      FROM cell GROUP BY 1
+    ),
+    z AS (
+      SELECT c.event_type, c.dow,
+             -- z^2 = (mean_g - mean_all)^2 / (var_g / n_g), all moments
+             -- exact BIGINT; the two divisions are the only float ops
+             (CAST(c.s AS DOUBLE) / c.n - CAST(t.st AS DOUBLE) / t.nt)
+               AS diff,
+             (CAST(c.ss AS DOUBLE) / c.n
+              - (CAST(c.s AS DOUBLE) / c.n) * (CAST(c.s AS DOUBLE) / c.n))
+               / c.n AS se2
+      FROM cell c JOIN tot t ON t.event_type = c.event_type
+    ),
+    p AS (
+      SELECT event_type, dow,
+             least(1.0, se2 / (diff * diff)) AS p_cheb
+      FROM z
+    ),
+    ranked AS (
+      SELECT event_type, dow, p_cheb,
+             row_number() OVER (ORDER BY p_cheb, event_type, dow) AS rk,
+             count(*) OVER () AS m
+      FROM p
+    ),
+    cut AS (
+      SELECT coalesce(max(rk), 0) AS kmax FROM ranked
+      WHERE p_cheb <= 0.10 * rk / m
+    )
+    SELECT event_type, dow,
+           floor(p_cheb * 1e8 + 0.5) / 1e8 AS p_cheb,
+           CAST(rk AS BIGINT) AS rk,
+           floor(0.10 * rk / m * 1e8 + 0.5) / 1e8 AS bh_threshold,
+           rk <= (SELECT kmax FROM cut) AS rejected
+    FROM ranked ORDER BY rk
+    """,
+)
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a 35-hypothesis family
+    (event_type x day-of-week mean-shift tests): sort p ascending, find
+    the LARGEST k with p_(k) <= (k/m)·q (q = 0.10), reject hypotheses
+    1..k — the step-up procedure exactly as published, including the
+    subtlety that rejections below the cut keep p-values ABOVE their own
+    thresholds. p-values are Chebyshev bounds p = min(1, Var/(n·diff²))
+    — conservative (BH keeps FDR control under any valid p-value) and,
+    decisively for this engine, EXACT RATIONAL arithmetic: all moments
+    fold as integer cents/cents², so no libm call of either engine is on
+    the hash path (the SCALE.md transcendental rule taken to its
+    conclusion: restructure the statistic rather than trust exp/erf to
+    agree cross-engine).
+
+    100 TB: moments fold map-side per (type, dow); the BH sort runs on
+    m = |family| rows — the procedure is driver-scale by definition,
+    the data pass is one aggregation."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    cell = e.select(
+        "event_type", F.weekday("ts").alias("dow"), cents.alias("c")
+    ).groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    tot = cell.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("bigint").alias("st"),
+    )
+    mean_g = F.col("s").cast("double") / F.col("n")
+    mean_all = F.col("st").cast("double") / F.col("nt")
+    se2 = (
+        F.col("ss").cast("double") / F.col("n") - mean_g * mean_g
+    ) / F.col("n")
+    p = cell.join(tot, "event_type").select(
+        "event_type",
+        "dow",
+        F.least(
+            F.lit(1.0), se2 / ((mean_g - mean_all) * (mean_g - mean_all))
+        ).alias("p_cheb"),
+    )
+    wall = Window.orderBy("p_cheb", "event_type", "dow")
+    ranked = p.select(
+        "event_type",
+        "dow",
+        "p_cheb",
+        F.row_number().over(wall).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("m"),
+    ).localCheckpoint(eager=False)  # feeds the cut aggregate AND the report
+    thr = 0.10 * F.col("rk") / F.col("m")
+    kmax = ranked.filter(F.col("p_cheb") <= thr).agg(
+        F.coalesce(F.max("rk"), F.lit(0)).alias("kmax")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            "event_type",
+            "dow",
+            fround(F.col("p_cheb"), 8).alias("p_cheb"),
+            F.col("rk").cast("bigint").alias("rk"),
+            fround(thr, 8).alias("bh_threshold"),
+            (F.col("rk") <= F.col("kmax")).alias("rejected"),
+        )
+        .orderBy("rk")
+    )

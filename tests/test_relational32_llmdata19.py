@@ -114,3 +114,53 @@ def test_naive_bayes_beats_majority_class(spark):
         per_class[r.true_source] = per_class.get(r.true_source, 0) + r.n_docs
     majority = max(per_class.values()) / total
     assert correct / total > majority, (correct / total, majority)
+
+
+def test_fdr_bh_step_up_property(spark):
+    """BH is a step-up: everything at or below the cut rank is rejected
+    (even rows above their OWN threshold), everything past it is not."""
+    rows = QUERIES["stats_fdr_bh"](spark, SF_DIR).collect()
+    assert len(rows) == 35
+    kmax = max((r.rk for r in rows if r.rejected), default=0)
+    for r in rows:
+        assert r.rejected == (r.rk <= kmax)
+        assert 0.0 <= r.p_cheb <= 1.0
+    # the cut row itself satisfies its threshold
+    if kmax:
+        cut = next(r for r in rows if r.rk == kmax)
+        assert cut.p_cheb <= cut.bh_threshold + 1e-12
+
+
+def test_streaming_cms_matches_batch_grid(spark):
+    """The stream-built CMS equals the batch grid cell-for-cell, and its
+    total mass equals d x token count."""
+    from prometheus_clickhouselog_exporter_spark.workloads.core import table
+
+    rows = QUERIES["streaming_cms_fidelity"](spark, SF_DIR).collect()
+    per_row: dict[int, int] = {}
+    for r in rows:
+        per_row[r.r] = per_row.get(r.r, 0) + r.cnt
+    assert set(per_row) == {0, 1, 2, 3}
+    n_tokens = (
+        table(spark, SF_DIR, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.size(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert all(v == n_tokens for v in per_row.values())
+
+
+def test_decontam_embedding_recovers_planted_leaks(spark):
+    rows = QUERIES["decontam_embedding_neighbors"](spark, SF_DIR).collect()
+    assert len(rows) == 40
+    assert all(r.contaminated for r in rows)          # every probe IS a leak
+    assert all(r.source_recovered for r in rows)      # and names its source
+    assert all(r.max_cos >= 0.99 for r in rows)
+    # background must stay quiet: no probe flags more than its two mix
+    # components (+1 occasional) — the 0.9 threshold separates cleanly
+    assert all(r.n_leaks <= 3 for r in rows)
