@@ -39,6 +39,7 @@ from . import relational29  # noqa: F401,E402
 from . import relational30  # noqa: F401,E402
 from . import relational31  # noqa: F401,E402
 from . import relational32  # noqa: F401,E402
+from . import relational33  # noqa: F401,E402
 from . import logpipe  # noqa: F401,E402
 from . import llmdata  # noqa: F401,E402
 from . import llmdata2  # noqa: F401,E402
@@ -60,6 +61,7 @@ from . import llmdata17  # noqa: F401,E402
 from . import llmdata18  # noqa: F401,E402
 from . import llmdata19  # noqa: F401,E402
 from . import llmdata20  # noqa: F401,E402
+from . import llmdata21  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import pipeline_ops2  # noqa: F401,E402
