@@ -86,6 +86,15 @@ HEADLINE = [
     "text_gopher_ngram_filter",
     "sketch_theta_setops",
     "graph_label_propagation",
+    # r7: prefix-doubling suffix LCP (the scale dial — multi-round sort
+    # with convergence actions), micro-nat naive Bayes (token-keyed
+    # grid join + integer argmax), hour-bucketed temporal reachability
+    # (2 checkpointed hops), PromQL reset-corrected increase (per-series
+    # integer windows)
+    "dedup_longest_substring_unbounded",
+    "ml_naive_bayes_train",
+    "graph_temporal_reachability",
+    "promql_rate_counter_resets",
 ]
 
 

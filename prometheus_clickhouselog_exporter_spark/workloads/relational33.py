@@ -70,17 +70,26 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     are their own literature. Two unrolled hops; per user the MINIMUM
     hop count and the arrival time at that hop.
 
-    100 TB: each hop is one equi-join on the interaction key with a
-    time-range predicate (Spark plans it as a key-partitioned join +
-    range filter; key cardinality bounds the fan-out) followed by a
-    min-aggregate per user — frontier size is user-bounded, never
-    event-pair-bounded, and each frontier is checkpointed so hops don't
-    recompute lineage (the iterative-graph doctrine)."""
+    100 TB: the edge join keys on (interaction key, HOUR BUCKET) — the
+    interval-join discipline: a bare equi-join on k alone pairs every
+    same-key event (quadratic in events-per-key; measured 12.2s at
+    sf0.1 before the fix, 100M pair tests), while bucketing by the
+    1-hour reach means each source event meets only its own and the
+    next bucket's events (one in-row 2-element explode on the source
+    side), so pair count tracks per-(k, hour) density² — time-local by
+    construction. The exact window predicate filters inside the
+    bucket-joined pairs. Frontier size stays user-bounded; each
+    frontier is checkpointed (the iterative-graph doctrine)."""
     ev = (
         table(spark, sf_dir, "events")
         .filter(F.col("props").isNotNull())
         .select(
-            "user_id", "ts", F.get_json_object("props", "$.k").alias("k")
+            "user_id",
+            "ts",
+            F.get_json_object("props", "$.k").alias("k"),
+            F.floor(
+                F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600
+            ).alias("hb"),  # NTZ → timestamp first (UTC session, value-safe)
         )
         .localCheckpoint(eager=False)  # both join roles in every hop
     )
@@ -92,10 +101,16 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     a = ev.select(
-        F.col("user_id").alias("_au"), F.col("ts").alias("_ats"), "k"
+        F.col("user_id").alias("_au"),
+        F.col("ts").alias("_ats"),
+        "k",
+        F.explode(F.array(F.col("hb"), F.col("hb") + 1)).alias("_jb"),
     )
     b = ev.select(
-        F.col("user_id").alias("_bu"), F.col("ts").alias("_bts"), F.col("k").alias("_bk")
+        F.col("user_id").alias("_bu"),
+        F.col("ts").alias("_bts"),
+        F.col("k").alias("_bk"),
+        F.col("hb").alias("_bhb"),
     )
 
     def hop(frontier: DataFrame) -> DataFrame:
@@ -107,6 +122,7 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(
                 b,
                 (F.col("_bk") == F.col("k"))
+                & (F.col("_bhb") == F.col("_jb"))
                 & (F.col("_bts") > F.col("_ats"))
                 & (F.col("_bts") <= F.col("_ats") + F.expr("INTERVAL 1 HOUR"))
                 & (F.col("_bu") != F.col("_au")),
