@@ -1,0 +1,101 @@
+"""CEP absence-guard pattern as a stateful streaming operator.
+
+The batch form (workloads/relational34.pattern_absence_guard) expresses
+`click → purchase within 30 min with NO error between` via running-max
+windows; this is its streaming twin: per-user state carrying exactly the
+two timestamps the guard needs (last click, last error) plus the two
+counters — the state a CEP engine's NFA would keep for the same NOT
+pattern. Events fold in (ts, event_id) order inside each micro-batch;
+state crosses batch boundaries, so arbitrarily long histories stream
+through O(1) state per user.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GUARD_OUTPUT_SCHEMA = (
+    "user_id bigint, n bigint, n_purchases bigint, n_guarded_conversions bigint"
+)
+_GUARD_STATE = (
+    "n bigint, n_purchases bigint, n_guarded bigint, "
+    "last_click_us bigint, last_error_us bigint"
+)
+_WINDOW_US = 30 * 60 * 1_000_000
+
+
+def fold_guard(rows: list[tuple[int, str]], state: tuple | None) -> tuple:
+    """Sequential guard fold over (ts_us, event_type) rows: purchase
+    conditions evaluate against STRICTLY PRIOR state (mirroring the
+    batch form's `rows between unbounded preceding and 1 preceding`
+    windows), then the click/error cells update. -1 = no timestamp."""
+    n, n_p, n_g, last_click, last_error = (
+        state if state is not None else (0, 0, 0, -1, -1)
+    )
+    for ts_us, etype in rows:
+        if etype == "purchase":
+            n_p += 1
+            if (
+                last_click >= 0
+                and ts_us <= last_click + _WINDOW_US
+                and (last_error < 0 or last_error < last_click)
+            ):
+                n_g += 1
+        if etype == "click":
+            last_click = ts_us
+        elif etype == "error":
+            last_error = ts_us
+        n += 1
+    return n, n_p, n_g, last_click, last_error
+
+
+def guard_stream(events: DataFrame) -> DataFrame:
+    """events(user_id, ts, event_id, event_type) stream → per-user
+    running (n, n_purchases, n_guarded_conversions) in update mode."""
+
+    def func(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values(["ts", "event_id"])
+        rows = list(
+            zip(
+                (pdf["ts"].astype("int64") // 1000).tolist()
+                if pdf["ts"].dtype.kind == "M"
+                else pdf["ts"].tolist(),
+                pdf["event_type"].tolist(),
+            )
+        )
+        prev = tuple(state.get) if state.exists else None
+        n, n_p, n_g, lc, le = fold_guard(rows, prev)
+        state.update((n, n_p, n_g, lc, le))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "n_purchases": [n_p],
+                "n_guarded_conversions": [n_g],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            func,
+            GUARD_OUTPUT_SCHEMA,
+            _GUARD_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

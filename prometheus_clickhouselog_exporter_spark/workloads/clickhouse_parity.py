@@ -1,0 +1,197 @@
+"""Round 7 batch 7: ClickHouse analytic-function parity.
+
+The reference exports ClickHouse server logs (SURVEY §0) — its users
+are ClickHouse users, and the analytics they run on event streams lean
+on ClickHouse's signature parametric aggregates. This module
+re-expresses the published semantics of the two most-used ones —
+``windowFunnel`` (max consecutive funnel stage reached, all stages
+inside a window anchored at the first stage) and ``retention`` (array
+of "did condition_1 AND condition_i" flags) plus ``uniqUpTo(N)`` — as
+pure DataFrame plans, so a ClickHouse user's funnel/retention queries
+port over with the same answers.
+
+windowFunnel is deliberately LINEAR: instead of joining every anchor
+to every candidate next stage (quadratic per key), each event row
+carries "earliest strictly-later click ts" / "earliest strictly-later
+purchase ts" via reverse-ordered per-user window minima; stage 3 needs
+the future-purchase value AT the chosen click row, recovered by one
+equi-join on (user, click ts) — the published semantics, zero range
+joins. (ClickHouse's own implementation is a per-key in-memory sweep;
+this is the shuffle-friendly rendering of the same sweep.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import fround, query, table
+
+_W_SECONDS = 3600  # funnel window, anchored at the stage-1 event
+
+
+@query(
+    "clickhouse_window_funnel",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_type, event_id FROM events
+    ),
+    fut AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase
+      FROM e
+    ),
+    anchors AS (
+      SELECT a.user_id, a.ts AS t1, a.next_click AS t2,
+             c.next_purchase AS t3
+      FROM fut a
+      LEFT JOIN fut c
+        ON c.user_id = a.user_id AND c.ts = a.next_click
+       AND c.event_type = 'click'
+      WHERE a.event_type = 'view'
+    ),
+    lvl AS (
+      SELECT user_id,
+             CASE
+               WHEN t2 IS NOT NULL AND t2 <= t1 + INTERVAL {_W_SECONDS} SECOND
+                AND t3 IS NOT NULL AND t3 <= t1 + INTERVAL {_W_SECONDS} SECOND
+               THEN 3
+               WHEN t2 IS NOT NULL AND t2 <= t1 + INTERVAL {_W_SECONDS} SECOND
+               THEN 2
+               ELSE 1
+             END AS level
+      FROM anchors
+    )
+    SELECT user_id, CAST(max(level) AS BIGINT) AS funnel_level
+    FROM lvl GROUP BY user_id ORDER BY user_id
+    """,
+)
+def clickhouse_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(3600)(ts, type='view', type='click',
+    type='purchase')`` semantics: per user, the deepest funnel stage
+    reachable by SOME view anchor such that the later stages occur in
+    order, each within 3600 s OF THE ANCHOR (not of the previous
+    stage — the documented ClickHouse contract). Default (non-strict)
+    mode: intervening events of other types are ignored.
+
+    100 TB: one user-keyed shuffle for the reverse-min windows, one
+    (user, ts) equi-join to read the click row's future-purchase
+    minimum, one aggregate — per-key cost linear in events, never
+    anchor×candidate quadratic."""
+    e = table(spark, sf_dir, "events")
+    wfut = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    fut = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        .over(wfut)
+        .alias("next_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .over(wfut)
+        .alias("next_purchase"),
+    ).localCheckpoint(eager=False)  # anchor side + click-row side of the join
+    a = fut.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("t1"), F.col("next_click").alias("t2")
+    )
+    c = fut.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t2"),
+        F.col("next_purchase").alias("t3"),
+    )
+    win = F.expr(f"INTERVAL {_W_SECONDS} SECONDS")
+    anchors = a.join(c, ["user_id", "t2"], "left")
+    in2 = F.col("t2").isNotNull() & (F.col("t2") <= F.col("t1") + win)
+    in3 = F.col("t3").isNotNull() & (F.col("t3") <= F.col("t1") + win)
+    lvl = anchors.select(
+        "user_id",
+        F.when(in2 & in3, F.lit(3)).when(in2, F.lit(2)).otherwise(F.lit(1)).alias(
+            "level"
+        ),
+    )
+    return (
+        lvl.groupBy("user_id")
+        .agg(F.max("level").cast("bigint").alias("funnel_level"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "clickhouse_retention_battery",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 5 AS cohort,
+             count_if(event_type = 'signup') > 0 AS r1,
+             count_if(event_type = 'click') > 0 AS c2,
+             count_if(event_type = 'purchase') > 0 AS c3,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort,
+           CAST(count_if(r1) AS BIGINT) AS r1_users,
+           CAST(count_if(r1 AND c2) AS BIGINT) AS r2_users,
+           CAST(count_if(r1 AND c3) AS BIGINT) AS r3_users,
+           floor(CAST(count_if(r1 AND c2) AS DOUBLE)
+                 / nullif(count_if(r1), 0) * 1e6 + 0.5) / 1e6 AS r2_rate,
+           floor(CAST(count_if(r1 AND c3) AS DOUBLE)
+                 / nullif(count_if(r1), 0) * 1e6 + 0.5) / 1e6 AS r3_rate,
+           CAST(sum(least(n_types, 3) + CASE WHEN n_types > 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS uniq_up_to_3_sum
+    FROM per_user GROUP BY cohort ORDER BY cohort
+    """,
+)
+def clickhouse_retention_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention(cond1, cond2, ...)`` + ``uniqUpTo(N)``
+    semantics per cohort: retention's documented contract is that the
+    FIRST condition anchors — element i of the array is
+    cond1 AND cond_i, NOT a consecutive chain — so r2/r3 rates divide
+    the anchored user count. uniqUpTo(3) reports the exact distinct
+    count while ≤ 3 and saturates at 4 (= N+1) beyond, summed per
+    cohort (the ClickHouse recipe for 'many distinct, stop counting'
+    cardinality screens).
+
+    100 TB: one user-keyed aggregate then a cohort-keyed fold —
+    map-side combine both times; no window, no join."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        (F.col("user_id") % 5).alias("cohort"),
+        (F.count_if(F.col("event_type") == "signup") > 0).alias("r1"),
+        (F.count_if(F.col("event_type") == "click") > 0).alias("c2"),
+        (F.count_if(F.col("event_type") == "purchase") > 0).alias("c3"),
+        F.count_distinct("event_type").cast("bigint").alias("n_types"),
+    )
+    r1n = F.count_if(F.col("r1"))
+    uniq_up_to = F.least(F.col("n_types"), F.lit(3)) + F.when(
+        F.col("n_types") > 3, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        per_user.groupBy("cohort")
+        .agg(
+            r1n.cast("bigint").alias("r1_users"),
+            F.count_if(F.col("r1") & F.col("c2")).cast("bigint").alias("r2_users"),
+            F.count_if(F.col("r1") & F.col("c3")).cast("bigint").alias("r3_users"),
+            fround(
+                F.count_if(F.col("r1") & F.col("c2")).cast("double")
+                / F.nullif(r1n, F.lit(0)),
+                6,
+            ).alias("r2_rate"),
+            fround(
+                F.count_if(F.col("r1") & F.col("c3")).cast("double")
+                / F.nullif(r1n, F.lit(0)),
+                6,
+            ).alias("r3_rate"),
+            F.sum(uniq_up_to).cast("bigint").alias("uniq_up_to_3_sum"),
+        )
+        .orderBy("cohort")
+    )

@@ -197,3 +197,76 @@ def decontam_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+@query(
+    "streaming_cep_guard_fidelity",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click,
+             max(CASE WHEN event_type = 'error' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_error
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchases,
+           CAST(count_if(event_type = 'purchase'
+                         AND last_click IS NOT NULL
+                         AND ts <= last_click + INTERVAL 30 MINUTE
+                         AND (last_error IS NULL OR last_error < last_click))
+                AS BIGINT) AS n_guarded_conversions
+    FROM seq GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_cep_guard_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL stateful CEP absence-guard stream
+    (streaming/cep.guard_stream: per-user O(1) state — last click, last
+    error, two counters — folding events in order through
+    applyInPandasWithState) over the events corpus re-fed as a file
+    stream, and value-hash-matches every user's final counters against
+    the batch windowed recomputation (the pattern_absence_guard
+    semantics). Extends the streaming fidelity family (22nd member)
+    with the NOT-pattern CEP state machine — the shape whose state a
+    watermark-windowed aggregation cannot express.
+
+    100 TB/streaming: state per user is two timestamps + two counters
+    regardless of history length; the fold is batch-order-insensitive
+    ACROSS users (keyed) and order-restored WITHIN each micro-batch by
+    the in-group sort, the applyInPandasWithState contract every other
+    sequential monitor in streaming/sequential.py rides."""
+    from ..streaming.cep import guard_stream
+
+    tmp = _fidelity_tmp("cep-fidelity-")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = guard_stream(
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        ).parquet(f"{tmp}/in")
+    )
+    out = _run_stream_to_memory(spark, stream, tmp)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    final = (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+        .orderBy("user_id")
+    )
+    return _materialize(
+        spark,
+        tmp,
+        final,
+        "user_id bigint, n bigint, n_purchases bigint, "
+        "n_guarded_conversions bigint",
+    )

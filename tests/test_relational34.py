@@ -70,3 +70,63 @@ def test_absence_guard_subset_of_unguarded(spark):
     assert all(0 <= r.n_guarded_conversions <= r.n_purchases for r in rows)
     assert any(r.n_guarded_conversions > 0 for r in rows)
     assert any(r.n_guarded_conversions < r.n_purchases for r in rows)
+
+
+def test_clickhouse_window_funnel_levels(spark):
+    rows = QUERIES["clickhouse_window_funnel"](spark, SF_DIR).collect()
+    assert rows
+    assert {r.funnel_level for r in rows} <= {1, 2, 3}
+    # sf0.001's sparse event stream reaches stage 2 (view→click within
+    # 1h) but not stage 3; both deeper stages light up at sf0.01+ (the
+    # oracle hash covers them there)
+    assert any(r.funnel_level >= 2 for r in rows)
+
+
+def test_clickhouse_retention_anchoring(spark):
+    """retention's contract: r2/r3 count users who did cond1 AND condi —
+    so r2_users, r3_users <= r1_users, rates in [0,1]."""
+    rows = QUERIES["clickhouse_retention_battery"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.r2_users <= r.r1_users and r.r3_users <= r.r1_users
+        assert 0.0 <= r.r2_rate <= 1.0 and 0.0 <= r.r3_rate <= 1.0
+
+
+def test_streaming_cep_guard_matches_batch(spark):
+    """The streaming guard's final counters equal the batch windowed
+    form exactly, user for user."""
+    batch = {
+        r.user_id: (r.n_purchases, r.n_guarded_conversions)
+        for r in QUERIES["pattern_absence_guard"](spark, SF_DIR).collect()
+    }
+    stream = {
+        r.user_id: (r.n_purchases, r.n_guarded_conversions)
+        for r in QUERIES["streaming_cep_guard_fidelity"](spark, SF_DIR).collect()
+    }
+    assert stream == batch
+
+
+def test_cep_fold_guard_unit():
+    """Pure-fold unit: purchase before any click never guards; error
+    between click and purchase blocks; error BEFORE the click does not."""
+    from prometheus_clickhouselog_exporter_spark.streaming.cep import fold_guard
+
+    m = 60_000_000  # one minute in us
+    rows = [
+        (0 * m, "purchase"),   # no click yet -> unguarded
+        (1 * m, "click"),
+        (2 * m, "purchase"),   # guarded
+        (3 * m, "click"),
+        (4 * m, "error"),
+        (5 * m, "purchase"),   # error after click -> blocked
+        (6 * m, "click"),
+        (7 * m, "purchase"),   # error before THIS click -> guarded
+        (8 * m, "click"),
+        (45 * m, "purchase"),  # outside 30-min window -> unguarded
+    ]
+    n, n_p, n_g, _, _ = fold_guard(rows, None)
+    assert (n, n_p, n_g) == (10, 5, 2)
+    # state split: folding in two chunks equals one chunk
+    s1 = fold_guard(rows[:4], None)
+    n2, p2, g2, _, _ = fold_guard(rows[4:], s1)
+    assert (n2, p2, g2) == (10, 5, 2)
