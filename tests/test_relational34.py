@@ -130,3 +130,46 @@ def test_cep_fold_guard_unit():
     s1 = fold_guard(rows[:4], None)
     n2, p2, g2, _, _ = fold_guard(rows[4:], s1)
     assert (n2, p2, g2) == (10, 5, 2)
+
+
+def test_fellegi_sunter_weights_sane(spark):
+    """Agreement on a discriminative field must carry POSITIVE weight
+    (m > u); the score>0 classifier must recover essentially all
+    planted duplicates (recall ≥ 0.9) at precision far above the
+    pair-level base rate (the FS single-threshold regime: review-queue
+    quality, not exactness)."""
+    rows = QUERIES["er_fellegi_sunter_scoring"](spark, SF_DIR).collect()
+    assert len(rows) == 4
+    r0 = rows[0]
+    tp, fp, fn, tn = r0.tp, r0.fp, r0.fn, r0.tn
+    assert tp > 0
+    recall = tp / (tp + fn)
+    precision = tp / (tp + fp)
+    base_rate = (tp + fn) / (tp + fp + fn + tn)
+    assert recall >= 0.9, recall
+    assert precision > 10 * base_rate, (precision, base_rate)
+    # discriminative planted fields: brand/size agree on dups, rarely
+    # on block-random pairs
+    by = {r.field: r for r in rows}
+    assert by["brand"].m > by["brand"].u and by["brand"].w_agree > 0
+    assert by["size"].m > by["size"].u and by["size"].w_agree > 0
+
+
+def test_poisson_dispersion_positive(spark):
+    rows = QUERIES["stats_poisson_dispersion"](spark, SF_DIR).collect()
+    assert rows and all(r.dispersion_index > 0 for r in rows)
+    for r in rows:
+        assert r.overdispersed == (r.dispersion_index > 1.0)
+
+
+def test_rolling_median_robustness(spark):
+    """The rolling median never leaves the frame's value range, and
+    outliers are exactly the >5-MAD points."""
+    rows = QUERIES["window_rolling_median_robust"](spark, SF_DIR).collect()
+    assert rows
+    n_out = sum(r.is_outlier for r in rows)
+    assert 0 <= n_out < len(rows) * 0.2
+    for r in rows[:500]:
+        assert r.is_outlier == (
+            abs(r.cents - r.rolling_med_cents) > 5 * r.rolling_mad_cents
+        )
