@@ -549,3 +549,117 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+@query(
+    "logpipe_promql_histogram_quantile",
+    oracle="""
+    WITH base AS (
+      SELECT CASE event_type WHEN 'click' THEN 'select' WHEN 'view' THEN 'select'
+                             WHEN 'purchase' THEN 'insert' WHEN 'signup' THEN 'update'
+                             ELSE 'other' END AS type,
+             CAST(event_id % 7 AS DOUBLE) AS elapsed
+      FROM events WHERE value IS NOT NULL AND value >= 0 AND event_id % 3 <> 0
+    ),
+    h AS (
+      SELECT type,
+             CAST(count_if(elapsed <= 1) AS BIGINT)  AS c1,
+             CAST(count_if(elapsed <= 5) AS BIGINT)  AS c2,
+             CAST(count_if(elapsed <= 10) AS BIGINT) AS c3,
+             CAST(count(*) AS BIGINT)                AS cinf
+      FROM base GROUP BY type
+    ),
+    q AS (
+      SELECT h.*, p.phi, p.phi * cinf AS rank
+      FROM h, (VALUES (0.5), (0.9), (0.99)) p(phi)
+    )
+    SELECT type, phi,
+           floor(CASE
+             WHEN rank <= c1 THEN 0.0 + (1.0 - 0.0)  * rank / c1
+             WHEN rank <= c2 THEN 1.0 + (5.0 - 1.0)  * (rank - c1) / (c2 - c1)
+             WHEN rank <= c3 THEN 5.0 + (10.0 - 5.0) * (rank - c2) / (c3 - c2)
+             ELSE 10.0
+           END * 1e6 + 0.5) / 1e6 AS quantile
+    FROM q ORDER BY type, phi
+    """,
+)
+def logpipe_promql_histogram_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference loop CLOSED end-to-end in one Catalyst plan: raw
+    ClickHouse log text → regex parse (P1-P4) → session correlation →
+    elapsed derivation (memory.dt − initial.dt, query.go:226) → the A5
+    cumulative `le` histogram (metrics.go:39-45) → PromQL
+    ``histogram_quantile(phi)`` evaluated over the engine's OWN export.
+    The reference stops at serving the buckets; its users' very next
+    step — the latency quantile on the Grafana dashboard — happens in a
+    separate PromQL engine. Here it is the same DataFrame, and the
+    DuckDB oracle recomputes the whole chain from event arithmetic.
+
+    100 TB: the log parse is embarrassingly parallel (no shuffle until
+    the session correlate's id exchange); the histogram fold reduces
+    everything to |types| x |bounds| counters before the quantile
+    arithmetic — the full pipeline has exactly two exchanges."""
+    from ..functions.histogram import prometheus_histogram
+    from ..operators.correlate import annotate_events
+    from ..operators.parsing import parse_log_lines
+
+    from .core import fan_out
+
+    e = fan_out(table(spark, sf_dir, "events")).filter(
+        F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+        & (F.col("event_id") % 3 != 0)
+    ).localCheckpoint(eager=False)  # initial + memory line branches
+    qid = F.concat(F.lit("q-"), F.col("event_id").cast("string"))
+    dt0 = F.date_format("ts", "yyyy.MM.dd HH:mm:ss.SSSSSS")
+    dt_end = F.date_format(
+        F.col("ts") + F.make_interval(secs=(F.col("event_id") % 7).cast("double")),
+        "yyyy.MM.dd HH:mm:ss.SSSSSS",
+    )
+    pid = (F.col("event_id") % 997).cast("string")
+    sql_text = (
+        F.when(F.col("event_type") == "click", F.lit("SELECT count() FROM hits"))
+        .when(F.col("event_type") == "view", F.lit("/* cached */ SELECT 1"))
+        .when(F.col("event_type") == "purchase", F.lit("INSERT INTO sales VALUES (1)"))
+        .when(F.col("event_type") == "signup", F.lit("UPDATE users SET active = 1"))
+        .otherwise(F.lit("OPTIMIZE TABLE hits"))
+    )
+    initial = e.select(
+        F.concat(dt0, F.lit(" [ "), pid, F.lit(" ] {"), qid,
+                 F.lit("} <Debug> executeQuery: (from 10.0.0.7:9000) "),
+                 sql_text).alias("value")
+    )
+    memory = e.select(
+        F.concat(dt_end, F.lit(" [ "), pid, F.lit(" ] {"), qid,
+                 F.lit("} <Debug> MemoryTracker: Peak memory usage "
+                       "(for query): 1.00 MiB.")).alias("value")
+    )
+    ev = annotate_events(parse_log_lines(initial.unionAll(memory)))
+    mem = ev.filter(F.col("memory_valid")).withColumn(
+        "elapsed",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("session_start_ts")))
+        / 1e6,
+    )
+    bounds = [1.0, 5.0, 10.0]
+    h = prometheus_histogram(mem, "elapsed", [1, 5, 10], ["session_stmt"])
+    phis = F.explode(F.array(*[F.lit(p) for p in _PHIS])).alias("phi")
+    q = h.select(
+        F.col("session_stmt").alias("type"),
+        F.col("le_1").alias("c1"),
+        F.col("le_5").alias("c2"),
+        F.col("le_10").alias("c3"),
+        F.col("bucket_count").cast("bigint").alias("cinf"),
+    ).select("*", phis).withColumn("rank", F.col("phi") * F.col("cinf"))
+    lo = [0.0] + bounds[:-1]
+    cum = [F.lit(0)] + [F.col(f"c{i+1}") for i in range(len(bounds))]
+    expr = F.lit(bounds[-1])
+    for i in reversed(range(len(bounds))):
+        below, here = cum[i], cum[i + 1]
+        interp = F.lit(lo[i]) + (F.lit(bounds[i]) - F.lit(lo[i])) * (
+            F.col("rank") - below
+        ) / (here - below)
+        expr = F.when(F.col("rank") <= here, interp).otherwise(expr)
+    return q.select(
+        "type", "phi", fround(expr, 6).alias("quantile")
+    ).orderBy("type", "phi")

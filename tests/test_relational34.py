@@ -173,3 +173,41 @@ def test_rolling_median_robustness(spark):
         assert r.is_outlier == (
             abs(r.cents - r.rolling_med_cents) > 5 * r.rolling_mad_cents
         )
+
+
+def test_capstone_quantiles_monotone(spark):
+    rows = QUERIES["logpipe_promql_histogram_quantile"](spark, SF_DIR).collect()
+    by: dict[str, list[float]] = {}
+    for r in rows:
+        by.setdefault(r.type, []).append(r.quantile)
+    assert by and all(v == sorted(v) and len(v) == 3 for v in by.values())
+    assert all(0.0 <= q <= 10.0 for v in by.values() for q in v)
+
+
+def test_raking_converges_to_margins(spark):
+    """After the second full sweep, lang margins are exact and source
+    margins are within 2% of target (IPF's monotone convergence)."""
+    rows = QUERIES["sample_raking_ipf"](spark, SF_DIR).collect()
+    total = sum(r.weighted_docs for r in rows)
+    langs: dict[str, float] = {}
+    sources: dict[str, float] = {}
+    for r in rows:
+        langs[r.lang] = langs.get(r.lang, 0.0) + r.weighted_docs
+        sources[r.source] = sources.get(r.source, 0.0) + r.weighted_docs
+    lt = total / len(langs)
+    st = total / len(sources)
+    for v in langs.values():
+        assert abs(v - lt) / lt < 1e-3, (v, lt)
+    for v in sources.values():
+        assert abs(v - st) / st < 0.02, (v, st)
+
+
+def test_token_sort_ratio_order_insensitive(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = QUERIES["er_token_sort_ratio_pairs"](spark, SF_DIR).collect()
+    assert rows
+    assert all(80.0 <= r.ratio <= 100.0 for r in rows)
+    # descending-by-ratio contract
+    ratios = [r.ratio for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
