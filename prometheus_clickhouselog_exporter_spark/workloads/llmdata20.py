@@ -270,3 +270,69 @@ def streaming_cep_guard_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, n bigint, n_purchases bigint, "
         "n_guarded_conversions bigint",
     )
+
+
+@query(
+    "streaming_retention_fidelity",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 5 AS cohort,
+             count_if(event_type = 'signup') > 0 AS r1,
+             count_if(event_type = 'click') > 0 AS c2,
+             count_if(event_type = 'purchase') > 0 AS c3
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort,
+           CAST(count_if(r1) AS BIGINT) AS r1_users,
+           CAST(count_if(r1 AND c2) AS BIGINT) AS r2_users,
+           CAST(count_if(r1 AND c3) AS BIGINT) AS r3_users
+    FROM per_user GROUP BY cohort ORDER BY cohort
+    """,
+)
+def streaming_retention_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention()`` maintained BY A REAL STREAM (23rd
+    fidelity member): per-user condition flags accumulate through
+    Spark's own stateful streaming aggregation (update mode, multi-file
+    stream → several micro-batches; flags are monotone booleans, so the
+    final state per user is the max emission), then the cohort fold
+    runs on the bounded per-user frame and must hash-match the batch
+    retention exactly. The anchoring subtlety (r_i = cond1 AND cond_i,
+    never a chain) rides through the same plan.
+
+    100 TB/streaming: state per user is three booleans — retention is
+    the textbook monotone streaming aggregate; no watermark needed, no
+    custom state code."""
+    tmp = _fidelity_tmp("retention-fidelity-")
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = (
+        spark.readStream.schema("user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in")
+    )
+    per_user = stream.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "signup").cast("int")).alias("r1"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("c2"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("c3"),
+    )
+    sink = _run_stream_to_memory(spark, per_user, tmp)
+    final = sink.groupBy("user_id").agg(
+        F.max("r1").alias("r1"), F.max("c2").alias("c2"), F.max("c3").alias("c3")
+    )
+    out = (
+        final.groupBy((F.col("user_id") % 5).alias("cohort"))
+        .agg(
+            F.count_if(F.col("r1") == 1).cast("bigint").alias("r1_users"),
+            F.count_if((F.col("r1") == 1) & (F.col("c2") == 1))
+            .cast("bigint")
+            .alias("r2_users"),
+            F.count_if((F.col("r1") == 1) & (F.col("c3") == 1))
+            .cast("bigint")
+            .alias("r3_users"),
+        )
+        .orderBy("cohort")
+    )
+    return _materialize(
+        spark, tmp, out,
+        "cohort bigint, r1_users bigint, r2_users bigint, r3_users bigint",
+    )

@@ -23,6 +23,65 @@ from .core import fround, query, table
 _FIELDS = ["brand", "type", "size", "price"]
 
 
+def _dirty_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared planted-duplicate pair corpus for the Fellegi-Sunter
+    pair (supervised scoring + the EM twin): every 10th part
+    re-enters with a perturbed name/size/price; candidate pairs are
+    block-bounded; label = same origin. Checkpointed — each consumer
+    runs two passes (estimate, score)."""
+    nm = (
+        table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.split("p_name", " ").getItem(1).alias("blk"),
+            "p_brand",
+            "p_type",
+            "p_size",
+            "p_retailprice",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # original + perturbed-duplicate branch
+    )
+    orig = nm.select(
+        F.col("p_partkey").alias("origin"),
+        (F.col("p_partkey") * 2).alias("rid"),
+        "p_name",
+        "blk",
+        "p_brand",
+        "p_type",
+        "p_size",
+        "p_retailprice",
+    )
+    dup = nm.filter(F.col("p_partkey") % 10 == 0).select(
+        F.col("p_partkey").alias("origin"),
+        (F.col("p_partkey") * 2 + 1).alias("rid"),
+        F.concat(F.col("p_name"), F.lit("x")).alias("p_name"),
+        "blk",
+        "p_brand",
+        "p_type",
+        (F.col("p_size") + F.col("p_partkey") % 2).alias("p_size"),
+        (F.col("p_retailprice") * 1.02).alias("p_retailprice"),
+    )
+    dirty = orig.unionByName(dup)
+    a = dirty.select(*[F.col(c).alias(f"a_{c}") for c in dirty.columns])
+    b = dirty.select(*[F.col(c).alias(f"b_{c}") for c in dirty.columns])
+    return (
+        a.join(b, (F.col("a_blk") == F.col("b_blk")) & (F.col("a_rid") < F.col("b_rid")))
+        .select(
+            (F.col("a_origin") == F.col("b_origin")).alias("label"),
+            (F.col("a_p_brand") == F.col("b_p_brand")).alias("ag_brand"),
+            (F.col("a_p_type") == F.col("b_p_type")).alias("ag_type"),
+            (F.col("a_p_size") == F.col("b_p_size")).alias("ag_size"),
+            (
+                F.abs(F.col("a_p_retailprice") - F.col("b_p_retailprice"))
+                <= 0.1 * F.greatest("a_p_retailprice", "b_p_retailprice")
+            ).alias("ag_price"),
+        )
+        .localCheckpoint(eager=False)  # each consumer runs 2 passes
+    )
+
+
 @query(
     "er_fellegi_sunter_scoring",
     oracle="""
@@ -125,57 +184,7 @@ def er_fellegi_sunter_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |fields| rows broadcast back; two passes over the checkpointed
     pair frame (estimate, score) — the audit's price for the
     self-scored design."""
-    nm = (
-        table(spark, sf_dir, "part")
-        .select(
-            "p_partkey",
-            "p_name",
-            F.split("p_name", " ").getItem(1).alias("blk"),
-            "p_brand",
-            "p_type",
-            "p_size",
-            "p_retailprice",
-        )
-        .distinct()
-        .localCheckpoint(eager=False)  # original + perturbed-duplicate branch
-    )
-    orig = nm.select(
-        F.col("p_partkey").alias("origin"),
-        (F.col("p_partkey") * 2).alias("rid"),
-        "p_name",
-        "blk",
-        "p_brand",
-        "p_type",
-        "p_size",
-        "p_retailprice",
-    )
-    dup = nm.filter(F.col("p_partkey") % 10 == 0).select(
-        F.col("p_partkey").alias("origin"),
-        (F.col("p_partkey") * 2 + 1).alias("rid"),
-        F.concat(F.col("p_name"), F.lit("x")).alias("p_name"),
-        "blk",
-        "p_brand",
-        "p_type",
-        (F.col("p_size") + F.col("p_partkey") % 2).alias("p_size"),
-        (F.col("p_retailprice") * 1.02).alias("p_retailprice"),
-    )
-    dirty = orig.unionByName(dup)
-    a = dirty.select(*[F.col(c).alias(f"a_{c}") for c in dirty.columns])
-    b = dirty.select(*[F.col(c).alias(f"b_{c}") for c in dirty.columns])
-    pairs = (
-        a.join(b, (F.col("a_blk") == F.col("b_blk")) & (F.col("a_rid") < F.col("b_rid")))
-        .select(
-            (F.col("a_origin") == F.col("b_origin")).alias("label"),
-            (F.col("a_p_brand") == F.col("b_p_brand")).alias("ag_brand"),
-            (F.col("a_p_type") == F.col("b_p_type")).alias("ag_type"),
-            (F.col("a_p_size") == F.col("b_p_size")).alias("ag_size"),
-            (
-                F.abs(F.col("a_p_retailprice") - F.col("b_p_retailprice"))
-                <= 0.1 * F.greatest("a_p_retailprice", "b_p_retailprice")
-            ).alias("ag_price"),
-        )
-        .localCheckpoint(eager=False)  # estimate pass + score pass
-    )
+    pairs = _dirty_pairs(spark, sf_dir)
     agree = {
         "brand": F.col("ag_brand"),
         "type": F.col("ag_type"),
@@ -371,3 +380,232 @@ def window_rolling_median_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         mad.alias("rolling_mad_cents"),
         (F.abs(F.col("cents") - F.col("med")) > 5 * mad).alias("is_outlier"),
     ).orderBy("event_type", "event_id")
+
+
+# Shared pair-corpus SQL (same construction the scoring oracle inlines)
+_PAIRS_SQL = """
+    WITH nm AS (
+      SELECT DISTINCT p_partkey, p_name, string_split(p_name, ' ')[2] AS blk,
+             p_brand, p_type, p_size, p_retailprice
+      FROM part
+    ),
+    dirty AS (
+      SELECT p_partkey AS origin, p_partkey * 2 AS rid, p_name, blk,
+             p_brand, p_type, p_size, p_retailprice
+      FROM nm
+      UNION ALL
+      SELECT p_partkey, p_partkey * 2 + 1, p_name || 'x', blk,
+             p_brand, p_type, p_size + p_partkey % 2,
+             p_retailprice * 1.02
+      FROM nm WHERE p_partkey % 10 = 0
+    ),
+    pairs AS MATERIALIZED (
+      SELECT (a.origin = b.origin) AS label,
+             (a.p_brand = b.p_brand) AS ag_brand,
+             (a.p_type = b.p_type) AS ag_type,
+             (a.p_size = b.p_size) AS ag_size,
+             (abs(a.p_retailprice - b.p_retailprice)
+              <= 0.1 * greatest(a.p_retailprice, b.p_retailprice)) AS ag_price
+      FROM dirty a JOIN dirty b ON a.blk = b.blk AND a.rid < b.rid
+    )
+"""
+
+_EM_E1 = """(0.1 * (CASE WHEN ag_brand THEN 0.9 ELSE 0.1 END)
+                 * (CASE WHEN ag_type THEN 0.9 ELSE 0.1 END)
+                 * (CASE WHEN ag_size THEN 0.9 ELSE 0.1 END)
+                 * (CASE WHEN ag_price THEN 0.9 ELSE 0.1 END))
+        / ((0.1 * (CASE WHEN ag_brand THEN 0.9 ELSE 0.1 END)
+                 * (CASE WHEN ag_type THEN 0.9 ELSE 0.1 END)
+                 * (CASE WHEN ag_size THEN 0.9 ELSE 0.1 END)
+                 * (CASE WHEN ag_price THEN 0.9 ELSE 0.1 END))
+           + (0.9 * (CASE WHEN ag_brand THEN u0.u_brand ELSE 1 - u0.u_brand END)
+                  * (CASE WHEN ag_type THEN u0.u_type ELSE 1 - u0.u_type END)
+                  * (CASE WHEN ag_size THEN u0.u_size ELSE 1 - u0.u_size END)
+                  * (CASE WHEN ag_price THEN u0.u_price ELSE 1 - u0.u_price END)))"""
+
+
+@query(
+    "er_fellegi_sunter_em",
+    oracle=_PAIRS_SQL
+    + f""",
+    u0 AS MATERIALIZED (
+      SELECT CAST(count_if(ag_brand) AS DOUBLE) / count(*) AS u_brand,
+             CAST(count_if(ag_type) AS DOUBLE) / count(*) AS u_type,
+             CAST(count_if(ag_size) AS DOUBLE) / count(*) AS u_size,
+             CAST(count_if(ag_price) AS DOUBLE) / count(*) AS u_price
+      FROM pairs
+    ),
+    e1 AS MATERIALIZED (
+      SELECT label, ag_brand, ag_type, ag_size, ag_price,
+             {_EM_E1} AS w
+      FROM pairs, u0
+    ),
+    m1 AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS np,
+             sum(CAST(floor(w * 1e9 + 0.5) AS BIGINT)) / 1e9 AS sw,
+             sum(CAST(floor((1 - w) * 1e9 + 0.5) AS BIGINT)) / 1e9 AS swc,
+             sum(CASE WHEN ag_brand THEN CAST(floor(w * 1e9 + 0.5) AS BIGINT) ELSE 0 END) / 1e9 AS swb,
+             sum(CASE WHEN ag_type  THEN CAST(floor(w * 1e9 + 0.5) AS BIGINT) ELSE 0 END) / 1e9 AS swt,
+             sum(CASE WHEN ag_size  THEN CAST(floor(w * 1e9 + 0.5) AS BIGINT) ELSE 0 END) / 1e9 AS sws,
+             sum(CASE WHEN ag_price THEN CAST(floor(w * 1e9 + 0.5) AS BIGINT) ELSE 0 END) / 1e9 AS swp,
+             sum(CASE WHEN ag_brand THEN CAST(floor((1 - w) * 1e9 + 0.5) AS BIGINT) ELSE 0 END) / 1e9 AS scb,
+             sum(CASE WHEN ag_type  THEN CAST(floor((1 - w) * 1e9 + 0.5) AS BIGINT) ELSE 0 END) / 1e9 AS sct,
+             sum(CASE WHEN ag_size  THEN CAST(floor((1 - w) * 1e9 + 0.5) AS BIGINT) ELSE 0 END) / 1e9 AS scs,
+             sum(CASE WHEN ag_price THEN CAST(floor((1 - w) * 1e9 + 0.5) AS BIGINT) ELSE 0 END) / 1e9 AS scp
+      FROM e1
+    ),
+    p1 AS MATERIALIZED (
+      SELECT sw / np AS lam,
+             (swb + 0.5) / (sw + 1.0) AS m_brand,
+             (swt + 0.5) / (sw + 1.0) AS m_type,
+             (sws + 0.5) / (sw + 1.0) AS m_size,
+             (swp + 0.5) / (sw + 1.0) AS m_price,
+             (scb + 0.5) / (swc + 1.0) AS u_brand,
+             (sct + 0.5) / (swc + 1.0) AS u_type,
+             (scs + 0.5) / (swc + 1.0) AS u_size,
+             (scp + 0.5) / (swc + 1.0) AS u_price
+      FROM m1
+    ),
+    e2 AS MATERIALIZED (
+      SELECT label,
+             (p.lam * (CASE WHEN ag_brand THEN p.m_brand ELSE 1 - p.m_brand END)
+                    * (CASE WHEN ag_type THEN p.m_type ELSE 1 - p.m_type END)
+                    * (CASE WHEN ag_size THEN p.m_size ELSE 1 - p.m_size END)
+                    * (CASE WHEN ag_price THEN p.m_price ELSE 1 - p.m_price END))
+             / ((p.lam * (CASE WHEN ag_brand THEN p.m_brand ELSE 1 - p.m_brand END)
+                       * (CASE WHEN ag_type THEN p.m_type ELSE 1 - p.m_type END)
+                       * (CASE WHEN ag_size THEN p.m_size ELSE 1 - p.m_size END)
+                       * (CASE WHEN ag_price THEN p.m_price ELSE 1 - p.m_price END))
+                + ((1 - p.lam)
+                       * (CASE WHEN ag_brand THEN p.u_brand ELSE 1 - p.u_brand END)
+                       * (CASE WHEN ag_type THEN p.u_type ELSE 1 - p.u_type END)
+                       * (CASE WHEN ag_size THEN p.u_size ELSE 1 - p.u_size END)
+                       * (CASE WHEN ag_price THEN p.u_price ELSE 1 - p.u_price END)))
+               AS w
+      FROM pairs, p1 p
+    ),
+    conf AS (
+      SELECT CAST(count_if(w > 0.5 AND label) AS BIGINT) AS tp,
+             CAST(count_if(w > 0.5 AND NOT label) AS BIGINT) AS fp,
+             CAST(count_if(w <= 0.5 AND label) AS BIGINT) AS fn,
+             CAST(count_if(w <= 0.5 AND NOT label) AS BIGINT) AS tn
+      FROM e2
+    )
+    SELECT f.field,
+           floor(CASE f.field WHEN 'brand' THEN p.m_brand
+                              WHEN 'type' THEN p.m_type
+                              WHEN 'size' THEN p.m_size
+                              ELSE p.m_price END * 1e6 + 0.5) / 1e6 AS m_em,
+           floor(CASE f.field WHEN 'brand' THEN p.u_brand
+                              WHEN 'type' THEN p.u_type
+                              WHEN 'size' THEN p.u_size
+                              ELSE p.u_price END * 1e6 + 0.5) / 1e6 AS u_em,
+           floor(p.lam * 1e6 + 0.5) / 1e6 AS lambda_em,
+           c.tp, c.fp, c.fn, c.tn
+    FROM (VALUES ('brand'), ('price'), ('size'), ('type')) f(field), p1 p, conf c
+    ORDER BY f.field
+    """,
+)
+def er_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED Fellegi-Sunter via two unrolled EM iterations — the
+    estimation mode production linkers (Splink) actually run, since
+    labeled pairs rarely exist: initialize m=0.9 and u = the observed
+    overall agreement rate, E-step computes each pair's match posterior
+    under the naive-Bayes likelihood, M-step re-estimates (λ, m, u)
+    from QUANTIZED posterior sums (floor(w·1e9) BIGINT folds — the EM
+    analog of the quantized-folds rule: no float reduction order on the
+    hash path), then a second E-step classifies at posterior > 0.5.
+    The planted labels are used ONLY for the confusion report — the
+    estimation never sees them, and the test pins that EM still
+    recovers the duplicates (recall ≥ 0.9).
+
+    100 TB: each EM iteration is one pass over the block-bounded pair
+    frame + a 1-row parameter aggregate broadcast back — iterations
+    scale like any scan, parameters are O(fields)."""
+    pairs = _dirty_pairs(spark, sf_dir)
+    agree = {
+        "brand": F.col("ag_brand"),
+        "type": F.col("ag_type"),
+        "size": F.col("ag_size"),
+        "price": F.col("ag_price"),
+    }
+    u0 = pairs.agg(
+        *[
+            (F.count_if(agree[f]).cast("double") / F.count(F.lit(1))).alias(
+                f"u_{f}"
+            )
+            for f in _FIELDS
+        ]
+    )
+
+    def posterior(lam, m, u):
+        num = F.lit(1.0) * lam
+        den_u = F.lit(1.0) * (1.0 - lam) if isinstance(lam, float) else (1 - lam)
+        for f in _FIELDS:
+            num = num * F.when(agree[f], m[f]).otherwise(1 - m[f])
+            den_u = den_u * F.when(agree[f], u[f]).otherwise(1 - u[f])
+        return num / (num + den_u)
+
+    qw = lambda c: F.floor(c * 1e9 + F.lit(0.5)).cast("long")  # noqa: E731
+
+    m0 = {f: F.lit(0.9) for f in _FIELDS}
+    u0cols = {f: F.col(f"u_{f}") for f in _FIELDS}
+    e1 = pairs.crossJoin(F.broadcast(u0)).withColumn(
+        "w", posterior(0.1, m0, u0cols)
+    )
+    m1 = e1.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        (F.sum(qw(F.col("w"))) / 1e9).alias("sw"),
+        (F.sum(qw(1 - F.col("w"))) / 1e9).alias("swc"),
+        *[
+            (F.sum(F.when(agree[f], qw(F.col("w"))).otherwise(F.lit(0))) / 1e9).alias(
+                f"sw_{f}"
+            )
+            for f in _FIELDS
+        ],
+        *[
+            (
+                F.sum(F.when(agree[f], qw(1 - F.col("w"))).otherwise(F.lit(0)))
+                / 1e9
+            ).alias(f"sc_{f}")
+            for f in _FIELDS
+        ],
+    )
+    p1 = m1.select(
+        (F.col("sw") / F.col("np")).alias("lam"),
+        *[
+            ((F.col(f"sw_{f}") + 0.5) / (F.col("sw") + 1.0)).alias(f"m_{f}")
+            for f in _FIELDS
+        ],
+        *[
+            ((F.col(f"sc_{f}") + 0.5) / (F.col("swc") + 1.0)).alias(f"u_{f}")
+            for f in _FIELDS
+        ],
+    ).localCheckpoint(eager=False)  # E-step 2 AND the report read it
+    m1cols = {f: F.col(f"m_{f}") for f in _FIELDS}
+    u1cols = {f: F.col(f"u_{f}") for f in _FIELDS}
+    e2 = pairs.crossJoin(F.broadcast(p1)).withColumn(
+        "w", posterior(F.col("lam"), m1cols, u1cols)
+    )
+    conf = e2.agg(
+        F.count_if((F.col("w") > 0.5) & F.col("label")).cast("bigint").alias("tp"),
+        F.count_if((F.col("w") > 0.5) & ~F.col("label")).cast("bigint").alias("fp"),
+        F.count_if((F.col("w") <= 0.5) & F.col("label")).cast("bigint").alias("fn"),
+        F.count_if((F.col("w") <= 0.5) & ~F.col("label")).cast("bigint").alias("tn"),
+    )
+    field_rows = p1.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("field"),
+                        fround(F.col(f"m_{f}"), 6).alias("m_em"),
+                        fround(F.col(f"u_{f}"), 6).alias("u_em"),
+                        fround(F.col("lam"), 6).alias("lambda_em"),
+                    )
+                    for f in _FIELDS
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+    return field_rows.crossJoin(F.broadcast(conf)).orderBy("field")

@@ -197,3 +197,194 @@ def er_token_sort_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ratio"), "name_a", "name_b")
         .limit(50)
     )
+
+
+@query(
+    "similarity_mmr_diversified",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             floor(list_dot_product(q.qe, c.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(c.e, c.e))) * 1e6 + 0.5) / 1e6
+               AS rel
+      FROM q CROSS JOIN c WHERE q.query_id <> c.vec_id
+    ),
+    cands AS MATERIALIZED (
+      SELECT query_id, vec_id, rel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, vec_id) AS rk
+      FROM scored
+    ),
+    top AS MATERIALIZED (SELECT * FROM cands WHERE rk <= 10),
+    sims AS MATERIALIZED (
+      SELECT a.query_id, a.vec_id AS i, b.vec_id AS j,
+             floor(list_dot_product(ca.e, cb.e)
+                   / (sqrt(list_dot_product(ca.e, ca.e))
+                      * sqrt(list_dot_product(cb.e, cb.e))) * 1e6 + 0.5) / 1e6
+               AS sim
+      FROM top a JOIN top b
+        ON b.query_id = a.query_id AND b.vec_id <> a.vec_id
+      JOIN c ca ON ca.vec_id = a.vec_id
+      JOIN c cb ON cb.vec_id = b.vec_id
+    ),
+    s1 AS MATERIALIZED (
+      SELECT query_id, vec_id AS s1_id, rel AS rel1 FROM top WHERE rk = 1
+    ),
+    st2 AS MATERIALIZED (
+      SELECT t.query_id, t.vec_id, t.rel,
+             0.7 * t.rel - 0.3 * s.sim AS score
+      FROM top t
+      JOIN s1 ON s1.query_id = t.query_id AND t.vec_id <> s1.s1_id
+      JOIN sims s ON s.query_id = t.query_id AND s.i = t.vec_id
+                 AND s.j = s1.s1_id
+    ),
+    s2 AS MATERIALIZED (
+      SELECT query_id, vec_id AS s2_id, score AS score2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id) AS r
+        FROM st2) WHERE r = 1
+    ),
+    st3 AS (
+      SELECT t.query_id, t.vec_id, t.rel,
+             0.7 * t.rel - 0.3 * greatest(sa.sim, sb.sim) AS score
+      FROM top t
+      JOIN s1 ON s1.query_id = t.query_id AND t.vec_id <> s1.s1_id
+      JOIN s2 ON s2.query_id = t.query_id AND t.vec_id <> s2.s2_id
+      JOIN sims sa ON sa.query_id = t.query_id AND sa.i = t.vec_id
+                  AND sa.j = s1.s1_id
+      JOIN sims sb ON sb.query_id = t.query_id AND sb.i = t.vec_id
+                  AND sb.j = s2.s2_id
+    ),
+    s3 AS (
+      SELECT query_id, vec_id AS s3_id, score AS score3 FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id) AS r
+        FROM st3) WHERE r = 1
+    )
+    SELECT query_id, pos, nbr_id,
+           floor(score * 1e6 + 0.5) / 1e6 AS mmr_score
+    FROM (
+      SELECT s1.query_id, 1 AS pos, s1.s1_id AS nbr_id,
+             0.7 * s1.rel1 AS score FROM s1
+      UNION ALL
+      SELECT query_id, 2, s2_id, score2 FROM s2
+      UNION ALL
+      SELECT query_id, 3, s3_id, score3 FROM s3
+    ) ORDER BY query_id, pos
+    """,
+)
+def similarity_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell-Goldstein) diversified
+    retrieval, 3 selections unrolled: greedily pick argmax of
+    0.7·relevance − 0.3·max-similarity-to-already-selected from the
+    top-10 cosine candidates — the de-duplicating re-ranker retrieval
+    and data-curation pipelines run so the k results aren't k copies.
+    Relevance and pairwise sims quantize (1e-6) BEFORE the argmax
+    compares, so selection can't flip on a last-ulp libm divergence;
+    each greedy step is a per-query WindowGroupLimit over the bounded
+    candidate frame.
+
+    100 TB: candidates come from any ANN rung (here exact top-10);
+    pairwise sims are |queries|·k² rows; each MMR step is one keyed
+    join + one per-query top-1 window. k steps = k joins — fine for
+    re-ranking k's (5-50), never corpus-scale."""
+    from ..operators.similarity import cosine_topk, dot, normalize
+
+    emb = table(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
+    qdf = emb.filter(F.col("vec_id") < 8)
+    cands = cosine_topk(emb, qdf, "embedding", "vec_id", "vec_id", k=10)
+    top = cands.select(
+        "query_id", "nbr_id", fround(F.col("cosine"), 6).alias("rel")
+    ).localCheckpoint(eager=False)  # 3 greedy steps re-read it
+    cn = emb.select(
+        F.col("vec_id").alias("_id"), normalize(F.col("embedding")).alias("_v")
+    )
+    a = top.select("query_id", F.col("nbr_id").alias("i")).join(
+        cn.withColumnRenamed("_id", "i").withColumnRenamed("_v", "_vi"), "i"
+    )
+    b = top.select(F.col("query_id").alias("_qb"), F.col("nbr_id").alias("j")).join(
+        cn.withColumnRenamed("_id", "j").withColumnRenamed("_v", "_vj"), "j"
+    )
+    sims = (
+        a.join(b, (F.col("_qb") == F.col("query_id")) & (F.col("i") != F.col("j")))
+        .select(
+            "query_id",
+            "i",
+            "j",
+            fround(dot(F.col("_vi"), F.col("_vj")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=False)  # step-2 and both step-3 joins
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id")
+    s1 = (
+        top.withColumn(
+            "r", F.row_number().over(wq.orderBy(F.desc("rel"), "nbr_id"))
+        )
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("nbr_id").alias("s1_id"), F.col("rel").alias("rel1"))
+    )
+    s2s = sims.select(
+        F.col("query_id").alias("_q2"),
+        F.col("i").alias("_i2"),
+        F.col("j").alias("_j2"),
+        F.col("sim").alias("_sim0"),
+    )
+    st2 = (
+        top.join(s1, "query_id")
+        .filter(F.col("nbr_id") != F.col("s1_id"))
+        .join(
+            s2s,
+            (F.col("_q2") == F.col("query_id"))
+            & (F.col("_i2") == F.col("nbr_id"))
+            & (F.col("_j2") == F.col("s1_id")),
+        )
+        .select("query_id", "nbr_id", "rel", "s1_id",
+                (0.7 * F.col("rel") - 0.3 * F.col("_sim0")).alias("score"))
+    )
+    s2 = (
+        st2.withColumn(
+            "r", F.row_number().over(wq.orderBy(F.desc("score"), "nbr_id"))
+        )
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("nbr_id").alias("s2_id"), F.col("score").alias("score2"))
+    )
+    sa = sims.select(F.col("query_id").alias("_q3"), F.col("i").alias("_i3"),
+                     F.col("j").alias("_j3"), F.col("sim").alias("_sim1"))
+    sb = sims.select(F.col("query_id").alias("_q4"), F.col("i").alias("_i4"),
+                     F.col("j").alias("_j4"), F.col("sim").alias("_sim2"))
+    st3 = (
+        top.join(s1, "query_id")
+        .join(s2, "query_id")
+        .filter((F.col("nbr_id") != F.col("s1_id")) & (F.col("nbr_id") != F.col("s2_id")))
+        .join(sa, (F.col("_q3") == F.col("query_id")) & (F.col("_i3") == F.col("nbr_id"))
+              & (F.col("_j3") == F.col("s1_id")))
+        .join(sb, (F.col("_q4") == F.col("query_id")) & (F.col("_i4") == F.col("nbr_id"))
+              & (F.col("_j4") == F.col("s2_id")))
+        .select("query_id", "nbr_id", "rel",
+                (0.7 * F.col("rel") - 0.3 * F.greatest("_sim1", "_sim2")).alias("score"))
+    )
+    s3 = (
+        st3.withColumn(
+            "r", F.row_number().over(wq.orderBy(F.desc("score"), "nbr_id"))
+        )
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("nbr_id").alias("s3_id"), F.col("score").alias("score3"))
+    )
+    out = (
+        s1.select("query_id", F.lit(1).alias("pos"), F.col("s1_id").alias("nbr_id"),
+                  (0.7 * F.col("rel1")).alias("score"))
+        .unionByName(s2.select("query_id", F.lit(2).alias("pos"),
+                               F.col("s2_id").alias("nbr_id"),
+                               F.col("score2").alias("score")))
+        .unionByName(s3.select("query_id", F.lit(3).alias("pos"),
+                               F.col("s3_id").alias("nbr_id"),
+                               F.col("score3").alias("score")))
+    )
+    return out.select(
+        "query_id", "pos", "nbr_id", fround(F.col("score"), 6).alias("mmr_score")
+    ).orderBy("query_id", "pos")

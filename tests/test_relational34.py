@@ -211,3 +211,45 @@ def test_token_sort_ratio_order_insensitive(spark):
     # descending-by-ratio contract
     ratios = [r.ratio for r in rows]
     assert ratios == sorted(ratios, reverse=True)
+
+
+def test_fellegi_sunter_em_unsupervised_recovery(spark):
+    """EM never sees the labels, yet must recover the planted
+    duplicates (recall >= 0.9) with lambda in the plausible range and
+    m > u on the planted-discriminative fields."""
+    rows = QUERIES["er_fellegi_sunter_em"](spark, SF_DIR).collect()
+    assert len(rows) == 4
+    r0 = rows[0]
+    recall = r0.tp / (r0.tp + r0.fn)
+    assert recall >= 0.9, recall
+    assert 0.0 < r0.lambda_em < 0.5
+    by = {r.field: r for r in rows}
+    assert by["brand"].m_em > by["brand"].u_em
+    assert by["size"].m_em > by["size"].u_em
+
+
+def test_mmr_diversifies(spark):
+    """MMR's selections are distinct per query, position-1 is the
+    relevance argmax, and scores never increase with position (greedy
+    marginal gain is monotone non-increasing for a fixed lambda)."""
+    rows = QUERIES["similarity_mmr_diversified"](spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 8
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.pos)
+        assert len({r.nbr_id for r in rs}) == 3
+        assert rs[0].mmr_score >= rs[1].mmr_score >= rs[2].mmr_score - 1e-9
+
+
+def test_streaming_retention_matches_batch(spark):
+    stream = {
+        r.cohort: (r.r1_users, r.r2_users, r.r3_users)
+        for r in QUERIES["streaming_retention_fidelity"](spark, SF_DIR).collect()
+    }
+    batch = {
+        r.cohort: (r.r1_users, r.r2_users, r.r3_users)
+        for r in QUERIES["clickhouse_retention_battery"](spark, SF_DIR).collect()
+    }
+    assert stream == batch
