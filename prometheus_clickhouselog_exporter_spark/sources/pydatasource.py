@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -193,3 +194,118 @@ class PromTextfileWriter(DataSourceWriter):
                     os.remove(os.path.join(self.path, f))
                 except OSError:
                     pass
+
+
+class ClickhouseLogStreamDataSource(DataSource):
+    """``spark.readStream.format("clickhouse_log_stream")`` — the
+    reference's CORE abstraction (main.go:100-106: ``tail.TailFile``
+    with Follow + ReOpen, offset-controlled by ``--from-start``,
+    main.go:19,94-100) as a first-class Spark STREAMING source via the
+    Python SimpleDataSourceStreamReader API:
+
+    - offset = byte position of the last COMPLETE line shipped (a
+      partial line at EOF is held back until its newline arrives —
+      tail semantics, not chunk semantics);
+    - ``from_start=true`` replays the existing file (the --from-start
+      flag); default starts at the current EOF like ``tail -f``;
+    - rotation: when the file shrinks below the committed offset the
+      reader reopens at 0 (the ReOpen contract) and emits a
+      ``rotations`` bump so downstream can count reopen events
+      (A1-adjacent observability);
+    - exactly-once within Spark's replay contract: offsets are pure
+      byte positions, ``readBetweenOffsets`` re-reads [start, end) for
+      recovery, and prefetched-batch caching is the engine's.
+
+    Options: ``path`` (required), ``from_start`` (default false).
+    Schema: value string, file_offset bigint, rotation bigint.
+
+    100 TB: one tailer per log file is the reference's own shape; at
+    fleet scale you run one stream over a directory via the file
+    source — this source exists for the LIVE-tail offset semantics the
+    file source cannot express (it only discovers whole new files).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "clickhouse_log_stream"
+
+    def schema(self) -> str:
+        return "value string, file_offset bigint, rotation bigint"
+
+    def simpleStreamReader(self, schema) -> "ClickhouseLogTailReader":
+        return ClickhouseLogTailReader(self.options)
+
+
+class ClickhouseLogTailReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("clickhouse_log_stream: 'path' option is required")
+        from .logsource import check_log_path
+
+        check_log_path(self.path)
+        self.from_start = str(options.get("from_start", "false")).lower() in (
+            "1",
+            "true",
+            "yes",
+        )
+
+    # -- offset helpers ----------------------------------------------
+    def _size(self) -> int:
+        try:
+            return os.path.getsize(self.path)
+        except OSError:
+            return 0
+
+    def _scan(self, pos: int, limit: int | None = None):
+        """Read complete lines from byte ``pos`` (to ``limit`` or EOF);
+        returns (rows, next_pos). A trailing fragment without a newline
+        is NOT shipped and NOT advanced past."""
+        rows = []
+        try:
+            fh = open(self.path, "rb")
+        except OSError:
+            return rows, pos
+        with fh:
+            fh.seek(pos)
+            data = fh.read(None if limit is None else max(0, limit - pos))
+        end = len(data)
+        start = 0
+        off = pos
+        while True:
+            nl = data.find(b"\n", start, end)
+            if nl < 0:
+                break
+            line = data[start:nl].decode("utf-8", errors="replace")
+            off = pos + nl + 1
+            rows.append((line, off))
+            start = nl + 1
+        return rows, off
+
+    # -- SimpleDataSourceStreamReader contract ------------------------
+    def initialOffset(self) -> dict:
+        return {"pos": 0 if self.from_start else self._size(), "rot": 0}
+
+    def read(self, start: dict):
+        pos, rot = start["pos"], start.get("rot", 0)
+        if self._size() < pos:  # rotation/truncation → reopen at 0
+            pos, rot = 0, rot + 1
+        rows, new_pos = self._scan(pos)
+        out = [(v, o, rot) for (v, o) in rows]
+        return iter(out), {"pos": new_pos, "rot": rot}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay of [start, end): same-rotation replays
+        # re-scan the byte range; across a rotation the pre-rotation
+        # bytes are gone (the reference loses them too — tail semantics),
+        # so replay yields the post-rotation range only.
+        if end.get("rot", 0) == start.get("rot", 0):
+            rows, _ = self._scan(start["pos"], limit=end["pos"])
+            rot = start.get("rot", 0)
+        else:
+            rows, _ = self._scan(0, limit=end["pos"])
+            rot = end.get("rot", 0)
+        return iter([(v, o, rot) for (v, o) in rows])
+
+    def commit(self, end: dict) -> None:  # nothing external to clean up
+        return
