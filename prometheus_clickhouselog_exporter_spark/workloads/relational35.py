@@ -34,7 +34,13 @@ def _dirty_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             "p_name",
-            F.split("p_name", " ").getItem(1).alias("blk"),
+            F.concat_ws(
+                " ",
+                F.split("p_name", " ").getItem(0),
+                F.split("p_name", " ").getItem(1),
+            ).alias("blk"),  # TWO-word block: one word is quadratically
+            # too coarse at sf0.1 (measured 47s — 6.5M pairs); the name
+            # perturbation appends at the END, so duplicates co-block
             "p_brand",
             "p_type",
             "p_size",
@@ -86,7 +92,9 @@ def _dirty_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "er_fellegi_sunter_scoring",
     oracle="""
     WITH nm AS (
-      SELECT DISTINCT p_partkey, p_name, string_split(p_name, ' ')[2] AS blk,
+      SELECT DISTINCT p_partkey, p_name,
+             string_split(p_name, ' ')[1] || ' ' || string_split(p_name, ' ')[2]
+               AS blk,
              p_brand, p_type, p_size, p_retailprice
       FROM part
     ),
@@ -385,7 +393,9 @@ def window_rolling_median_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared pair-corpus SQL (same construction the scoring oracle inlines)
 _PAIRS_SQL = """
     WITH nm AS (
-      SELECT DISTINCT p_partkey, p_name, string_split(p_name, ' ')[2] AS blk,
+      SELECT DISTINCT p_partkey, p_name,
+             string_split(p_name, ' ')[1] || ' ' || string_split(p_name, ' ')[2]
+               AS blk,
              p_brand, p_type, p_size, p_retailprice
       FROM part
     ),
