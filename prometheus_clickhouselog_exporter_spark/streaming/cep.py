@@ -99,3 +99,90 @@ def guard_stream(events: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = "user_id bigint, n bigint, funnel_level bigint"
+_FUNNEL_STATE = (
+    "n bigint, best bigint, open_views array<bigint>, "
+    "open_l2_anchor array<bigint>"
+)
+_FUNNEL_W_US = 3600 * 1_000_000
+
+
+def fold_funnel(rows: list[tuple[int, str]], state: tuple | None) -> tuple:
+    """Sequential windowFunnel fold (view → click → purchase, window W
+    anchored at the view — the clickhouse_window_funnel batch
+    semantics): a click at t is THE earliest click after every still-
+    open view anchor v < t, so it resolves them all (level 2 iff
+    t ≤ v+W, else the anchor dies at level 1); a purchase resolves open
+    level-2 anchors the same way. An anchor whose deadline v+W passes
+    unresolved can never succeed (the earliest later event is already
+    too late), so pruning by the W horizon is EXACT, and state is
+    bounded by the event rate within one window — the same bound
+    ClickHouse's own in-memory sweep carries."""
+    n, best, open_views, open_l2 = (
+        state if state is not None else (0, 0, [], [])
+    )
+    open_views = list(open_views)
+    open_l2 = list(open_l2)
+    for ts_us, etype in rows:
+        n += 1
+        horizon = ts_us - _FUNNEL_W_US
+        if etype == "click" and open_views:
+            for v in open_views:
+                if ts_us <= v + _FUNNEL_W_US:
+                    best = max(best, 2)
+                    open_l2.append(v)
+            open_views = []
+        elif etype == "purchase" and open_l2:
+            for v in open_l2:
+                if ts_us <= v + _FUNNEL_W_US:
+                    best = max(best, 3)
+            open_l2 = []
+        if etype == "view":
+            best = max(best, 1)
+            open_views.append(ts_us)
+        # exact pruning: an unresolved anchor past its deadline is dead
+        open_views = [v for v in open_views if v >= horizon]
+        open_l2 = [v for v in open_l2 if v >= horizon]
+    return n, best, open_views, open_l2
+
+
+def window_funnel_stream(events: DataFrame) -> DataFrame:
+    """events(user_id, ts, event_id, event_type) stream → per-user
+    running (n, funnel_level) in update mode (windowFunnel(3600))."""
+
+    def func(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values(["ts", "event_id"])
+        rows = list(
+            zip(
+                (pdf["ts"].astype("int64") // 1000).tolist(),
+                pdf["event_type"].tolist(),
+            )
+        )
+        prev = tuple(state.get) if state.exists else None
+        n, best, ov, ol = fold_funnel(rows, prev)
+        state.update((n, best, ov, ol))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "funnel_level": [best]}
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            func,
+            FUNNEL_OUTPUT_SCHEMA,
+            _FUNNEL_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -195,3 +195,97 @@ def clickhouse_retention_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+@query(
+    "streaming_window_funnel_fidelity",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_type, event_id FROM events
+    ),
+    fut AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase
+      FROM e
+    ),
+    anchors AS (
+      SELECT a.user_id, a.ts AS t1, a.next_click AS t2,
+             c.next_purchase AS t3
+      FROM fut a
+      LEFT JOIN fut c
+        ON c.user_id = a.user_id AND c.ts = a.next_click
+       AND c.event_type = 'click'
+      WHERE a.event_type = 'view'
+    ),
+    lvl AS (
+      SELECT user_id,
+             CASE
+               WHEN t2 IS NOT NULL AND t2 <= t1 + INTERVAL {_W_SECONDS} SECOND
+                AND t3 IS NOT NULL AND t3 <= t1 + INTERVAL {_W_SECONDS} SECOND
+               THEN 3
+               WHEN t2 IS NOT NULL AND t2 <= t1 + INTERVAL {_W_SECONDS} SECOND
+               THEN 2
+               ELSE 1
+             END AS level
+      FROM lvl_src
+    )
+    SELECT user_id, CAST(max(level) AS BIGINT) AS funnel_level
+    FROM lvl GROUP BY user_id ORDER BY user_id
+    """.replace("FROM lvl_src", "FROM anchors"),
+)
+def streaming_window_funnel_fidelity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse ``windowFunnel(3600)`` run AS A REAL STREAM (24th
+    fidelity member): streaming/cep.window_funnel_stream keeps, per
+    user, only the still-resolvable anchors — open views awaiting their
+    earliest later click and open level-2 anchors awaiting their
+    earliest later purchase, both pruned EXACTLY at the W horizon (an
+    anchor past its deadline can never be rescued: the earliest later
+    event is already too late) — so state is bounded by one window's
+    event rate, the same bound ClickHouse's in-memory sweep carries.
+    Final per-user levels hash-match the batch windowFunnel plan.
+
+    100 TB/streaming: the anchor-resolution fold is the NFA a CEP
+    engine compiles the funnel to; watermark-less because the funnel
+    never un-resolves. The batch twin stays the plan of choice for
+    historical scans; this is the live-dashboard form."""
+    from ..streaming.cep import window_funnel_stream
+    from .llmdata11 import _fidelity_tmp, _materialize, _run_stream_to_memory
+
+    tmp = _fidelity_tmp("funnel-fidelity-")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+    # NOTE: multi-file parquet with maxFilesPerTrigger would deliver
+    # batches in FILE order, not time order — the guard/retention folds
+    # are order-insensitive across batches, the funnel fold is NOT
+    # (earliest-after semantics). One batch per the sequential-monitor
+    # precedent (llmdata11._sequential_fidelity); the in-group sort
+    # restores event order.
+    stream = window_funnel_stream(
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        ).parquet(f"{tmp}/in")
+    )
+    out = _run_stream_to_memory(spark, stream, tmp)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    final = (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "funnel_level")
+        .orderBy("user_id")
+    )
+    return _materialize(
+        spark, tmp, final, "user_id bigint, funnel_level bigint"
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import fround, query, table
+from .core import fround, md5_long, query, table
 
 
 @query(
@@ -388,3 +388,109 @@ def similarity_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "pos", "nbr_id", fround(F.col("score"), 6).alias("mmr_score")
     ).orderBy("query_id", "pos")
+
+
+@query(
+    "layout_rendezvous_assignment",
+    oracle="""
+    WITH shards AS (SELECT unnest(range(0, 9)) AS s),
+    scored AS (
+      SELECT d.doc_id, s.s,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                       || CAST(s.s AS VARCHAR)), 1, 12))
+                  AS UBIGINT) AS h
+      FROM documents d, shards s
+    ),
+    at8 AS (
+      SELECT doc_id, max_by(s, h * 16 + s) AS shard8 FROM scored
+      WHERE s < 8 GROUP BY doc_id
+    ),
+    at9 AS (
+      SELECT doc_id, max_by(s, h * 16 + s) AS shard9 FROM scored GROUP BY doc_id
+    ),
+    j AS MATERIALIZED (
+      SELECT a8.doc_id, a8.shard8, a9.shard9,
+             a8.shard8 <> a9.shard9 AS moved
+      FROM at8 a8 JOIN at9 a9 ON a9.doc_id = a8.doc_id
+    ),
+    summary AS (
+      SELECT CAST(count_if(moved) AS BIGINT) AS n_moved,
+             floor(CAST(count_if(moved) AS DOUBLE) / count(*) * 1e6 + 0.5)
+               / 1e6 AS moved_frac,
+             CAST(count_if(moved AND shard9 <> 8) AS BIGINT)
+               AS n_moved_elsewhere
+      FROM j
+    )
+    SELECT g.shard9 AS shard,
+           CAST(count(*) AS BIGINT) AS n_at9,
+           CAST(count_if(NOT g.moved) AS BIGINT) AS n_stable,
+           s.n_moved, s.moved_frac,
+           s.n_moved_elsewhere = 0 AS moves_only_into_new
+    FROM j g, summary s
+    GROUP BY g.shard9, s.n_moved, s.moved_frac, s.n_moved_elsewhere
+    ORDER BY shard
+    """,
+)
+def layout_rendezvous_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing — the consistent
+    shard-assignment scheme a 100 TB ingestion layer uses so growing
+    the fleet doesn't reshuffle the world: shard(doc) = argmax over
+    shards of hash(doc, shard). Computed at N=8 and N=9 in one scan;
+    the defining guarantee is certified as a literal boolean — every
+    document that moves when shard 8 joins moves INTO shard 8 (HRW's
+    minimal-disruption property: an argmax can only change when the NEW
+    candidate wins), and the moved fraction lands near 1/9.
+
+    100 TB: per-doc work is |shards| hash evaluations in-row (the
+    explode is in-plan, never a shuffle); assignment needs no
+    coordination state at all — the property that makes HRW the
+    stateless alternative to ring-based consistent hashing."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    shards = F.explode(F.sequence(F.lit(0), F.lit(8))).alias("s")
+    scored = d.select("doc_id", shards).select(
+        "doc_id",
+        "s",
+        md5_long(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                     F.col("s").cast("string"))
+        ).alias("h"),
+    )
+    at8 = (
+        scored.filter(F.col("s") < 8)
+        .groupBy("doc_id")
+        .agg(F.max_by("s", F.col("h") * 16 + F.col("s")).alias("shard8"))
+    )
+    at9 = scored.groupBy("doc_id").agg(
+        F.max_by("s", F.col("h") * 16 + F.col("s")).alias("shard9")
+    )
+    j = (
+        at8.join(at9, "doc_id")
+        .withColumn("moved", F.col("shard8") != F.col("shard9"))
+        .localCheckpoint(eager=False)  # summary + per-shard fold
+    )
+    summary = j.agg(
+        F.count_if(F.col("moved")).cast("bigint").alias("n_moved"),
+        fround(
+            F.count_if(F.col("moved")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("moved_frac"),
+        F.count_if(F.col("moved") & (F.col("shard9") != 8))
+        .cast("bigint")
+        .alias("n_moved_elsewhere"),
+    )
+    return (
+        j.groupBy(F.col("shard9").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_at9"),
+            F.count_if(~F.col("moved")).cast("bigint").alias("n_stable"),
+        )
+        .crossJoin(F.broadcast(summary))
+        .select(
+            "shard",
+            "n_at9",
+            "n_stable",
+            "n_moved",
+            "moved_frac",
+            (F.col("n_moved_elsewhere") == 0).alias("moves_only_into_new"),
+        )
+        .orderBy("shard")
+    )

@@ -253,3 +253,42 @@ def test_streaming_retention_matches_batch(spark):
         for r in QUERIES["clickhouse_retention_battery"](spark, SF_DIR).collect()
     }
     assert stream == batch
+
+
+def test_streaming_window_funnel_matches_batch(spark):
+    stream = {
+        r.user_id: r.funnel_level
+        for r in QUERIES["streaming_window_funnel_fidelity"](spark, SF_DIR).collect()
+    }
+    batch = {
+        r.user_id: r.funnel_level
+        for r in QUERIES["clickhouse_window_funnel"](spark, SF_DIR).collect()
+    }
+    assert stream == batch
+
+
+def test_funnel_fold_exact_pruning():
+    """An anchor past its W deadline is dead — pruning it cannot change
+    any later resolution (fold with vs without an ancient anchor)."""
+    from prometheus_clickhouselog_exporter_spark.streaming.cep import fold_funnel
+
+    h = 3600 * 1_000_000
+    # ancient view, then fresh view+click+purchase far later
+    rows = [(0, "view"), (10 * h, "view"), (10 * h + 1, "click"),
+            (10 * h + 2, "purchase")]
+    n, best, ov, ol = fold_funnel(rows, None)
+    assert best == 3 and ov == [] and ol == []
+    # the ancient anchor alone resolves to level 1 and leaves no state
+    n2, b2, ov2, ol2 = fold_funnel([(0, "view"), (10 * h, "signup")], None)
+    assert b2 == 1 and ov2 == [] and ol2 == []
+
+
+def test_rendezvous_minimal_disruption(spark):
+    rows = QUERIES["layout_rendezvous_assignment"](spark, SF_DIR).collect()
+    assert len(rows) == 9
+    assert all(r.moves_only_into_new for r in rows)
+    total = sum(r.n_at9 for r in rows)
+    # ~1/9 of docs move, and they ALL land on the new shard
+    assert abs(rows[0].n_moved / total - 1 / 9) < 0.05
+    new_shard = next(r for r in rows if r.shard == 8)
+    assert new_shard.n_at9 == rows[0].n_moved
