@@ -44,6 +44,7 @@ from . import relational34  # noqa: F401,E402
 from . import clickhouse_parity  # noqa: F401,E402
 from . import relational35  # noqa: F401,E402
 from . import relational36  # noqa: F401,E402
+from . import relational37  # noqa: F401,E402
 from . import logpipe  # noqa: F401,E402
 from . import llmdata  # noqa: F401,E402
 from . import llmdata2  # noqa: F401,E402

@@ -292,3 +292,27 @@ def test_rendezvous_minimal_disruption(spark):
     assert abs(rows[0].n_moved / total - 1 / 9) < 0.05
     new_shard = next(r for r in rows if r.shard == 8)
     assert new_shard.n_at9 == rows[0].n_moved
+
+
+def test_sprt_decisions_and_crossing(spark):
+    rows = QUERIES["stats_sprt_sequential"](spark, SF_DIR).collect()
+    assert rows
+    kinds = {r.decision for r in rows}
+    assert kinds <= {"accept_h0", "accept_h1", "undecided"}
+    for r in rows:
+        if r.decision == "undecided":
+            assert r.first_cross_n is None
+        else:
+            assert 1 <= r.first_cross_n <= r.n_events
+    # sequential early stopping: decided users cross strictly before
+    # (or at) their stream end, and SOME user decides before the end
+    assert any(
+        r.decision != "undecided" and r.first_cross_n < r.n_events
+        for r in rows
+    )
+
+
+def test_coreset_certificate_all_centroids(spark):
+    rows = QUERIES["sample_coreset_kmeans"](spark, SF_DIR).collect()
+    assert len(rows) == 4
+    assert all(r.cost_within_25pct for r in rows)
