@@ -289,3 +289,68 @@ def streaming_window_funnel_fidelity(
     return _materialize(
         spark, tmp, final, "user_id bigint, funnel_level bigint"
     )
+
+
+@query(
+    "clickhouse_sequence_match",
+    oracle="""
+    WITH fut AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_click
+      FROM events
+    ),
+    views AS (
+      SELECT user_id,
+             count(*) AS n_views,
+             count_if(next_click IS NOT NULL
+                      AND next_click <= ts + INTERVAL 3600 SECOND)
+               AS n_matched_anchors
+      FROM fut WHERE event_type = 'view' GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_views AS BIGINT) AS n_views,
+           CAST(n_matched_anchors AS BIGINT) AS n_matched_anchors,
+           n_matched_anchors > 0 AS seq_matched
+    FROM views ORDER BY user_id
+    """,
+)
+def clickhouse_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1)(?t<=3600)(?2)')(ts, view,
+    click)`` semantics: does SOME view→click pair exist within 3600 s,
+    per user — the boolean little sibling of windowFunnel (sequenceMatch
+    answers 'did the pattern happen', windowFunnel 'how deep did it
+    go'). Also reports how many view anchors match (sequenceCount's
+    contract, the other member of the CH sequence family). Same linear
+    reverse-min plan as the funnel — no anchor×candidate join.
+
+    100 TB: one user-keyed window pass + one aggregate."""
+    e = table(spark, sf_dir, "events")
+    wfut = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    fut = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        .over(wfut)
+        .alias("next_click"),
+    )
+    matched = F.col("next_click").isNotNull() & (
+        F.col("next_click") <= F.col("ts") + F.expr("INTERVAL 3600 SECONDS")
+    )
+    return (
+        fut.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_views"),
+            F.count_if(matched).cast("bigint").alias("n_matched_anchors"),
+        )
+        .withColumn("seq_matched", F.col("n_matched_anchors") > 0)
+        .orderBy("user_id")
+    )

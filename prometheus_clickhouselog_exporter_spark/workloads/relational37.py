@@ -254,3 +254,48 @@ def sample_coreset_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("centroid")
     )
     return out
+
+
+@query(
+    "sample_kfold_assignment",
+    oracle="""
+    WITH assign AS (
+      SELECT doc_id, source,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                            || '|fold'), 1, 12))
+                       AS UBIGINT) % 5 AS BIGINT) AS fold
+      FROM documents
+    )
+    SELECT source, fold, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM assign GROUP BY source, fold ORDER BY source, fold
+    """,
+)
+def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (k = 5) by
+    content hash — the split every evaluation pipeline needs to be
+    REPRODUCIBLE and leakage-free: a document's fold is a pure function
+    of its identity (survives reshuffles, re-ingestion, engine swaps),
+    per-(source, fold) counts audit the balance the hash guarantees in
+    expectation. Pairs with split_train_valid_test (single split) and
+    the raking/Neyman allocation rows as the assignment member of the
+    sampling family.
+
+    100 TB: scan-stage hash + one map-side-combined aggregate; the
+    assignment never materializes state (the property that makes
+    hash-folds the only split that scales)."""
+    d = table(spark, sf_dir, "documents")
+    fold = (
+        md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("|fold"))) % 5
+    ).cast("bigint")
+    return (
+        d.select("doc_id", "source", fold.alias("fold"))
+        .groupBy("source", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+        .orderBy("source", "fold")
+    )

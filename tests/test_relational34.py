@@ -316,3 +316,37 @@ def test_coreset_certificate_all_centroids(spark):
     rows = QUERIES["sample_coreset_kmeans"](spark, SF_DIR).collect()
     assert len(rows) == 4
     assert all(r.cost_within_25pct for r in rows)
+
+
+def test_sequence_match_is_funnel_level2(spark):
+    """sequenceMatch(view->click within W) is exactly 'windowFunnel
+    level >= 2' — the two CH functions must agree user for user."""
+    sm = {
+        r.user_id: r.seq_matched
+        for r in QUERIES["clickhouse_sequence_match"](spark, SF_DIR).collect()
+    }
+    wf = {
+        r.user_id: r.funnel_level >= 2
+        for r in QUERIES["clickhouse_window_funnel"](spark, SF_DIR).collect()
+    }
+    for u, matched in sm.items():
+        assert wf[u] == matched, u
+    # every funnel user with a view appears in the sequence report
+    assert set(sm) == set(wf)
+
+
+def test_kfold_assignment_stable_and_balanced(spark):
+    a = [tuple(r) for r in QUERIES["sample_kfold_assignment"](spark, SF_DIR).collect()]
+    b = [tuple(r) for r in QUERIES["sample_kfold_assignment"](spark, SF_DIR).collect()]
+    assert a == b
+    by_fold: dict[int, int] = {}
+    for _, fold, n, _, _ in a:
+        by_fold[fold] = by_fold.get(fold, 0) + n
+    assert set(by_fold) == {0, 1, 2, 3, 4}
+    total = sum(by_fold.values())
+    # binomial-noise-aware balance bound: 4 sigma of Bin(total, 1/5)
+    # (a fixed fraction fails on small corpora — fold 2 at sf0.001 sits
+    # 2.9 sigma high by hash luck, 126/100 expected)
+    sigma = (total * 0.2 * 0.8) ** 0.5
+    for n in by_fold.values():
+        assert abs(n - total / 5) <= 4 * sigma, (n, total)
