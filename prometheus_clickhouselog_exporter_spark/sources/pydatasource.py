@@ -257,6 +257,18 @@ class ClickhouseLogTailReader(SimpleDataSourceStreamReader):
         except OSError:
             return 0
 
+    def _ino(self) -> int:
+        """File identity for rotation detection. The reference's tail
+        ReOpen contract (main.go:101) detects RECREATION — a new file at
+        the same path — by reopening (inode change), not by size: a
+        rotated-and-recreated log that grows past the old offset before
+        the next trigger would otherwise be silently resumed mid-file.
+        0 = file missing / identity unavailable (skip the inode check)."""
+        try:
+            return os.stat(self.path).st_ino
+        except OSError:
+            return 0
+
     def _scan(self, pos: int, limit: int | None = None):
         """Read complete lines from byte ``pos`` (to ``limit`` or EOF);
         returns (rows, next_pos). A trailing fragment without a newline
@@ -284,15 +296,24 @@ class ClickhouseLogTailReader(SimpleDataSourceStreamReader):
 
     # -- SimpleDataSourceStreamReader contract ------------------------
     def initialOffset(self) -> dict:
-        return {"pos": 0 if self.from_start else self._size(), "rot": 0}
+        return {
+            "pos": 0 if self.from_start else self._size(),
+            "rot": 0,
+            "ino": self._ino(),
+        }
 
     def read(self, start: dict):
         pos, rot = start["pos"], start.get("rot", 0)
-        if self._size() < pos:  # rotation/truncation → reopen at 0
+        ino, prev_ino = self._ino(), start.get("ino", 0)
+        if ino and prev_ino and ino != prev_ino:
+            # recreated at the same path (logrotate create mode) — reopen
+            # at 0 even if the new file already grew past the old offset
+            pos, rot = 0, rot + 1
+        elif self._size() < pos:  # truncation fallback → reopen at 0
             pos, rot = 0, rot + 1
         rows, new_pos = self._scan(pos)
         out = [(v, o, rot) for (v, o) in rows]
-        return iter(out), {"pos": new_pos, "rot": rot}
+        return iter(out), {"pos": new_pos, "rot": rot, "ino": ino or prev_ino}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # deterministic replay of [start, end): same-rotation replays

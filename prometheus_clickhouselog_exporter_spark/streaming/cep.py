@@ -29,6 +29,21 @@ _GUARD_STATE = (
 _WINDOW_US = 30 * 60 * 1_000_000
 
 
+def _ts_event_rows(pdf: pd.DataFrame) -> list[tuple[int, str]]:
+    """(ts_us, event_type) rows from a micro-batch slice, sorted.
+
+    Shared by both wrappers so their ts handling cannot diverge: datetime64
+    columns convert ns→µs; integer columns are trusted to already be µs
+    (a caller supplying int-µs must NOT be divided by 1000)."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    ts = (
+        (pdf["ts"].astype("int64") // 1000)
+        if pdf["ts"].dtype.kind == "M"
+        else pdf["ts"]
+    )
+    return list(zip(ts.tolist(), pdf["event_type"].tolist()))
+
+
 def fold_guard(rows: list[tuple[int, str]], state: tuple | None) -> tuple:
     """Sequential guard fold over (ts_us, event_type) rows: purchase
     conditions evaluate against STRICTLY PRIOR state (mirroring the
@@ -67,15 +82,7 @@ def guard_stream(events: DataFrame) -> DataFrame:
         parts = [p for p in pdfs if len(p)]
         if not parts:
             return
-        pdf = pd.concat(parts).sort_values(["ts", "event_id"])
-        rows = list(
-            zip(
-                (pdf["ts"].astype("int64") // 1000).tolist()
-                if pdf["ts"].dtype.kind == "M"
-                else pdf["ts"].tolist(),
-                pdf["event_type"].tolist(),
-            )
-        )
+        rows = _ts_event_rows(pd.concat(parts))
         prev = tuple(state.get) if state.exists else None
         n, n_p, n_g, lc, le = fold_guard(rows, prev)
         state.update((n, n_p, n_g, lc, le))
@@ -161,13 +168,7 @@ def window_funnel_stream(events: DataFrame) -> DataFrame:
         parts = [p for p in pdfs if len(p)]
         if not parts:
             return
-        pdf = pd.concat(parts).sort_values(["ts", "event_id"])
-        rows = list(
-            zip(
-                (pdf["ts"].astype("int64") // 1000).tolist(),
-                pdf["event_type"].tolist(),
-            )
-        )
+        rows = _ts_event_rows(pd.concat(parts))
         prev = tuple(state.get) if state.exists else None
         n, best, ov, ol = fold_funnel(rows, prev)
         state.update((n, best, ov, ol))

@@ -98,7 +98,7 @@ def promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promql_rate_counter_resets",
     oracle="""
     WITH s AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
                OVER (PARTITION BY user_id ORDER BY ts, event_id) % 100000
                AS counter_cents
@@ -107,11 +107,11 @@ def promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d AS (
       SELECT user_id, counter_cents,
              counter_cents - lag(counter_cents)
-               OVER (PARTITION BY user_id ORDER BY ts) AS delta,
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
              first_value(counter_cents)
-               OVER (PARTITION BY user_id ORDER BY ts) AS first_c,
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_c,
              last_value(counter_cents) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
              ) AS last_c
       FROM s
@@ -152,9 +152,12 @@ def promql_rate_counter_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = e.select(
         "user_id",
         "ts",
+        "event_id",
         (F.sum(cents).over(wcum) % 100000).alias("counter_cents"),
     )
-    wo = Window.partitionBy("user_id").orderBy("ts")
+    # (ts, event_id) everywhere: a duplicate (user_id, ts) would make the
+    # lag/first/last results engine-dependent under ts-only ordering
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wall = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     d = s.select(
         "user_id",

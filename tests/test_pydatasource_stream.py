@@ -113,6 +113,33 @@ def test_reader_unit_replay_is_deterministic(tmp_path):
     assert [v for v, _, _ in sub] == ["x-2", "x-3"]
 
 
+def test_recreated_file_grown_past_old_offset_reopens_at_zero(tmp_path):
+    """Rotation by RECREATION (logrotate create mode): new inode at the
+    same path, already grown to >= the committed offset before the next
+    trigger. The size heuristic alone would silently resume mid-file,
+    skipping the new file's head; the inode check (tail ReOpen contract,
+    main.go:101) must catch it and replay from byte 0."""
+    import os
+
+    log = tmp_path / "server.log"
+    log.write_text("old-1\nold-2\n")  # 12 bytes committed
+    r = ClickhouseLogTailReader({"path": str(log), "from_start": "true"})
+    start = r.initialOffset()
+    rows, end = r.read(start)
+    assert [v for v, _, _ in list(rows)] == ["old-1", "old-2"]
+
+    # recreate at the same path with MORE bytes than the old offset
+    repl = tmp_path / "server.log.new"
+    repl.write_text("fresh-line-1\nfresh-line-2\n")  # 26 bytes >= 12
+    os.replace(repl, log)
+
+    rows2, end2 = r.read(end)
+    rows2 = list(rows2)
+    assert [v for v, _, _ in rows2] == ["fresh-line-1", "fresh-line-2"]
+    assert all(rot == 1 for _, _, rot in rows2)
+    assert end2["rot"] == 1 and end2["pos"] == 26
+
+
 def test_reader_rejects_archives(tmp_path):
     bad = tmp_path / "server.log.gz"
     bad.write_bytes(b"\x1f\x8b")

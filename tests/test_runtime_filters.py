@@ -52,9 +52,20 @@ def test_bloom_runtime_filter_reaches_probe_scan(spark):
         )
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "might_contain" in plan, plan[:2000]
-        # the filter sits on the lineitem (probe) side scan branch
-        probe_side = plan[plan.index("might_contain"):]
-        assert "l_orderkey" in plan[: plan.index("might_contain") + 200]
+        # the bloom Filter's predicate references l_orderkey — an
+        # attribute only the lineitem (probe) branch produces, so
+        # Catalyst can only have placed it on that branch — and the
+        # lineitem FileScan is underneath it (preorder tree print)
+        lines = plan.splitlines()
+        bloom_idx = next(
+            i
+            for i, ln in enumerate(lines)
+            if "might_contain" in ln and "l_orderkey" in ln
+        )
+        assert any(
+            "FileScan" in ln and "lineitem" in ln
+            for ln in lines[bloom_idx + 1 :]
+        ), plan[:2000]
         # and results are unchanged by the rewrite
         with_filter = {tuple(r) for r in j.collect()}
     base = (
