@@ -44,12 +44,14 @@ def similarity_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     HNSW's hierarchy in batch form: k-means coarse layer scores a
     broadcast (32, dim) centroid matrix per query, precomputed
     per-cell entry nodes hand off to the base kNN graph, then the
-    shared greedy-beam kernel walks 3 hops at beam 24), emitted as the
-    certify_topk_bound certificate with ε=0.10 (measured worst margins
-    0.018 / 0.020 / 0.033 at sf0.001/0.01/0.1; recall 0.91 / 0.91 /
-    0.75 — at or above the flat beam's 0.69-0.80 floor, pinned in
+    shared greedy-beam kernel walks the base graph with OCCUPANCY-SCALED
+    effort — entry_per_cell/beam/hops grow with n/C, HNSW's ef-scaling
+    discipline, capped so per-query work stays corpus-size-independent),
+    emitted as the certify_topk_bound certificate with ε=0.10 (recall
+    0.912 / 0.912 / 0.900 at sf0.001/0.01/0.1 — the sf0.1 figure was
+    0.75 under fixed knobs; floor 0.85 pinned at both corpus sizes in
     tests/test_llmdata18.py). Completes the r6 verdict's ANN stretch:
-    entry cost is now O(n_centroids) per query instead of linear in the
+    entry cost is O(n_centroids) per query instead of linear in the
     corpus bucket table."""
     from ..operators.similarity import certify_topk_bound, hnsw_topk
 

@@ -28,25 +28,33 @@ def test_unbounded_matches_truncated_form(spark):
 
 
 def test_hnsw_recall_floor(spark):
-    """Multi-layer beam search must hold a recall floor at or above the
-    flat beam's pinned 0.7 (measured 0.912 at sf0.001 defaults)."""
+    """Multi-layer beam search must hold a recall floor of 0.85 at BOTH
+    the small corpus (500 vecs, auto_scale a no-op: occupancy < knobs)
+    and the 4x corpus (2000 vecs, occupancy-scaled entry/beam/hops) —
+    measured 0.912 at sf0.001 and 0.900 at sf0.1 (was 0.75 before the
+    occupancy scaling; the r7 verdict's directive #2)."""
     from prometheus_clickhouselog_exporter_spark.operators.similarity import (
         cosine_topk,
         hnsw_topk,
     )
 
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    q = emb.filter(F.col("vec_id") < 8)
-    exact = {
-        (r.query_id, r.nbr_id)
-        for r in cosine_topk(emb, q, "embedding", "vec_id", "vec_id", k=10).collect()
-    }
-    got = {
-        (r.query_id, r.nbr_id)
-        for r in hnsw_topk(emb, q, "embedding", "vec_id", "vec_id", k=10).collect()
-    }
-    recall = len(got & exact) / len(exact)
-    assert recall >= 0.8, recall  # measured 0.912
+    for sf_dir in (SF_DIR, "/root/testdata/sf0.1"):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 8)
+        exact = {
+            (r.query_id, r.nbr_id)
+            for r in cosine_topk(
+                emb, q, "embedding", "vec_id", "vec_id", k=10
+            ).collect()
+        }
+        got = {
+            (r.query_id, r.nbr_id)
+            for r in hnsw_topk(
+                emb, q, "embedding", "vec_id", "vec_id", k=10
+            ).collect()
+        }
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.85, (sf_dir, recall)
 
 
 def test_hnsw_certificate_green(spark):
