@@ -266,17 +266,29 @@ def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_by — deterministic either way) cannot flip on float reduction
     order.
 
-    Plan note: the audit's multi-BNLJ flag here is the whitelisted
-    benign class — three broadcast nested-loop joins against 1-row
-    (|V|, N) and |classes|-row scalar frames that parameterize the
-    smoothing; no large side ever enters a BNLJ.
+    SPARSE scoring (the production form, r7 verdict directive #3): the
+    dense |V|x|C| smoothed grid never materializes. Every unobserved
+    cell's quantized log-likelihood equals the per-class absent-token
+    base base_c = qln(1/(N_c+|V|)) — (0+1)/(N_c+|V|) — so
 
-    100 TB: training is two token-keyed aggregates; scoring joins doc
-    term vectors to the |V|x|classes| likelihood grid on the token key
-    (broadcast when classes are few — the grid carries 8-byte ints).
-    The smoothed grid is |V|x|C|; sparse scoring (only observed (c,tok)
-    rows + per-class absent-token base) is the production variant when
-    |V|x|C| outgrows memory — noted, unnecessary at this vocab."""
+        sum_tok cnt*ll(c,tok) = len_d*base_c
+                              + sum_observed cnt*(ll(c,tok) - base_c)
+
+    exactly, in integer micro-nats (per-cell quantization means the
+    delta is plain integer subtraction). The token-keyed score join
+    therefore touches only OBSERVED (c,tok) rows; docs x classes meet
+    once more in a |C|-wide broadcast to add the base/prior terms.
+
+    Plan note: the audit's multi-BNLJ flag here is the whitelisted
+    benign class — broadcast nested-loop joins against 1-row (|V|, N)
+    and |classes|-row scalar frames that parameterize the smoothing; no
+    large side ever enters a BNLJ.
+
+    100 TB: training is two token-keyed aggregates; the scoring
+    shuffle scales with observed (doc,tok) x matching (c,tok) rows —
+    the corpus' sparsity pattern — never with |V|x|C|, which is the
+    term that outgrows memory first on web-scale vocab (measured at
+    the 10x probe: see SCALE.md naive-Bayes row)."""
     toks = (
         table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -299,40 +311,63 @@ def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     ctot = tc.groupBy("c").agg(F.sum("n").cast("bigint").alias("nc"))
-    vocab = toks.select("tok").distinct()
-    vsize = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
-    grid = (
-        vocab.crossJoin(F.broadcast(ctot))
+    vsize = toks.select("tok").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+
+    def qln(col):  # micro-nat quantizer, identical on both sides of every delta
+        return F.floor(F.log(col) * 1e6 + F.lit(0.5)).cast("bigint")
+
+    # per-class scalars: absent-token base + log-prior (|C| rows, broadcast)
+    cstats = (
+        ctot.crossJoin(F.broadcast(vsize))
+        .join(cls, "c")
+        .crossJoin(F.broadcast(nall))
+        .select(
+            "c",
+            qln(F.lit(1.0) / (F.col("nc") + F.col("v"))).alias("base_q"),
+            qln(F.col("n_docs").cast("double") / F.col("n")).alias("lp_q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # observed cells only: integer delta above the class base
+    delta = (
+        tc.join(ctot, "c")
         .crossJoin(F.broadcast(vsize))
-        .join(tc, ["c", "tok"], "left")
+        .join(F.broadcast(cstats.select("c", "base_q")), "c")
         .select(
             "c",
             "tok",
-            F.floor(
-                F.log(
-                    (F.coalesce(F.col("n"), F.lit(0)) + 1.0)
-                    / (F.col("nc") + F.col("v"))
-                )
-                * 1e6
-                + F.lit(0.5)
-            ).cast("bigint").alias("ll_q"),
+            (
+                qln((F.col("n") + 1.0) / (F.col("nc") + F.col("v")))
+                - F.col("base_q")
+            ).alias("d_q"),
         )
-    )
-    prior = cls.crossJoin(F.broadcast(nall)).select(
-        "c",
-        F.floor(
-            F.log(F.col("n_docs").cast("double") / F.col("n")) * 1e6 + F.lit(0.5)
-        ).cast("bigint").alias("lp_q"),
     )
     dt = toks.groupBy("doc_id", F.col("source").alias("true_source"), "tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+    # sparse part: only (doc,tok) rows meeting observed (c,tok) rows
+    sparse = (
+        dt.join(delta, "tok")
+        .groupBy("doc_id", "c")
+        .agg(F.sum(F.col("cnt") * F.col("d_q")).alias("sparse_q"))
+    )
+    lens = dt.groupBy("doc_id", "true_source").agg(
+        F.sum("cnt").cast("bigint").alias("len_d")
+    )
     scores = (
-        dt.join(grid, "tok")
-        .join(F.broadcast(prior), "c")
-        .groupBy("doc_id", "true_source", "c")
-        .agg(
-            (F.max("lp_q") + F.sum(F.col("cnt") * F.col("ll_q"))).alias("score_q")
+        lens.crossJoin(F.broadcast(cstats))
+        .join(sparse, ["doc_id", "c"], "left")
+        .select(
+            "doc_id",
+            "true_source",
+            "c",
+            (
+                F.col("lp_q")
+                + F.col("len_d") * F.col("base_q")
+                + F.coalesce(F.col("sparse_q"), F.lit(0))
+            ).alias("score_q"),
         )
     )
     pred = scores.groupBy("doc_id", "true_source").agg(
