@@ -132,3 +132,57 @@ def suffix_lcp_unbounded(
         f"{max_rounds} doublings — raise max_rounds (corpus has "
         "duplicated prefixes longer than the cap)"
     )
+
+
+def suffix_lcp_auto(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap: int = 128,
+) -> tuple[DataFrame, str]:
+    """Dispatch between the two exact suffix-LCP forms (r7 verdict
+    directive #4) from ONE cheap 1-row aggregate — max token length:
+
+    - ``max(doc_len) <= cap`` → the TRUNCATED form: one bucketed sort of
+      ``cap``-token suffix slices (cheapest, and exact because no
+      distinct suffixes can tie through an entire cap-length prefix when
+      no document reaches it);
+    - otherwise → the PREFIX-DOUBLING form: the sort key grows only
+      while adjacent ties persist, so arbitrarily long documents stay
+      exact with payload set by the corpus' duplicated-prefix mass.
+
+    Max (not p99) is the dispatch statistic because it is the exactness
+    criterion itself: a single doc past the cap is precisely what makes
+    the truncated sort unsound (and what its fail-loud guard rejects) —
+    a percentile would re-introduce the silent-truncation risk the
+    doubling form exists to close.
+
+    Returns (adjacency rows, form) with form in {"truncated",
+    "doubling"} so callers can surface the decision in a column.
+    """
+    tokens = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    base = docs.filter(F.col(text_col).isNotNull())
+    max_len = base.agg(F.max(F.size(tokens)).alias("m")).first()["m"] or 0
+    if max_len > cap:
+        return (
+            suffix_lcp_unbounded(docs, text_col=text_col, id_col=id_col),
+            "doubling",
+        )
+    toks = base.select(F.col(id_col).alias("doc_id"), tokens.alias("tokens"))
+    sufs = toks.select(
+        "doc_id",
+        F.posexplode("tokens").alias("pos", "tok1"),
+        F.col("tokens"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        "tok1",
+        F.coalesce(F.get("tokens", F.col("pos") + 1), F.lit("")).alias("tok2"),
+        F.slice("tokens", F.col("pos") + 1, cap).alias("suf"),
+    )
+    return (
+        adjacency_lcp(sufs).select(
+            "doc_id", "pos", "pdoc", "ppos", "crossdoc", "lcp"
+        ),
+        "truncated",
+    )

@@ -67,6 +67,7 @@ from . import llmdata18  # noqa: F401,E402
 from . import llmdata19  # noqa: F401,E402
 from . import llmdata20  # noqa: F401,E402
 from . import llmdata21  # noqa: F401,E402
+from . import llmdata22  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import pipeline_ops2  # noqa: F401,E402
