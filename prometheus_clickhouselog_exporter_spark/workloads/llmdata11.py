@@ -260,8 +260,37 @@ def _fidelity_tmp(prefix: str) -> str:
 
 _FIDELITY_SEQ: list[int] = [0]  # monotone per-session sink counter
 
+# State-store observability (r7 verdict stretch #8): after each fidelity
+# run, the LAST StreamingQueryProgress carrying stateOperators is
+# harvested here, keyed by the harness label — numRowsTotal /
+# memoryUsedBytes / customMetrics (loadedMapCacheHitCount on the
+# default provider, rocksdb* under the RocksDB provider). At 100 TB
+# these are the numbers an operator watches to see state outgrow the
+# heap BEFORE it OOMs; tests/test_streaming_state_metrics.py pins that
+# every stateful shape actually emits them.
+STATE_METRICS: dict[str, list[dict]] = {}
 
-def _run_stream_to_memory(spark, stream, tmp: str, mode: str = "update"):
+
+def _harvest_state_metrics(q, label: str) -> None:
+    for prog in reversed(q.recentProgress):
+        sops = prog.get("stateOperators") or []
+        if sops:
+            STATE_METRICS[label] = [
+                {
+                    "operatorName": so.get("operatorName"),
+                    "numRowsTotal": so.get("numRowsTotal"),
+                    "numRowsUpdated": so.get("numRowsUpdated"),
+                    "memoryUsedBytes": so.get("memoryUsedBytes"),
+                    "customMetrics": dict(so.get("customMetrics") or {}),
+                }
+                for so in sops
+            ]
+            return
+
+
+def _run_stream_to_memory(
+    spark, stream, tmp: str, mode: str = "update", metrics_label: str | None = None
+):
     """Start `stream` into a uniquely-named memory sink (checkpoint under
     `tmp`), drain with processAllAvailable, stop, and return the sink's
     contents as a LOCAL DataFrame. Shared by every streaming-fidelity
@@ -282,6 +311,8 @@ def _run_stream_to_memory(spark, stream, tmp: str, mode: str = "update"):
     )
     try:
         q.processAllAvailable()
+        # harvest BEFORE stop: progress history dies with the query
+        _harvest_state_metrics(q, metrics_label or name)
     finally:
         q.stop()
     sink = spark.table(name)
