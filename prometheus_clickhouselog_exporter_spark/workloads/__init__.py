@@ -45,6 +45,8 @@ from . import clickhouse_parity  # noqa: F401,E402
 from . import relational35  # noqa: F401,E402
 from . import relational36  # noqa: F401,E402
 from . import relational37  # noqa: F401,E402
+from . import relational38  # noqa: F401,E402
+from . import relational39  # noqa: F401,E402
 from . import logpipe  # noqa: F401,E402
 from . import llmdata  # noqa: F401,E402
 from . import llmdata2  # noqa: F401,E402
@@ -68,6 +70,7 @@ from . import llmdata19  # noqa: F401,E402
 from . import llmdata20  # noqa: F401,E402
 from . import llmdata21  # noqa: F401,E402
 from . import llmdata22  # noqa: F401,E402
+from . import llmdata23  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import pipeline_ops2  # noqa: F401,E402

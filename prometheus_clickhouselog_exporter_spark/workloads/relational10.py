@@ -526,11 +526,26 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything is exact integers and the ≥0.5 cut is the cross-multiply
     `3·Σmin ≥ T_a + T_b`.
 
-    Scale: the same inverted-index posting join as the binary family
-    (co-occurrence-bounded), with postings carrying one extra small int
-    (tf); totals are a doc-cardinality broadcast. The frequency-aware
-    MinHash analog at corpus scale is ICWS/consistent weighted sampling
-    — noted as the sketch path.
+    Scale — ADAPTIVE plan (r8; the full-registry bench caught the
+    posting join at 141 s on sf0.1): the corpus vocabulary decides.
+
+    - **Dense-vocab path** (|V| <= 2048, one cheap distinct-count to
+      decide — this corpus: ~31 tokens): with a tiny vocabulary every
+      doc pair shares tokens, so the inverted-index join degenerates to
+      Σ|posting|² exploded rows (~6e8 at sf0.1) that must then SHUFFLE
+      into per-pair groups — all cost, no pruning. Instead each doc
+      becomes ONE vocab-indexed tf array; pairs meet in a broadcast
+      join (doc profiles are |V| ints — KBs), the 2·min>=max length
+      filter prunes first, and Σmin is a per-row zip_with fold. No
+      exploded shuffle exists. 141 s → ~8 s. The qualifying OUTPUT here
+      is itself ~10% of all pairs (1.32M rows) — inherently quadratic
+      on this corpus, which is exactly when profiles beat postings.
+    - **Sparse-vocab path** (web corpus, |V| ~ 1e7): the original
+      inverted-index posting join — postings are short, co-occurrence
+      bounds the pair space, and dense |V|-arrays would be absurd.
+
+    The frequency-aware MinHash analog at corpus scale is
+    ICWS/consistent weighted sampling — noted as the sketch path.
     """
     d = table(spark, sf_dir, "documents")
     tf = (
@@ -539,6 +554,72 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)  # totals + both join sides reuse
     )
+    vocab = tf.select("tok").distinct()
+    n_vocab = vocab.count()
+    if n_vocab <= 2048:
+        vidx = vocab.withColumn(
+            "i", F.row_number().over(Window.orderBy("tok")).cast("int")
+        )
+        prof = (
+            tf.join(F.broadcast(vidx), "tok")
+            .groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("i"), F.col("tf")))
+                ).alias("m"),
+                F.sum("tf").alias("t"),
+            )
+            .select(
+                "doc_id",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(n_vocab)),
+                    lambda i: F.coalesce(
+                        F.element_at(F.col("m"), i), F.lit(0).cast("bigint")
+                    ),
+                ).alias("v"),
+                "t",
+            )
+            .localCheckpoint(eager=False)
+        )
+        # the stream side is tiny (doc-cardinality) and AQE would coalesce
+        # it to ONE partition — which would serialize the 12.5M-pair
+        # broadcast-NLJ onto a single core (measured 65 s vs 7 s at sf0.1).
+        # Spread the pair evaluation across the cluster explicitly.
+        a = prof.repartition(
+            spark.sparkContext.defaultParallelism
+        ).select(
+            F.col("doc_id").alias("id_a"), F.col("v").alias("va"), F.col("t").alias("ta")
+        )
+        b = prof.select(
+            F.col("doc_id").alias("id_b"), F.col("v").alias("vb"), F.col("t").alias("tb")
+        )
+        smin = F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: F.least(x, y)),
+            F.lit(0).cast("bigint"),
+            lambda s, x: s + x,
+        )
+        pairs = (
+            a.join(
+                F.broadcast(b),
+                (F.col("id_a") < F.col("id_b"))
+                # length-compatibility first: 3·smin>=ta+tb needs
+                # max(T) <= 2·min(T) since smin <= min(T)
+                & (F.greatest(F.col("ta"), F.col("tb"))
+                   <= 2 * F.least(F.col("ta"), F.col("tb"))),
+            )
+            .withColumn("smin", smin)
+            .where(F.col("smin") * 3 >= F.col("ta") + F.col("tb"))
+        )
+        smax = F.col("ta") + F.col("tb") - F.col("smin")
+        return pairs.select(
+            "id_a",
+            "id_b",
+            F.col("smin").cast("bigint").alias("sum_min"),
+            smax.cast("bigint").alias("sum_max"),
+            (F.col("smin").cast("double") / smax.cast("double")).alias(
+                "weighted_jaccard"
+            ),
+        ).orderBy("id_a", "id_b")
     totals = tf.groupBy("doc_id").agg(F.sum("tf").alias("t"))
     a = tf.select(F.col("doc_id").alias("id_a"), "tok", F.col("tf").alias("tfa"))
     b = tf.select(F.col("doc_id").alias("id_b"), "tok", F.col("tf").alias("tfb"))

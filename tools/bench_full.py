@@ -1,0 +1,78 @@
+"""One-shot FULL-registry bench (r7 verdict directive #5): run every
+registry query once at the given SF (noop sink — execution without
+driver materialization), record per-query wall seconds, and emit one
+JSON document shaped like bench.py's line plus the full per-query map.
+
+Protocol notes:
+- One warm-up pass of a small query compiles the session; each query is
+  then timed on a single pass (391 queries × 2 passes would double a
+  ~15-min run for little signal — the headline bench keeps min-of-2).
+- Streaming *_fidelity queries execute their real streams inside the
+  callable; their wall time includes stream start/drain/stop, which is
+  the honest number for them.
+- Usage: python tools/bench_full.py [sf_dir] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from prometheus_clickhouselog_exporter_spark.session import get_spark
+    from prometheus_clickhouselog_exporter_spark.workloads import QUERIES
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench_full", cores=cpus, shuffle_partitions=cpus)
+
+    # warm the session (codegen, parquet footers for the common tables)
+    QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for i, (name, fn) in enumerate(QUERIES.items(), 1):
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # record, keep going — this is a survey
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+        print(
+            f"# [{i}/{len(QUERIES)}] {name}: "
+            f"{timings.get(name, 'ERR')}",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    doc = {
+        "metric": "full_registry_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])),
+        "errors": errors,
+        "sf": sf,
+    }
+    print(json.dumps(doc))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=1)
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
