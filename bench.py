@@ -95,6 +95,16 @@ HEADLINE = [
     "ml_naive_bayes_train",
     "graph_temporal_reachability",
     "promql_rate_counter_resets",
+    # r8 (verdict directive #5): the 5 slowest non-headline rows of the
+    # full-registry bench (BENCH_FULL_r8.json) promoted — all real
+    # Structured Streaming executions (start/drain/stop included in the
+    # timed region; their wall time IS stream infrastructure, which is
+    # the honest number for them)
+    "streaming_right_outer_join_fidelity",
+    "streaming_full_outer_join_fidelity",
+    "streaming_chained_windows_fidelity",
+    "streaming_outer_join_fidelity",
+    "streaming_native_session_fidelity",
 ]
 
 

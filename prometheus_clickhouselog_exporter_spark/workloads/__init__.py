@@ -47,6 +47,7 @@ from . import relational36  # noqa: F401,E402
 from . import relational37  # noqa: F401,E402
 from . import relational38  # noqa: F401,E402
 from . import relational39  # noqa: F401,E402
+from . import relational40  # noqa: F401,E402
 from . import logpipe  # noqa: F401,E402
 from . import llmdata  # noqa: F401,E402
 from . import llmdata2  # noqa: F401,E402
@@ -71,6 +72,7 @@ from . import llmdata20  # noqa: F401,E402
 from . import llmdata21  # noqa: F401,E402
 from . import llmdata22  # noqa: F401,E402
 from . import llmdata23  # noqa: F401,E402
+from . import llmdata24  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import pipeline_ops2  # noqa: F401,E402

@@ -1,0 +1,232 @@
+"""LLM-data ops, round 8 batch 5: one-pass weighted reservoir sampling
+(Efraimidis–Spirakis A-ES) and semantic deduplication (SemDeDup-style
+cluster-then-prune over embeddings).
+
+Both are corpus-curation primitives a 100 TB pipeline runs constantly:
+A-ES is THE distributed way to draw a weighted sample in one scan with
+no coordination (each row's key is a pure function of (row, weight);
+top-k by key IS the sample — mergeable across partitions, machines,
+and days), and SemDeDup (Abbas et al., 2023 — public method) bounds
+the quadratic near-dup pair space by clustering first and comparing
+only within clusters.
+
+Cross-engine determinism: A-ES randomness comes from the md5 bucket
+trick (operators/sampling.py — identical hex math in DuckDB), keys are
+quantized to integer nano-units before ranking; SemDeDup cosines
+quantize (fround 1e-6) before every compare, and the planted near-dup
+signal (0.97/0.03 vector mixes, the decontam pattern) keeps both
+oracle branches live on a corpus whose background max cosine is ~0.49.
+
+Reference parity note: /root/reference has no sampling or embedding
+surface (query.go:1-289); §2.3 north-star territory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import fround, query, table
+
+_K_PER_TYPE = 20  # reservoir size per stratum
+_N_SEEDS = 16  # SemDeDup coarse clusters
+_N_PLANT = 30  # planted near-duplicates
+_TAU = 0.9  # SemDeDup cosine threshold
+
+
+@query(
+    "sample_reservoir_weighted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT event_type, event_id, value AS w,
+             CAST(floor(
+               ln((CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) + 0.5) / 4294967296.0)
+               / value * 1e9) AS BIGINT) AS key_q
+      FROM events WHERE value IS NOT NULL AND value > 0
+    )
+    SELECT event_type, rk, event_id, w, key_q FROM (
+      SELECT event_type, event_id, w, key_q,
+             CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY key_q DESC, event_id
+             ) AS BIGINT) AS rk
+      FROM keyed
+    ) WHERE rk <= {_K_PER_TYPE}
+    ORDER BY event_type, rk
+    """,
+)
+def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (Efraimidis–Spirakis A-ES), one pass,
+    per event-type stratum: each row draws u from the deterministic
+    md5 bucket (u = (h64 + 0.5)/2^32 ∈ (0,1)), its key is u^(1/w) —
+    ranked here by the monotone-equivalent ln(u)/w, quantized to
+    integer nano-units so the top-k cut is an integer compare — and
+    the k largest keys per stratum ARE the sample. Inclusion
+    probability is proportional to weight; the sample is a pure
+    function of the data (re-runs, re-partitions, and both engines
+    agree row-for-row, which no RNG sampler can).
+
+    100 TB: keys are scan-stage arithmetic; per-stratum top-k is a
+    rank-filter window (Spark's WindowGroupLimit keeps per-partition
+    heaps of k — nothing global ever materializes), and because max-k
+    is a mergeable fold the same plan runs as a streaming reservoir."""
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    key_q = F.floor(
+        F.log((h + F.lit(0.5)) / F.lit(4294967296.0)) / F.col("value") * 1e9
+    ).cast("bigint")
+    keyed = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .select(
+            "event_type",
+            "event_id",
+            F.col("value").alias("w"),
+            key_q.alias("key_q"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("key_q"), F.col("event_id")
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _K_PER_TYPE)
+        .select("event_type", "rk", "event_id", "w", "key_q")
+        .orderBy("event_type", "rk")
+    )
+
+
+_COS6_SQL = (
+    "floor(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))) * 1e6 + 0.5) / 1e6"
+)
+
+
+@query(
+    "dedup_semdedup_clusters",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings
+    ),
+    planted AS (
+      SELECT a.vec_id + 1000000 AS vec_id,
+             list_transform(list_zip(a.ce, b.ce),
+                            z -> 0.97 * z[1] + 0.03 * z[2]) AS ce
+      FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < {_N_PLANT}
+    ),
+    corpus AS (
+      SELECT * FROM base UNION ALL SELECT * FROM planted
+    ),
+    seeds AS (
+      SELECT vec_id AS cid, ce AS se FROM base WHERE vec_id < {_N_SEEDS}
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, ce, cid FROM (
+        SELECT c.vec_id, c.ce, s.cid,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_COS6_SQL.format(a="c.ce", b="s.se")} DESC, s.cid
+               ) AS rk
+        FROM corpus c CROSS JOIN seeds s
+      ) WHERE rk = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid,
+             {_COS6_SQL.format(a="a.ce", b="b.ce")} AS cos6
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    SELECT id_b AS removed_id,
+           CAST(cid AS BIGINT) AS cluster_id,
+           CAST(min(id_a) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_dup_partners,
+           max(cos6) AS max_cos
+    FROM pairs WHERE cos6 >= {_TAU}
+    GROUP BY id_b, cid ORDER BY removed_id
+    """,
+)
+def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings to the
+    nearest of 16 seed vectors by QUANTIZED cosine (scale-
+    invariant, so a near-duplicate lands with its source), then compare
+    pairs ONLY within a cluster and remove any vector with a lower-id
+    same-cluster partner at cosine >= 0.9 (keep-first survivorship).
+    Near-duplicates are planted in-plan (0.97·v_i + 0.03·v_(i+1) mixes
+    at vec_id+1e6, cos≈0.9995 to their source) against a ~0.49
+    background, so the threshold decision is live on both engines.
+
+    100 TB: this IS the published answer to quadratic near-dup cost —
+    candidate pairs are bounded by Σ(cluster size)², tuned by k (the
+    paper uses k ~ sqrt(N)·c; here 16 on 5k vectors). The assignment
+    is a broadcast of k seed vectors + one corpus scan; within-cluster
+    pairing is a cid-keyed equi-join (co-partitioned shuffle, never
+    all-pairs). Swap seeds for trained k-means centroids at scale —
+    same plan shape (ml_kmeans_exact has the distributed trainer).
+
+    Ref cite: none — /root/reference has no embedding surface."""
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double.alias("ce"))
+        .localCheckpoint(eager=False)  # feeds planted (x2), seeds, corpus
+    )
+    nxt = base.select((F.col("vec_id") - 1).alias("vec_id"), F.col("ce").alias("cn"))
+    planted = (
+        base.filter(F.col("vec_id") < _N_PLANT)
+        .join(nxt, "vec_id")
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.zip_with("ce", "cn", lambda x, y: 0.97 * x + 0.03 * y).alias("ce"),
+        )
+    )
+    corpus = base.unionByName(planted)
+    seeds = base.filter(F.col("vec_id") < _N_SEEDS).select(
+        F.col("vec_id").alias("cid"), F.col("ce").alias("se")
+    )
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    cos6 = lambda u, v: fround(  # noqa: E731
+        dot(u, v) / (F.sqrt(dot(u, u)) * F.sqrt(dot(v, v))), 6
+    )
+    wbest = Window.partitionBy("vec_id").orderBy(F.desc("c6"), F.col("cid"))
+    assigned = (
+        corpus.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id", "ce", "cid", cos6(F.col("ce"), F.col("se")).alias("c6")
+        )
+        .withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "ce", "cid")
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("cid"), F.col("ce").alias("ea")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("cid"), F.col("ce").alias("eb")
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("cid", "id_a", "id_b", cos6(F.col("ea"), F.col("eb")).alias("cos6"))
+        .where(F.col("cos6") >= _TAU)
+    )
+    return (
+        pairs.groupBy(F.col("id_b").alias("removed_id"), F.col("cid"))
+        .agg(
+            F.min("id_a").cast("bigint").alias("keeper_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_partners"),
+            F.max("cos6").alias("max_cos"),
+        )
+        .select(
+            "removed_id",
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            "keeper_id",
+            "n_dup_partners",
+            "max_cos",
+        )
+        .orderBy("removed_id")
+    )
