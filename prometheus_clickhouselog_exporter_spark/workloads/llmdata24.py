@@ -33,10 +33,10 @@ _N_SEEDS = 16  # SemDeDup coarse clusters
 _N_PLANT = 30  # planted near-duplicates
 _TAU = 0.9  # SemDeDup cosine threshold
 
-
-@query(
-    "sample_reservoir_weighted",
-    oracle=f"""
+# A-ES oracle, shared verbatim by the batch query and its streaming
+# fidelity twin — batch/stream equality of the top-k fold is exactly
+# what the twin certifies.
+_AES_SQL = f"""
     WITH keyed AS (
       SELECT event_type, event_id, value AS w,
              CAST(floor(
@@ -53,8 +53,31 @@ _TAU = 0.9  # SemDeDup cosine threshold
       FROM keyed
     ) WHERE rk <= {_K_PER_TYPE}
     ORDER BY event_type, rk
-    """,
-)
+    """
+
+
+def _aes_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, event_id, w, key_q): per-row A-ES keys, computed
+    entirely in-plan (md5-deterministic u, integer nano-quantization)."""
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    key_q = F.floor(
+        F.log((h + F.lit(0.5)) / F.lit(4294967296.0)) / F.col("value") * 1e9
+    ).cast("bigint")
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .select(
+            "event_type",
+            "event_id",
+            F.col("value").alias("w"),
+            key_q.alias("key_q"),
+        )
+    )
+
+
+@query("sample_reservoir_weighted", oracle=_AES_SQL)
 def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted reservoir sample (Efraimidis–Spirakis A-ES), one pass,
     per event-type stratum: each row draws u from the deterministic
@@ -69,23 +92,9 @@ def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: keys are scan-stage arithmetic; per-stratum top-k is a
     rank-filter window (Spark's WindowGroupLimit keeps per-partition
     heaps of k — nothing global ever materializes), and because max-k
-    is a mergeable fold the same plan runs as a streaming reservoir."""
-    h = F.conv(
-        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
-    key_q = F.floor(
-        F.log((h + F.lit(0.5)) / F.lit(4294967296.0)) / F.col("value") * 1e9
-    ).cast("bigint")
-    keyed = (
-        table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull() & (F.col("value") > 0))
-        .select(
-            "event_type",
-            "event_id",
-            F.col("value").alias("w"),
-            key_q.alias("key_q"),
-        )
-    )
+    is a mergeable fold the same plan runs as a streaming reservoir
+    (streaming_reservoir_fidelity certifies batch/stream equality)."""
+    keyed = _aes_keyed(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy(
         F.desc("key_q"), F.col("event_id")
     )
@@ -229,4 +238,51 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cos",
         )
         .orderBy("removed_id")
+    )
+
+
+@query("streaming_reservoir_fidelity", oracle=_AES_SQL)
+def streaming_reservoir_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted reservoir maintained BY A REAL STREAM: the same
+    in-plan A-ES keys feed a multi-file parquet stream
+    (maxFilesPerTrigger=1 → several micro-batches) into the
+    applyInPandasWithState top-k fold (streaming/reservoir.py, state =
+    k integer triples per stratum), and the FINAL reservoir must
+    hash-match the batch sample row-for-row — max-k is a commutative
+    idempotent monoid, so batch/stream equality is the algebraic
+    property being certified across arbitrary micro-batch boundaries.
+    Python never touches a float: keys are quantized in-plan, the fold
+    sorts integers.
+
+    100 TB/streaming: O(|strata|·k) state regardless of stream volume —
+    the canonical bounded-memory live sample over an unbounded stream."""
+    from ..streaming.reservoir import reservoir_stream
+    from .llmdata11 import _fidelity_tmp, _materialize, _run_stream_to_memory
+
+    tmp = _fidelity_tmp("reservoir-fidelity-")
+    _aes_keyed(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(
+        f"{tmp}/in"
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_type string, event_id bigint, w double, key_q bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in")
+    )
+    out = _run_stream_to_memory(
+        spark, reservoir_stream(stream, _K_PER_TYPE), tmp
+    )
+    wmax = Window.partitionBy("event_type")
+    final = (
+        out.withColumn("mx", F.max("n_seen").over(wmax))
+        .filter(F.col("n_seen") == F.col("mx"))
+        .select("event_type", "rk", "event_id", "w", "key_q")
+        .orderBy("event_type", "rk")
+    )
+    return _materialize(
+        spark,
+        tmp,
+        final,
+        "event_type string, rk bigint, event_id bigint, w double, key_q bigint",
     )
