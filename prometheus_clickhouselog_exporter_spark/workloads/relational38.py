@@ -320,6 +320,106 @@ def ml_roc_pr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ml_best_f1_threshold",
+    oracle="""
+    WITH scored AS (
+      SELECT value AS s, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    tot AS (SELECT CAST(sum(y) AS BIGINT) AS p FROM scored),
+    grp AS (
+      SELECT s, CAST(sum(y) AS BIGINT) AS d_tp,
+             CAST(count(*) - sum(y) AS BIGINT) AS d_fp
+      FROM scored GROUP BY s
+    ),
+    cum AS (
+      SELECT s, sum(d_tp) OVER w AS tp, sum(d_fp) OVER w AS fp
+      FROM grp WINDOW w AS (ORDER BY s DESC)
+    ),
+    f1 AS (
+      SELECT s, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             CAST(t.p - tp AS BIGINT) AS fn,
+             CAST((2 * tp * 1000000000) // (2 * tp + fp + (t.p - tp))
+                  AS BIGINT) AS f1_q
+      FROM cum CROSS JOIN tot t
+    )
+    SELECT s AS threshold, tp, fp, fn,
+           floor(tp / CAST(tp + fp AS DOUBLE) * 1e6 + 0.5) / 1e6 AS precision_at,
+           floor(tp / CAST(tp + fn AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall_at,
+           CAST(f1_q AS DOUBLE) / 1e9 AS f1
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY f1_q DESC, s) AS rk FROM f1
+    ) WHERE rk = 1
+    """,
+)
+def ml_best_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection: sweep every distinct score as a
+    "predict positive at >= threshold" cut and return the F1-maximizing
+    one with its confusion counts and precision/recall. F1 compares as
+    the INTEGER 2·tp·1e9 div (2·tp+fp+fn) (floor division of exact
+    integers — no float enters the argmax), tie-broken on the lower
+    threshold, so both engines pick the same operating point even
+    between near-tied cuts. Completes the eval family: ml_roc_pr_summary
+    integrates the curve, this picks the deployment point on it.
+
+    100 TB: the same distinct-score cumulative shape as ROC — the sweep
+    is score-cardinality, never event-cardinality."""
+    scored = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("value").alias("s"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
+        )
+    )
+    grp = (
+        scored.groupBy("s")
+        .agg(
+            F.sum("y").cast("bigint").alias("d_tp"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("d_fp"),
+        )
+        # score-cardinality rows feeding the total AND the sweep —
+        # checkpoint so the events scan runs once
+        .localCheckpoint(eager=False)
+    )
+    tot = grp.agg(F.sum("d_tp").cast("bigint").alias("p"))
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = grp.select(
+        "s",
+        F.sum("d_tp").over(w).alias("tp"),
+        F.sum("d_fp").over(w).alias("fp"),
+    )
+    f1 = cum.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "tp",
+        "fp",
+        (F.col("p") - F.col("tp")).alias("fn"),
+        F.expr("(2 * tp * 1000000000) div (2 * tp + fp + (p - tp))").alias(
+            "f1_q"
+        ),
+    )
+    return (
+        f1.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("f1_q"), F.col("s")))
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("s").alias("threshold"),
+            "tp",
+            "fp",
+            "fn",
+            fround(F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"), 6).alias(
+                "precision_at"
+            ),
+            fround(F.col("tp") / (F.col("tp") + F.col("fn")).cast("double"), 6).alias(
+                "recall_at"
+            ),
+            (F.col("f1_q").cast("double") / 1e9).alias("f1"),
+        )
+    )
+
+
+@query(
     "ml_calibration_ece",
     oracle="""
     WITH minmax AS (
