@@ -354,3 +354,78 @@ def clickhouse_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("seq_matched", F.col("n_matched_anchors") > 0)
         .orderBy("user_id")
     )
+
+
+@query(
+    "clickhouse_argminmax_battery",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_type, user_id, event_id, value,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) * 1000000 + user_id
+               AS vkey,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) * 1000000000 + event_id
+               AS tkey
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(arg_min(user_id, vkey) AS BIGINT) AS argmin_user,
+           CAST(arg_max(user_id, vkey) AS BIGINT) AS argmax_user,
+           CAST(arg_min(event_id, tkey) AS BIGINT) AS first_event_id,
+           CAST(arg_max(event_id, tkey) AS BIGINT) AS last_event_id,
+           floor(min(value) * 100 + 0.5) / 100 AS min_value,
+           floor(max(value) * 100 + 0.5) / 100 AS max_value
+    FROM keyed GROUP BY event_type ORDER BY event_type
+    """,
+)
+def clickhouse_argminmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``argMin``/``argMax`` parity (Spark ``min_by``/
+    ``max_by``, DuckDB ``arg_min``/``arg_max``), tie-safe: ClickHouse's
+    argMin on a tied key is engine-arbitrary, so the battery packs the
+    tie-break INTO the key — value quantized to integer cents ×1e6 +
+    user_id gives one BIGINT key that is unique per row (the documented
+    cross-engine rule: DuckDB's arg_min binds NO tuple key, so every
+    composite key must pack into one integer). first/last per type use
+    epoch-seconds ×1e9 + event_id (fits int64 through 2262; sub-second
+    order is delegated to the event_id tie-break, stated semantics).
+    This is the `any`/`anyLast`-adjacent surface every ClickHouse
+    dashboard query leans on, rendered deterministic.
+
+    100 TB: one map-side-combining aggregate; min_by/max_by fold
+    per-partition then merge — no shuffle beyond the |event_type|-row
+    exchange."""
+    keyed = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "user_id",
+            "event_id",
+            "value",
+            (
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+                * F.lit(1000000)
+                + F.col("user_id")
+            ).alias("vkey"),
+            (
+                F.expr(
+                    "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"
+                ).cast("bigint")
+                * F.lit(1000000000)
+                + F.col("event_id")
+            ).alias("tkey"),
+        )
+    )
+    return (
+        keyed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min_by("user_id", "vkey").cast("bigint").alias("argmin_user"),
+            F.max_by("user_id", "vkey").cast("bigint").alias("argmax_user"),
+            F.min_by("event_id", "tkey").cast("bigint").alias("first_event_id"),
+            F.max_by("event_id", "tkey").cast("bigint").alias("last_event_id"),
+            (F.floor(F.min("value") * 100 + F.lit(0.5)) / 100).alias("min_value"),
+            (F.floor(F.max("value") * 100 + F.lit(0.5)) / 100).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )

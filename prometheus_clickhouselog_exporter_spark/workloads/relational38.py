@@ -372,15 +372,12 @@ def ml_best_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
         )
     )
-    grp = (
-        scored.groupBy("s")
-        .agg(
-            F.sum("y").cast("bigint").alias("d_tp"),
-            (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("d_fp"),
-        )
-        # score-cardinality rows feeding the total AND the sweep —
-        # checkpoint so the events scan runs once
-        .localCheckpoint(eager=False)
+    # NOTE deliberately not checkpointed: the audit proves the sweep
+    # windows bounded by seeing the HashAggregate under them; a
+    # checkpoint would hide it (and the saved rescan is one events scan)
+    grp = scored.groupBy("s").agg(
+        F.sum("y").cast("bigint").alias("d_tp"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("d_fp"),
     )
     tot = grp.agg(F.sum("d_tp").cast("bigint").alias("p"))
     w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
