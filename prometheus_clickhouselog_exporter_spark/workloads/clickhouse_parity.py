@@ -429,3 +429,208 @@ def clickhouse_argminmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "clickhouse_window_funnel_modes",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_type, event_id FROM events
+      UNION ALL
+      SELECT * FROM (VALUES
+        (CAST(-1 AS BIGINT), TIMESTAMP '2024-01-10 00:00:00', 'view',
+         CAST(-101 AS BIGINT)),
+        (-1, TIMESTAMP '2024-01-10 00:00:10', 'click', -102),
+        (-1, TIMESTAMP '2024-01-10 00:00:20', 'click', -103),
+        (-1, TIMESTAMP '2024-01-10 00:00:30', 'purchase', -104),
+        (-2, TIMESTAMP '2024-01-10 00:00:00', 'view', -201),
+        (-2, TIMESTAMP '2024-01-10 00:00:10', 'signup', -202),
+        (-2, TIMESTAMP '2024-01-10 00:00:20', 'click', -203),
+        (-2, TIMESTAMP '2024-01-10 00:00:30', 'purchase', -204)
+      ) v(user_id, ts, event_type, event_id)
+    ),
+    fut AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'click' THEN ts END)
+               OVER w AS next_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER w AS next_purchase,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER w AS next_view,
+             lead(event_type) OVER o AS nxt_type,
+             lead(ts) OVER o AS nxt_ts
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+             o AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    anchors AS (
+      SELECT a.user_id, a.ts AS t1,
+             a.next_click AS t2, c.next_purchase AS t3,
+             a.next_view AS dup_v_a, c.next_view AS dup_v_c,
+             c.next_click AS dup_c_c,
+             a.nxt_type AS a_nxt_type, a.nxt_ts AS a_nxt_ts,
+             c.nxt_type AS c_nxt_type, c.nxt_ts AS c_nxt_ts
+      FROM fut a
+      LEFT JOIN fut c
+        ON c.user_id = a.user_id AND c.ts = a.next_click
+       AND c.event_type = 'click'
+      WHERE a.event_type = 'view'
+    ),
+    lvl AS (
+      SELECT user_id,
+        CASE WHEN t2 IS NOT NULL AND t2 <= t1 + INTERVAL {_W_SECONDS} SECOND
+             THEN CASE WHEN t3 IS NOT NULL
+                        AND t3 <= t1 + INTERVAL {_W_SECONDS} SECOND
+                       THEN 3 ELSE 2 END
+             ELSE 1 END AS lv_base,
+        CASE WHEN a_nxt_type = 'click'
+              AND a_nxt_ts <= t1 + INTERVAL {_W_SECONDS} SECOND
+             THEN CASE WHEN c_nxt_type = 'purchase'
+                        AND c_nxt_ts <= t1 + INTERVAL {_W_SECONDS} SECOND
+                        AND t2 = a_nxt_ts
+                       THEN 3 ELSE 2 END
+             ELSE 1 END AS lv_strict_order,
+        CASE WHEN t2 IS NOT NULL AND t2 <= t1 + INTERVAL {_W_SECONDS} SECOND
+              AND t2 < coalesce(dup_v_a, TIMESTAMP '9999-01-01')
+             THEN CASE WHEN t3 IS NOT NULL
+                        AND t3 <= t1 + INTERVAL {_W_SECONDS} SECOND
+                        AND t3 < coalesce(dup_v_c, TIMESTAMP '9999-01-01')
+                        AND t3 < coalesce(dup_c_c, TIMESTAMP '9999-01-01')
+                       THEN 3 ELSE 2 END
+             ELSE 1 END AS lv_strict_dedup
+      FROM anchors
+    )
+    SELECT user_id,
+           CAST(max(lv_base) AS BIGINT) AS funnel_level,
+           CAST(max(lv_strict_order) AS BIGINT) AS funnel_strict_order,
+           CAST(max(lv_strict_dedup) AS BIGINT) AS funnel_strict_dedup
+    FROM lvl GROUP BY user_id ORDER BY user_id
+    """,
+)
+def clickhouse_window_funnel_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel`` MODE parity, all three modes from ONE
+    per-user window frame: base (intervening events ignored),
+    ``strict_order`` (the next funnel stage must be the IMMEDIATELY
+    next event of any type — one interleaving event aborts the chain;
+    rendered with lead()), and ``strict_deduplication`` (a repeat of
+    any chain event type between stages aborts — rendered by requiring
+    the next stage to precede the next duplicate view/click). Per the
+    published contract every stage must land within the window OF THE
+    ANCHOR. Reports max level per user under each mode, so the modes'
+    ordering (strict ≤ base) is visible per row.
+
+    100 TB: identical shuffle shape to clickhouse_window_funnel — one
+    user-keyed window pass, one (user, ts) equi-join, one aggregate;
+    the two extra modes ride the same frame for free.
+
+    Signal plant (the decontam/SemDeDup fixture discipline): the
+    corpus' natural event spacing never triggers the strict aborts
+    (verified 0/1500 users at sf0.1), so two synthetic users are
+    unioned in-plan — user −1 (view,click,click,purchase @10 s) trips
+    strict_dedup's duplicate-click abort AND strict_order's
+    non-immediate stage; user −2 (view,signup,click,purchase) trips
+    strict_order only, proving the two modes differ — keeping every
+    decision branch live on both oracle sides at every SF."""
+    planted = spark.sql(
+        """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(ts AS TIMESTAMP_NTZ) AS ts,
+               event_type,
+               CAST(event_id AS BIGINT) AS event_id
+        FROM VALUES
+          (-1, TIMESTAMP '2024-01-10 00:00:00', 'view', -101),
+          (-1, TIMESTAMP '2024-01-10 00:00:10', 'click', -102),
+          (-1, TIMESTAMP '2024-01-10 00:00:20', 'click', -103),
+          (-1, TIMESTAMP '2024-01-10 00:00:30', 'purchase', -104),
+          (-2, TIMESTAMP '2024-01-10 00:00:00', 'view', -201),
+          (-2, TIMESTAMP '2024-01-10 00:00:10', 'signup', -202),
+          (-2, TIMESTAMP '2024-01-10 00:00:20', 'click', -203),
+          (-2, TIMESTAMP '2024-01-10 00:00:30', 'purchase', -204)
+          AS v(user_id, ts, event_type, event_id)
+        """
+    )
+    e = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type", "event_id")
+        .unionByName(planted)
+    )
+    wfut = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    ).over(wfut)
+    fut = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        nxt("click").alias("next_click"),
+        nxt("purchase").alias("next_purchase"),
+        nxt("view").alias("next_view"),
+        F.lead("event_type").over(wo).alias("nxt_type"),
+        F.lead("ts").over(wo).alias("nxt_ts"),
+    ).localCheckpoint(eager=False)  # anchor side + click side of the join
+    a = fut.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("t1"),
+        F.col("next_click").alias("t2"),
+        F.col("next_view").alias("dup_v_a"),
+        F.col("nxt_type").alias("a_nxt_type"),
+        F.col("nxt_ts").alias("a_nxt_ts"),
+    )
+    c = fut.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t2"),
+        F.col("next_purchase").alias("t3"),
+        F.col("next_view").alias("dup_v_c"),
+        F.col("next_click").alias("dup_c_c"),
+        F.col("nxt_type").alias("c_nxt_type"),
+        F.col("nxt_ts").alias("c_nxt_ts"),
+    )
+    anchors = a.join(c, ["user_id", "t2"], "left")
+    win = F.expr(f"INTERVAL {_W_SECONDS} SECONDS")
+    far = F.lit("9999-01-01").cast("timestamp")
+    in_w = lambda col: col.isNotNull() & (col <= F.col("t1") + win)  # noqa: E731
+    lv_base = F.when(
+        in_w(F.col("t2")),
+        F.when(in_w(F.col("t3")), F.lit(3)).otherwise(F.lit(2)),
+    ).otherwise(F.lit(1))
+    so2 = (F.col("a_nxt_type") == "click") & (
+        F.col("a_nxt_ts") <= F.col("t1") + win
+    )
+    so3 = (
+        (F.col("c_nxt_type") == "purchase")
+        & (F.col("c_nxt_ts") <= F.col("t1") + win)
+        & (F.col("t2") == F.col("a_nxt_ts"))
+    )
+    lv_so = F.when(
+        so2, F.when(so3, F.lit(3)).otherwise(F.lit(2))
+    ).otherwise(F.lit(1))
+    sd2 = in_w(F.col("t2")) & (F.col("t2") < F.coalesce(F.col("dup_v_a"), far))
+    sd3 = (
+        in_w(F.col("t3"))
+        & (F.col("t3") < F.coalesce(F.col("dup_v_c"), far))
+        & (F.col("t3") < F.coalesce(F.col("dup_c_c"), far))
+    )
+    lv_sd = F.when(
+        sd2, F.when(sd3, F.lit(3)).otherwise(F.lit(2))
+    ).otherwise(F.lit(1))
+    return (
+        anchors.select(
+            "user_id",
+            lv_base.alias("b"),
+            lv_so.alias("so"),
+            lv_sd.alias("sd"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("b").cast("bigint").alias("funnel_level"),
+            F.max("so").cast("bigint").alias("funnel_strict_order"),
+            F.max("sd").cast("bigint").alias("funnel_strict_dedup"),
+        )
+        .orderBy("user_id")
+    )

@@ -329,3 +329,90 @@ def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bkt", "event_id", "x", "y")
         .orderBy("bkt")
     )
+
+
+@query(
+    "timeseries_m4_downsample",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS x,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (SELECT min(x) AS x0, max(x) AS x1 FROM pts),
+    binned AS (
+      SELECT p.event_id, p.x, p.y,
+             least(CAST(floor((p.x - b.x0) * {_LTTB_BUCKETS}
+                              / CAST(b.x1 - b.x0 + 1 AS DOUBLE)) AS BIGINT),
+                   {_LTTB_BUCKETS - 1}) AS bkt
+      FROM pts p CROSS JOIN bounds b
+    )
+    SELECT bkt,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(min(y) AS BIGINT) AS y_min,
+           CAST(arg_min(event_id, y * 1000000000 + event_id) AS BIGINT)
+             AS y_min_event,
+           CAST(max(y) AS BIGINT) AS y_max,
+           CAST(arg_max(event_id, y * 1000000000 - event_id) AS BIGINT)
+             AS y_max_event,
+           CAST(arg_min(y, x * 1000000000 + event_id) AS BIGINT) AS y_first,
+           CAST(arg_max(y, x * 1000000000 + event_id) AS BIGINT) AS y_last
+    FROM binned GROUP BY bkt ORDER BY bkt
+    """,
+)
+def timeseries_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 chart downsampling (Jugel et al., VLDB 2014): per pixel-column
+    bucket keep min, max, first, last — the four points that make a
+    line rendering pixel-identical to the full series, and the other
+    canonical downsampler next to LTTB (M4 is error-free for line
+    charts; LTTB is prettier for scatter). All four argmins use packed
+    single-integer keys (y·1e9±event_id, x·1e9+event_id) so ties can
+    never diverge cross-engine — the same rule as the argMin/argMax
+    battery. One aggregate, no window at all.
+
+    100 TB: this is a pure map-side-combining aggregate over the bucket
+    key — the cheapest possible downsampler shape; per-series fan-out
+    adds the series key to the group."""
+    pts = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
+            .cast("bigint")
+            .alias("x"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+        )
+        .localCheckpoint(eager=False)  # bounds + binning reuse
+    )
+    bounds = pts.agg(F.min("x").alias("x0"), F.max("x").alias("x1"))
+    binned = pts.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "x",
+        "y",
+        F.least(
+            F.floor(
+                (F.col("x") - F.col("x0"))
+                * _LTTB_BUCKETS
+                / (F.col("x1") - F.col("x0") + 1).cast("double")
+            ).cast("bigint"),
+            F.lit(_LTTB_BUCKETS - 1).cast("bigint"),
+        ).alias("bkt"),
+    )
+    ykey_min = F.col("y") * F.lit(1000000000) + F.col("event_id")
+    ykey_max = F.col("y") * F.lit(1000000000) - F.col("event_id")
+    tkey = F.col("x") * F.lit(1000000000) + F.col("event_id")
+    return (
+        binned.groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min("y").cast("bigint").alias("y_min"),
+            F.min_by("event_id", ykey_min).cast("bigint").alias("y_min_event"),
+            F.max("y").cast("bigint").alias("y_max"),
+            F.max_by("event_id", ykey_max).cast("bigint").alias("y_max_event"),
+            F.min_by("y", tkey).cast("bigint").alias("y_first"),
+            F.max_by("y", tkey).cast("bigint").alias("y_last"),
+        )
+        .orderBy("bkt")
+    )
