@@ -50,6 +50,7 @@ from . import relational39  # noqa: F401,E402
 from . import relational40  # noqa: F401,E402
 from . import relational41  # noqa: F401,E402
 from . import relational42  # noqa: F401,E402
+from . import relational43  # noqa: F401,E402
 from . import logpipe  # noqa: F401,E402
 from . import llmdata  # noqa: F401,E402
 from . import llmdata2  # noqa: F401,E402
