@@ -331,9 +331,10 @@ def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "timeseries_m4_downsample",
-    oracle=f"""
+# shared verbatim by the batch query and the streaming fidelity twin
+# (llmdata27) — M4 is a commutative aggregate, so batch/stream equality
+# is exactly what the twin certifies
+_M4_SQL = f"""
     WITH pts AS (
       SELECT event_id,
              CAST(epoch_us(ts) // 1000000 AS BIGINT) AS x,
@@ -359,8 +360,10 @@ def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(arg_min(y, x * 1000000000 + event_id) AS BIGINT) AS y_first,
            CAST(arg_max(y, x * 1000000000 + event_id) AS BIGINT) AS y_last
     FROM binned GROUP BY bkt ORDER BY bkt
-    """,
-)
+    """
+
+
+@query("timeseries_m4_downsample", oracle=_M4_SQL)
 def timeseries_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 chart downsampling (Jugel et al., VLDB 2014): per pixel-column
     bucket keep min, max, first, last — the four points that make a
