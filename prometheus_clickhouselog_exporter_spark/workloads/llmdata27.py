@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import query, table
+from .core import fround, query, table
 from .relational42 import _LTTB_BUCKETS, _M4_SQL
 
 _PSI_CUT = "2024-01-16 00:00:00"  # the repo-wide ref/cur boundary
@@ -255,3 +255,112 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("null_rate_delta_q") / 1e6).alias("null_rate_delta"),
         (F.col("distinct_ratio_q") / 1e6).alias("distinct_ratio"),
     ).orderBy("col")
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY tok
+    ),
+    ranked AS (
+      SELECT CAST(floor(ln(row_number() OVER (ORDER BY f DESC, tok)) * 1e6
+                        + 0.5) AS BIGINT) AS lr,
+             CAST(floor(ln(f) * 1e6 + 0.5) AS BIGINT) AS lf
+      FROM freq
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lr) AS BIGINT) AS sx, CAST(sum(lf) AS BIGINT) AS sy,
+             CAST(sum(lr * lr) AS BIGINT) AS sxx,
+             CAST(sum(lr * lf) AS BIGINT) AS sxy,
+             CAST(sum(lf * lf) AS BIGINT) AS syy
+      FROM ranked
+    )
+    SELECT n AS vocab_size,
+           floor((n * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (n * sxx - CAST(sx AS DOUBLE) * sx) * 1e6 + 0.5) / 1e6
+             AS zipf_slope,
+           floor((CAST(sy AS DOUBLE) / n
+                  - (n * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (n * sxx - CAST(sx AS DOUBLE) * sx)
+                    * CAST(sx AS DOUBLE) / n) / 1e6 * 1e6 + 0.5) / 1e6
+             AS log_c,
+           floor((n * sxy - CAST(sx AS DOUBLE) * sy)
+                 * (n * sxy - CAST(sx AS DOUBLE) * sy)
+                 / ((n * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (n * syy - CAST(sy AS DOUBLE) * sy)) * 1e6 + 0.5) / 1e6
+             AS r_squared
+    FROM m
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit — the one-row corpus health diagnostic every
+    corpus datacard prints: regress ln(frequency) on ln(rank) over the
+    vocabulary (both quantized to integer micro-nats BEFORE the moment
+    sums, so slope/intercept/R² are ratios of identical integers on
+    both engines). A natural-language corpus fits slope ≈ −1 with high
+    R²; a deduplicated/boilerplate-heavy or synthetic corpus bends
+    away — slope and R² together say which. Companion:
+    text_zipf_topranks (relational13) is the rank TABLE that
+    deliberately avoids the fit; this is the fit, with the libm ln
+    quantized per-point before any reduction so it is hash-safe.
+
+    100 TB: one tokenize scan folds to vocab-keyed counts; the rank
+    window and the moment fold run over VOCABULARY-cardinality rows
+    (the bounded exchange above the aggregate). The regression is the
+    same normal-equation fold as ml_ols_cramer in one dimension."""
+    from pyspark.sql import Window
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+            ).alias("tok")
+        )
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    ranked = freq.select(
+        F.floor(
+            F.log(
+                F.row_number()
+                .over(Window.orderBy(F.desc("f"), F.col("tok")))
+                .cast("double")
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lr"),
+        F.floor(F.log(F.col("f").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("lf"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("lr").cast("bigint").alias("sx"),
+        F.sum("lf").cast("bigint").alias("sy"),
+        F.sum(F.col("lr") * F.col("lr")).cast("bigint").alias("sxx"),
+        F.sum(F.col("lr") * F.col("lf")).cast("bigint").alias("sxy"),
+        F.sum(F.col("lf") * F.col("lf")).cast("bigint").alias("syy"),
+    )
+    D = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov_n = D("n") * D("sxy") - D("sx") * D("sy")
+    varx_n = D("n") * D("sxx") - D("sx") * D("sx")
+    vary_n = D("n") * D("syy") - D("sy") * D("sy")
+    slope = cov_n / varx_n
+    return m.select(
+        F.col("n").alias("vocab_size"),
+        fround(slope, 6).alias("zipf_slope"),
+        fround((D("sy") / D("n") - slope * D("sx") / D("n")) / 1e6, 6).alias(
+            "log_c"
+        ),
+        fround(cov_n * cov_n / (varx_n * vary_n), 6).alias("r_squared"),
+    )

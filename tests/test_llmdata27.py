@@ -35,3 +35,34 @@ def test_profile_drift_identities(spark):
     # only value carries nulls in this corpus
     assert rows["user_id"].nulls_ref == rows["user_id"].nulls_cur == 0
     assert rows["event_type"].distinct_ref == rows["event_type"].distinct_cur == 5
+
+
+def test_zipf_fit_matches_numpy(spark):
+    """Cross-check slope/R^2 against numpy over the quantized points."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    r = QUERIES["text_zipf_fit"](spark, SF_DIR).collect()[0]
+    freq = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), "tok")
+        .collect()
+    )
+    lr = np.array(
+        [math.floor(math.log(i + 1) * 1e6 + 0.5) for i in range(len(freq))]
+    )
+    lf = np.array(
+        [math.floor(math.log(x["count"]) * 1e6 + 0.5) for x in freq]
+    )
+    slope, intercept = np.polyfit(lr, lf, 1)
+    assert r.vocab_size == len(freq)
+    assert math.isclose(r.zipf_slope, slope, rel_tol=1e-4, abs_tol=1e-4)
+    cc = np.corrcoef(lr, lf)[0, 1]
+    assert math.isclose(r.r_squared, cc * cc, abs_tol=1e-4)
+    assert r.zipf_slope < 0  # frequency falls with rank, always
