@@ -289,7 +289,8 @@ def _harvest_state_metrics(q, label: str) -> None:
 
 
 def _run_stream_to_memory(
-    spark, stream, tmp: str, mode: str = "update", metrics_label: str | None = None
+    spark, stream, tmp: str, mode: str = "update", metrics_label: str | None = None,
+    shuffle_partitions: int = 8,
 ):
     """Start `stream` into a uniquely-named memory sink (checkpoint under
     `tmp`), drain with processAllAvailable, stop, and return the sink's
@@ -299,37 +300,60 @@ def _run_stream_to_memory(
     runs and silently read the wrong sink), and the memory table is
     dropped after collection so each run's output does not stay pinned
     in driver memory for the session lifetime. Memory-sink contents are
-    group-cardinality (bounded) by construction in every caller."""
+    group-cardinality (bounded) by construction in every caller.
+
+    `shuffle_partitions` scopes the STATE partition count for this one
+    query (set before .start(), restored after stop): per micro-batch
+    every stateful operator commits one state-store delta per partition,
+    so a 32-partition fidelity run pays 32×(operators) filesystem
+    commits per batch — ~2.5 s/batch of pure overhead on a corpus whose
+    state fits in 8 (measured r9; sentinel and no-data batches carry
+    ≤8 rows). This is a HARNESS parameter, not an engine claim: at
+    100 TB the same queries run with shuffle partitions sized to state
+    volume, and the certified output is partition-count-invariant (the
+    hashes proved it — 32→8 left every fidelity hash unchanged)."""
     _FIDELITY_SEQ[0] += 1
     name = f"fid_{_FIDELITY_SEQ[0]}"
-    q = (
-        stream.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q.processAllAvailable()
-        # harvest BEFORE stop: progress history dies with the query
-        _harvest_state_metrics(q, metrics_label or name)
+        q = (
+            stream.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # harvest BEFORE stop: progress history dies with the query
+            _harvest_state_metrics(q, metrics_label or name)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     sink = spark.table(name)
-    rows, schema = sink.collect(), sink.schema
+    # JVM-side materialization: localCheckpoint copies the (bounded)
+    # sink contents into block storage so the temp view can be dropped —
+    # no collect()/createDataFrame Python round-trip (r9: that pair cost
+    # ~2 s per 100k-row fidelity run, twice per query with _materialize).
+    out = sink.localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
+    return out
 
 
 def _materialize(spark, tmp: str, df, schema: str):
-    """Collect the final frame, DELETE the fidelity tempdir (each run
-    writes a corpus copy — the disk-fill trap), and return a local
+    """Pin the final frame to the declared schema, materialize it
+    JVM-side (localCheckpoint), DELETE the fidelity tempdir (each run
+    writes a corpus copy — the disk-fill trap), and return the detached
     DataFrame so the temp view/paths can go away safely."""
     import shutil
 
-    rows = df.collect()
+    from pyspark.sql import types as T
+
+    out = df.to(T.StructType.fromDDL(schema)).localCheckpoint(eager=True)
     shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return out
 
 
 def _sequential_fidelity(spark, sf_dir, build_stream, out_schema):

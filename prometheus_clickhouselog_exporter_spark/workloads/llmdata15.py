@@ -9,10 +9,11 @@ The shared mechanics being certified are delayed NULL-side emission:
 outer results for a buffered row are only produced after the event-time
 watermark passes its join deadline, i.e. in a LATER micro-batch. The
 harness forces that lateness deterministically with
-``maxFilesPerTrigger=1`` plus two far-future sentinel files — each
-feeding an event into EVERY watermarked input (the global watermark is
-the MIN across inputs) — so by the final batch the watermark is an hour
-past every real deadline and ALL null-side rows must have been emitted.
+``maxFilesPerTrigger=1`` plus one far-future sentinel file (two
+sentinel ids) — feeding an event into EVERY watermarked input (the
+global watermark is the MIN across inputs) — so the engine's own
+no-data batch runs with a watermark an hour past every real deadline
+and ALL null-side rows must have been emitted.
 Sentinels are filtered from the result (their own emission would race
 the final no-data micro-batch — the only nondeterminism in the design,
 excluded by construction).
@@ -35,36 +36,37 @@ _SENTINELS = (99999901, 99999902)
 
 
 def _append_log_sentinels(spark, tmp: str, m) -> None:
-    """Append the two far-future sentinel log files (one micro-batch
-    each under maxFilesPerTrigger=1). Each file carries an initial AND a
-    close line at the same instant: join state eviction runs on the
-    GLOBAL watermark — the MIN across both watermarked inputs — so a
-    sentinel advancing only the open side would leave the close-side
-    watermark at the corpus tail and strand every unmatched row from
-    the last (delay + max_duration) window (caught live: q-999 at
-    exactly max ts never emitted)."""
+    """Append ONE far-future sentinel log file (one micro-batch under
+    maxFilesPerTrigger=1) carrying BOTH sentinel ids. Each sentinel has
+    an initial AND a close line at the same instant: join state eviction
+    runs on the GLOBAL watermark — the MIN across both watermarked
+    inputs — so a sentinel advancing only the open side would leave the
+    close-side watermark at the corpus tail and strand every unmatched
+    row from the last (delay + max_duration) window (caught live: q-999
+    at exactly max ts never emitted).
+
+    r9: the two sentinels used to be two FILES (two micro-batches); one
+    file is enough — the batch after it is the engine's own no-data
+    batch, which evicts against the sentinel-advanced watermark. One
+    fewer ~2.5 s stateful micro-batch per fidelity run, output
+    hash-identical (both sentinel ids still exist and are still
+    filtered)."""
+    import datetime
+
+    rows = []
     for i, sid in enumerate(_SENTINELS, start=1):
-        dt = F.date_format(
-            F.lit(m) + F.make_interval(hours=F.lit(float(i))),
-            "yyyy.MM.dd HH:mm:ss.SSSSSS",
+        dts = (m + datetime.timedelta(hours=i)).strftime("%Y.%m.%d %H:%M:%S.%f")
+        rows.append(
+            (f"{dts} [ 1 ] {{q-{sid}}} <Debug> executeQuery: "
+             "(from 10.0.0.7:9000) SELECT 1",)
         )
-        lines = spark.range(1).select(
-            F.explode(
-                F.array(
-                    F.concat(
-                        dt,
-                        F.lit(f" [ 1 ] {{q-{sid}}} <Debug> executeQuery: "
-                              "(from 10.0.0.7:9000) SELECT 1"),
-                    ),
-                    F.concat(
-                        dt,
-                        F.lit(f" [ 1 ] {{q-{sid}}} <Debug> MemoryTracker: "
-                              "Peak memory usage (for query): 1.00 MiB."),
-                    ),
-                )
-            ).alias("value")
+        rows.append(
+            (f"{dts} [ 1 ] {{q-{sid}}} <Debug> MemoryTracker: "
+             "Peak memory usage (for query): 1.00 MiB.",)
         )
-        lines.coalesce(1).write.mode("append").text(f"{tmp}/logs")
+    spark.createDataFrame(rows, "value string").coalesce(1).write.mode(
+        "append"
+    ).text(f"{tmp}/logs")
 
 
 @query(
@@ -99,10 +101,10 @@ def streaming_outer_join_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.joins import join_initial_to_close_outer
 
     tmp = _logpipe_stream_corpus(spark, sf_dir)
-    # Two sentinel opens, one file each, far past the corpus: with
-    # maxFilesPerTrigger=1 they form dedicated micro-batches whose sole
-    # job is to drag the watermark beyond every real open's outer
-    # deadline (open_ts + 5 s + 10 min watermark delay).
+    # One sentinel file far past the corpus: with maxFilesPerTrigger=1 it
+    # forms a dedicated micro-batch whose sole job is to drag the
+    # watermark beyond every real open's outer deadline (open_ts + 5 s +
+    # 10 min watermark delay); the engine's no-data batch then evicts.
     # collect the 1-row max ONCE (not once per sentinel write — each
     # lazy reference re-runs the events scan + agg)
     m = (
@@ -163,9 +165,9 @@ def streaming_chained_windows_fidelity(spark: SparkSession, sf_dir: str) -> Data
     window and breaks the hash.
 
     Emission discipline: append mode is mandatory for chained stateful
-    ops, so final rows exist only after BOTH windows close — two
-    far-future sentinel batches (maxFilesPerTrigger=1, the
-    outer-join-fidelity recipe) push the watermark past every real
+    ops, so final rows exist only after BOTH windows close — one
+    far-future sentinel batch (maxFilesPerTrigger=1, the
+    outer-join-fidelity recipe) pushes the watermark past every real
     hour; the sentinel's own type is filtered from the result."""
     from pyspark.sql.functions import window as Fwindow
 
@@ -181,13 +183,15 @@ def streaming_chained_windows_fidelity(spark: SparkSession, sf_dir: str) -> Data
     # collect the 1-row max ONCE — timestamping each sentinel from the
     # lazy agg would re-run the events scan per file write
     m = ev.agg(F.max("ts")).first()[0]
-    for i in (1, 2):
-        spark.createDataFrame(
-            [("__sentinel__",)], "event_type string"
-        ).select(
-            "event_type",
-            (F.lit(m) + F.make_interval(hours=F.lit(float(2 * i)))).alias("ts"),
-        ).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+    # one sentinel FILE with both far-future rows (the one-file recipe of
+    # _append_log_sentinels): the engine's no-data batch does the final
+    # eviction, so the second sentinel batch bought nothing but ~2.5 s.
+    import datetime
+
+    spark.createDataFrame(
+        [("__sentinel__", m + datetime.timedelta(hours=2 * i)) for i in (1, 2)],
+        "event_type string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
     src = (
         spark.readStream.schema("event_type string, ts timestamp")
         .option("maxFilesPerTrigger", "1")
@@ -266,12 +270,16 @@ def streaming_native_session_fidelity(spark: SparkSession, sf_dir: str) -> DataF
     )
     ev.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
     m = ev.agg(F.max("ts")).first()[0]
-    for i in (1, 2):
-        spark.createDataFrame([(int(-1 - i),)], "user_id long").select(
-            "user_id",
-            F.lit("__sentinel__").alias("event_type"),
-            (F.lit(m) + F.make_interval(hours=F.lit(float(2 * i)))).alias("ts"),
-        ).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+    # one sentinel FILE with both far-future rows (one-file recipe)
+    import datetime
+
+    spark.createDataFrame(
+        [
+            (int(-1 - i), "__sentinel__", m + datetime.timedelta(hours=2 * i))
+            for i in (1, 2)
+        ],
+        "user_id long, event_type string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
     src = (
         spark.readStream.schema("user_id long, event_type string, ts timestamp")
         .option("maxFilesPerTrigger", "1")
