@@ -161,10 +161,17 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one distinct (doc, shingle-hash) pass, one min-aggregate
     keyed by shingle, one join back on the shingle key — the inverted-
-    index shape; the decile rollup rides the doc-cardinality result.
+    index shape. The decile assignment is DISTRIBUTED rank arithmetic
+    (r9, replacing a no-partition ntile window the open-domain linter
+    flagged — per_doc is doc-cardinality, which grows with the corpus):
+    rank = operators/distrank.exclusive_prefix over doc_id (+1), and
+    ntile_from_rank reproduces the ANSI ntile bucket-size algorithm
+    from (rank, total) arithmetically — identical on both engines, so
+    the oracle keeps its ntile window and the hash proves the rewrite.
     Incremental form: the owner table IS the state — new batches probe
     and extend it.
     """
+    from ..operators.distrank import exclusive_prefix, ntile_from_rank
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("t")).filter(
         F.size("t") >= 3
@@ -200,9 +207,15 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_novel"),
         )
+        .localCheckpoint(eager=False)  # ranked twice inside exclusive_prefix
     )
-    deciles = per_doc.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("doc_id"))
+    n_docs_total = per_doc.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    deciles = (
+        exclusive_prefix(per_doc, "doc_id", out="pre")
+        .crossJoin(F.broadcast(n_docs_total))
+        .withColumn(
+            "decile", ntile_from_rank(F.col("pre") + 1, F.col("nd"), 10)
+        )
     )
     return (
         deciles.groupBy(F.col("decile").cast("int").alias("decile"))

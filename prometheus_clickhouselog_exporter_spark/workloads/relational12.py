@@ -184,9 +184,15 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     viewers are excluded from lag stats but counted in n_viewers.
 
     Scale: two filtered per-user min-aggregates (one shuffle each,
-    map-side combinable), a user-cardinality join, then quantiles over
-    the users-sized lag set; the global rank window rides the bounded
-    user table, never raw events.
+    map-side combinable), a user-cardinality join. The quantiles are
+    VALUE-GROUPED rank arithmetic (r9, replacing a no-partition
+    row_number over the user-cardinality lag set the open-domain
+    linter flagged): fold lags to per-second counts — bounded by the
+    lag DOMAIN (seconds from view to purchase), not by users — take a
+    cumulative count over that bounded frame, and the rank-k order
+    statistic is the smallest lag whose cumulative count reaches k.
+    Identical to the row_number form for any tie pattern, so the
+    oracle keeps its window shape and the hash proves the rewrite.
     """
     ev = table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -207,24 +213,34 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags = conv.filter(F.col("pus").isNotNull()).select(
         F.expr("(pus - vus) DIV 1000000").alias("lag_sec")
     )
-    ranked = lags.select(
+    # value-grouped cumulative counts: the frame under the no-partition
+    # window is lag-DOMAIN-cardinality (distinct integer seconds), not
+    # user-cardinality — bounded by the retention horizon
+    lc = lags.groupBy("lag_sec").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("lag_sec").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = lc.select(
         "lag_sec",
-        F.row_number().over(Window.orderBy("lag_sec")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
     )
     n_viewers = v0.agg(F.count(F.lit(1)).alias("nv"))
-    # aggregate the (possibly EMPTY) lag set alone — count() makes it one
+    # aggregate the (possibly EMPTY) lag set alone — sum() makes it one
     # row with 0/NULLs — then attach the always-1-row viewer count, so an
-    # all-non-converting corpus still reports the true n_viewers
+    # all-non-converting corpus still reports the true n_viewers.
+    # rank-k order statistic = min lag whose cumulative count reaches k.
     stats = ranked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
-        F.max(
-            F.when(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")), F.col("lag_sec"))
+        F.coalesce(F.max("n"), F.lit(0)).cast("bigint").alias("n_converted"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n")), F.col("lag_sec")
+            )
         )
         .cast("bigint")
         .alias("p50_sec"),
-        F.max(
-            F.when(F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")), F.col("lag_sec"))
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(0.9) * F.col("n")), F.col("lag_sec")
+            )
         )
         .cast("bigint")
         .alias("p90_sec"),

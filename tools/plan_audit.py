@@ -123,6 +123,63 @@ def unbounded_global_windows(plan: str) -> list[str]:
     return bad
 
 
+# Column-name markers for OPEN-DOMAIN group keys: a no-partition Window
+# "bounded" by an aggregate whose key is a token / document / user /
+# free-text column is only as bounded as that domain — which grows with
+# the corpus (|V| ~ 1e8-1e9 whitespace tokens at web scale). Report-only:
+# the r8 text_zipf_fit escape rode exactly this heuristic gap.
+_OPEN_DOMAIN_KEY_RE = re.compile(
+    r"\b(tok|doc_id|word|term|gram|shingle|phrase|chunk|vec_id|user_id|"
+    r"text|title|name|query|message)\w*#\d+"
+)
+
+# Reviewed open-domain-keyed global windows (report-only smell): each is
+# either capped upstream of the window or rides a frame already reduced
+# below the key domain. Reviewed at add time; re-review when touched.
+OPEN_DOMAIN_WINDOW_OK: dict[str, str] = {}
+
+
+def open_domain_global_windows(plan: str) -> list[str]:
+    """No-partition Window nodes whose nearest bounding node is an
+    AGGREGATE grouped by an open-domain key (token/doc/user/free-text
+    columns): the aggregate bounds rows to group cardinality, but the
+    group domain itself scales with the corpus, so one task still sorts
+    an unbounded frame at 100 TB. Returns the offending aggregate key
+    snippets (report-only smell)."""
+    nodes = _parse_tree(plan)
+    hits = []
+    for i, (d, txt) in enumerate(nodes):
+        if not txt.startswith("Window "):
+            continue
+        j = i + 1
+        exch = None
+        while j < len(nodes) and nodes[j][0] > d:
+            t = nodes[j][1]
+            if t.startswith("Sort ") or t.startswith("AQEShuffleRead") or t.startswith(
+                "ShuffleQueryStage"
+            ) or t.startswith("Project "):
+                j += 1
+                continue
+            if t.startswith("Exchange SinglePartition"):
+                exch = j
+            break
+        if exch is None:
+            continue
+        ed = nodes[exch][0]
+        for k in range(exch + 1, len(nodes)):
+            kd, kt = nodes[k]
+            if kd <= ed:
+                break
+            if _BOUNDING_RE.search(kt):
+                agg = re.match(r"(HashAggregate|SortAggregate|ObjectHashAggregate)", kt)
+                if agg:
+                    keys = re.search(r"keys=\[([^\]]*)\]", kt)
+                    if keys and _OPEN_DOMAIN_KEY_RE.search(keys.group(1)):
+                        hits.append(keys.group(1)[:80])
+                break  # nearest bounding node decides; stop either way
+    return hits
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     names = sys.argv[2:]
@@ -169,6 +226,9 @@ def main() -> None:
         if gw and name not in BOUNDED_GLOBAL_WINDOW_OK:
             smells.append(f"global-window-unbounded x{len(gw)}")
             violations += 1
+        od = open_domain_global_windows(plan)
+        if od and name not in OPEN_DOMAIN_WINDOW_OK:
+            smells.append(f"open-domain-window x{len(od)} ({od[0]})")
         scans = ",".join(f"{t}x{c}" for t, c in sorted(tables.items()) if c > 1)
         flag = " FLAG[" + ";".join(smells) + "]" if smells else ""
         if smells:
