@@ -105,6 +105,17 @@ HEADLINE = [
     "streaming_chained_windows_fidelity",
     "streaming_outer_join_fidelity",
     "streaming_native_session_fidelity",
+    # r9 (verdict directive #7): the 5 slowest non-headline rows of
+    # BENCH_FULL_r8.json promoted so the regression guard watches the
+    # real tail — the two heavy ANN rungs (driver codebook fits +
+    # bucketed probe joins), chunk-containment dedup (inverted index
+    # over chunk hashes), k-core peeling (iterative degree truncation),
+    # and LSH band tuning (multi-(b,r) banding sweep in one plan)
+    "similarity_ivf_topk",
+    "similarity_hnsw_topk",
+    "dedup_containment_shingles",
+    "graph_kcore_peel",
+    "dedup_lsh_band_tuning",
 ]
 
 

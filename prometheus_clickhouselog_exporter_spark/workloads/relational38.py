@@ -92,12 +92,16 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("dur").alias("t"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
-    # risk set per death time: bounded (death times x durations both
-    # group-cardinality) — a broadcast theta-join on the day grid
+    # risk set per death time: durations are AGGREGATED to per-day
+    # counts BEFORE the theta-join (r9 ADVICE — broadcasting raw
+    # per-user durations is user-cardinality; the day-count table is
+    # bounded by max duration in days, the life-table frame the
+    # docstring promises), then n_risk = Σ counts over dur >= t
+    durc = subj.groupBy("dur").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     risk = (
-        deaths.join(F.broadcast(subj.select("dur")), F.col("dur") >= F.col("t"))
+        deaths.join(F.broadcast(durc), F.col("dur") >= F.col("t"))
         .groupBy("t", "d")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_risk"))
+        .agg(F.sum("c").cast("bigint").alias("n_risk"))
     )
     l_q = F.when(F.col("d") >= F.col("n_risk"), F.lit(None)).otherwise(
         F.floor(

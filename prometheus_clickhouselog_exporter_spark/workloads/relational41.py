@@ -40,12 +40,16 @@ _B = 200  # bootstrap / randomization replicates
 _POIS_EDGES = (3679, 7358, 9197, 9810, 9963, 9994)
 
 # two-round multiplicative congruential mix of (event_id, b) onto
-# 0..9999: h1 = (id*2654435761 + b) mod 2^31 (fits: 1e6·2.7e9 ≈ 2.7e15),
-# h2 = (h1*1103515245 + 12345) mod 2^31 (fits: 2^31·1.1e9 ≈ 2.4e18),
-# bucket = (h2 >> 10) mod 10000 — middle bits only.
+# 0..9999: the id is pre-reduced mod 2^31 BEFORE the multiply so the
+# product can never wrap int64 at ANY id range (r9 ADVICE — unreduced,
+# ids past ~3.47e9 overflow, and Spark/DuckDB need not wrap alike;
+# 2^31·2.7e9 ≈ 5.7e18 < 2^63). h1 = ((id mod 2^31)·2654435761 + b)
+# mod 2^31, h2 = (h1·1103515245 + 12345) mod 2^31 (2^31·1.1e9 ≈
+# 2.4e18 fits), bucket = (h2 >> 10) mod 10000 — middle bits only.
+# Value-identical to the unreduced form for ids < 2^31 (every test SF).
 _BUCKET_SQL = (
-    "(((((event_id * 2654435761 + b) % 2147483648) * 1103515245 + 12345)"
-    " % 2147483648) // 1024) % 10000"
+    "((((((event_id % 2147483648) * 2654435761 + b) % 2147483648)"
+    " * 1103515245 + 12345) % 2147483648) // 1024) % 10000"
 )
 
 _POIS_SQL = f"""CASE
@@ -151,8 +155,8 @@ def stats_bootstrap_ci_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(spark.range(_B).select(F.col("id").alias("b")))
     )
     bucket = F.expr(
-        "(((((event_id * 2654435761L + b) % 2147483648L) * 1103515245L"
-        " + 12345L) % 2147483648L) div 1024L) % 10000L"
+        "((((((event_id % 2147483648L) * 2654435761L + b) % 2147483648L)"
+        " * 1103515245L + 12345L) % 2147483648L) div 1024L) % 10000L"
     )
     t = F.col("treated")
     diffs = (
@@ -276,8 +280,8 @@ def stats_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(spark.range(_B).select(F.col("id").alias("b")))
     )
     bucket = F.expr(
-        "(((((event_id * 2654435761L + b) % 2147483648L) * 1103515245L"
-        " + 12345L) % 2147483648L) div 1024L) % 10000L"
+        "((((((event_id % 2147483648L) * 2654435761L + b) % 2147483648L)"
+        " * 1103515245L + 12345L) % 2147483648L) div 1024L) % 10000L"
     )
     diffs = (
         reps.select("b", "cents", (bucket < 5000).alias("flip"))

@@ -270,12 +270,16 @@ _BT_GAMES_SQL = """
 
 
 def _bt_iter_sql(prev: str, this: str) -> str:
-    # pi'_s = W_s / sum over s's games of 1/(pi_s + pi_opp), quantized
+    # pi'_s = W_s / sum over s's games of 1/(pi_s + pi_opp). Each game's
+    # reciprocal is quantized to an INTEGER (floor(1e12/(q+qo))) before
+    # the sum, so the reduction is exact integer addition — a float sum
+    # of reciprocals is reduction-order-sensitive and could flip the
+    # floor on a near-boundary value between engines (r9 ADVICE).
     return f"""
     {this} AS MATERIALIZED (
       SELECT g.s,
              CAST(floor(
-               wl.wins / sum(1e6 / (ps.q + po.q)) * 1e6 + 0.5
+               wl.wins * 1e12 / sum(1000000000000 // (ps.q + po.q)) + 0.5
              ) AS BIGINT) AS q
       FROM (
         SELECT sa AS s, sb AS o FROM games
@@ -367,11 +371,23 @@ def eval_pairwise_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o",
             )
             .groupBy("s")
-            .agg(F.sum(F.lit(1e6) / (F.col("q") + F.col("qo"))).alias("denom"))
+            # per-game reciprocal quantized to an integer BEFORE the sum
+            # (pico-units): the reduction is exact integer addition, so
+            # no reduction-order ulp can flip the floor below (r9 ADVICE)
+            .agg(
+                F.sum(
+                    F.expr("1000000000000 DIV (q + qo)").cast("bigint")
+                ).alias("denom")
+            )
             .join(F.broadcast(wl), "s")
             .select(
                 "s",
-                F.floor(F.col("wins") / F.col("denom") * 1e6 + F.lit(0.5))
+                F.floor(
+                    F.col("wins").cast("double")
+                    * 1e12
+                    / F.col("denom").cast("double")
+                    + F.lit(0.5)
+                )
                 .cast("bigint")
                 .alias("q"),
             )
