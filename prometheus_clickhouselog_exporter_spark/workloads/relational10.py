@@ -545,7 +545,11 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       bounds the pair space, and dense |V|-arrays would be absurd.
 
     The frequency-aware MinHash analog at corpus scale is
-    ICWS/consistent weighted sampling — noted as the sketch path.
+    ICWS/consistent weighted sampling — IMPLEMENTED (r9) as
+    `dedup_weighted_jaccard_icws` (llmdata28.py): per-doc fixed-size
+    signature via per-token prefix-min hashes, banded candidate join,
+    exact re-rank — the path that needs neither the quadratic dense
+    pair join nor the posting join at 10⁷ docs.
     """
     d = table(spark, sf_dir, "documents")
     tf = (

@@ -136,7 +136,12 @@ _OPEN_DOMAIN_KEY_RE = re.compile(
 # Reviewed open-domain-keyed global windows (report-only smell): each is
 # either capped upstream of the window or rides a frame already reduced
 # below the key domain. Reviewed at add time; re-review when touched.
-OPEN_DOMAIN_WINDOW_OK: dict[str, str] = {}
+OPEN_DOMAIN_WINDOW_OK: dict[str, str] = {
+    # dense-re-rank vidx window rides the DISTINCT vocabulary, which the
+    # |V| <= 2048 dispatch gate (a 1-row count BEFORE plan choice) has
+    # already proven bounded — the sparse branch has no such window
+    "dedup_weighted_jaccard_icws": "vidx over |V|<=2048-gated vocabulary",
+}
 
 
 def open_domain_global_windows(plan: str) -> list[str]:
