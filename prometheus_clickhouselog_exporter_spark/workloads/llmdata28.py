@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import MD5_SQL, md5_long, query, table
+from .core import MD5_SQL, fround, md5_long, query, table
 
 _P = 32  # signature positions (perms)
 _R = 4  # band width -> 8 bands; P(candidate|J) = 1-(1-J^4)^8
@@ -285,4 +285,399 @@ def dedup_weighted_jaccard_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "text_proximity_search",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, w[CAST(r.i AS BIGINT)] AS tok, r.i - 1 AS p
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(range(1, len(w) + 1)) AS r(i)
+      WHERE w[CAST(r.i AS BIGINT)] IN ('spark', 'window')
+    ),
+    pa AS (SELECT doc_id, p FROM pos WHERE tok = 'spark'),
+    pb AS (SELECT doc_id, p FROM pos WHERE tok = 'window'),
+    d AS (
+      SELECT a.doc_id,
+             CAST(min(abs(a.p - b.p)) AS BIGINT) AS min_dist,
+             CAST(count(DISTINCT a.p) AS BIGINT) AS n_a,
+             CAST(count(DISTINCT b.p) AS BIGINT) AS n_b
+      FROM pa a JOIN pb b ON b.doc_id = a.doc_id
+      GROUP BY a.doc_id
+    )
+    SELECT doc_id, min_dist, n_a, n_b FROM d
+    WHERE min_dist <= 3 ORDER BY doc_id
+    """,
+)
+def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional proximity retrieval — the IR primitive BM25 cannot
+    express ("spark" NEAR/3 "window"): documents where the two terms
+    appear within 3 token positions, with the minimum gap and each
+    term's occurrence count. Positions come from ONE posexplode scan
+    filtered to the query terms AT THE SCAN (the positional-postings
+    shape — only query-term postings ever leave the scan stage), the
+    per-document gap is a doc-keyed equi-join of the two position
+    lists (bounded by per-doc term frequency, never all positions),
+    and the NEAR gate is exact integer arithmetic.
+
+    100 TB: a real positional inverted index stores (term, doc, pos)
+    sorted by term — this plan IS the query-side of that index with
+    the scan standing in for the posting fetch; co-partitioning by
+    doc_id makes the gap join shuffle-free when both postings come
+    from the same index layout.
+
+    Ref cite: none — /root/reference has no text-search surface."""
+    pos = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
+        )
+        .filter(F.col("tok").isin("spark", "window"))
+        .localCheckpoint(eager=False)  # both term sides
+    )
+    pa = pos.filter(F.col("tok") == "spark").select("doc_id", F.col("p").alias("pa"))
+    pb = pos.filter(F.col("tok") == "window").select(
+        "doc_id", F.col("p").alias("pb")
+    )
+    return (
+        pa.join(pb, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.abs(F.col("pa") - F.col("pb"))).cast("bigint").alias("min_dist"),
+            F.countDistinct("pa").cast("bigint").alias("n_a"),
+            F.countDistinct("pb").cast("bigint").alias("n_b"),
+        )
+        .filter(F.col("min_dist") <= 3)
+        .orderBy("doc_id")
+    )
+
+
+_CC_ROUNDS = 6  # min-label propagation rounds (fixpoint pinned in pytest)
+
+_LSH_PAIRS_SQL = """
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 2 + 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks
+    ),
+    post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM (
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+        FROM post l JOIN post r ON l.g = r.g AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+      ) j
+      JOIN sizes sa ON j.id_a = sa.doc_id
+      JOIN sizes sb ON j.id_b = sb.doc_id
+      WHERE c / (sa.n + sb.n - c) >= 0.5
+    ),
+    e AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM e)
+"""
+
+
+def _cc_round(prev: str, this: str) -> str:
+    return f"""
+    {this} AS MATERIALIZED (
+      SELECT n.id, least(n.label, coalesce(min(l.label), n.label)) AS label
+      FROM {prev} n
+      LEFT JOIN e ON e.dst = n.id
+      LEFT JOIN {prev} l ON l.id = e.src
+      GROUP BY n.id, n.label
+    )"""
+
+
+@query(
+    "dedup_minhash_clusters_cc",
+    oracle=f"""
+    WITH {_LSH_PAIRS_SQL},
+    c0 AS MATERIALIZED (SELECT id, id AS label FROM nodes),
+    {",".join(_cc_round(f'c{i}', f'c{i + 1}') for i in range(_CC_ROUNDS))}
+    SELECT CAST(label AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(id) AS BIGINT) AS keeper_id,
+           CAST(count(*) - 1 AS BIGINT) AS n_removed
+    FROM c{_CC_ROUNDS} GROUP BY label ORDER BY cluster_id
+    """,
+)
+def dedup_minhash_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION composite: MinHash-LSH near-dup pairs (exact
+    Jaccard >= 0.5, verified — dedup_minhash_lsh's certified pair set)
+    are EDGES of a duplicate graph whose CONNECTED COMPONENTS are the
+    duplicate clusters — the transitive closure a keep-one-per-cluster
+    policy actually needs (pairwise keep-first removes too much when
+    A~B, B~C, A!~C: treating pairs independently can drop both B and
+    C; the cluster view keeps exactly one of {{A,B,C}}). Min-label
+    propagation to fixpoint (6 synchronous rounds, fixpoint pinned in
+    tests/test_llmdata28.py by running a 7th round and asserting no
+    label moves), census per cluster: size, keeper (min doc_id), and
+    how many docs a keep-one policy removes.
+
+    100 TB: edges come from the banded-LSH candidate join (never
+    all-pairs); each CC round shuffles O(edges) slim (dst, label)
+    pairs with map-side min combining and a lineage cut per round —
+    the graph_connected_components discipline; the production
+    large-star/small-star alternation (O(log n) rounds on adversarial
+    diameters) keeps the same per-round shuffle shape.
+
+    Ref cite: none — /root/reference has no dedup surface."""
+    from ..operators.dedup import minhash_lsh_dedup
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    pairs = minhash_lsh_dedup(d, "text", "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    e = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=False)  # reused every round
+    )
+    lab = e.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(_CC_ROUNDS):
+        best = (
+            e.join(
+                lab.select(F.col("id").alias("src"), F.col("label").alias("sl")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("sl").alias("nl"))
+        )
+        lab = (
+            lab.join(best, lab["id"] == best["dst"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        lab.groupBy(F.col("label").cast("bigint").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("id").cast("bigint").alias("keeper_id"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_removed"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"  # class-safe in Java + RE2
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=rf"""
+    WITH per_doc AS (
+      SELECT source, n_chars,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws,
+             len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           floor(CAST(sum(bpe) AS DOUBLE) / sum(ws) * 1e6 + 0.5) / 1e6
+             AS fertility,
+           floor(CAST(sum(n_chars) AS DOUBLE) / sum(bpe) * 1e6 + 0.5) / 1e6
+             AS chars_per_token
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility accounting — the token-budget planner's
+    first table: per source, whitespace words vs BPE-style
+    pre-tokenizer tokens (the GPT-2 pre-tokenizer's class-restricted
+    shape, identical in Java regex and RE2), fertility =
+    bpe_tokens/words (how many subwords a word costs — the
+    multilingual-cost metric), and chars-per-token (compression).
+    Sources whose fertility is high are more expensive per word of
+    signal — the mixture planner reweights with exactly this table.
+
+    100 TB: both tokenizations evaluate IN THE SCAN as expressions
+    (regexp_extract_all + size — no explode, no shuffle of tokens);
+    the only exchange carries |sources| partial-sum rows.
+
+    Ref cite: none — /root/reference has no text surface."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", " "), lambda x: x != F.lit("")))
+    # Spark SQL string literals eat one backslash level; DuckDB's don't
+    bpe = F.size(
+        F.expr(rf"regexp_extract_all(text, '{_BPE_RE.replace(chr(92), chr(92) * 2)}', 0)")
+    )
+    per = d.select("source", "n_chars", ws.alias("ws"), bpe.alias("bpe"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ws").cast("bigint").alias("ws_tokens"),
+            F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            fround(
+                F.sum("bpe").cast("double") / F.sum("ws"), 6
+            ).alias("fertility"),
+            fround(
+                F.sum("n_chars").cast("double") / F.sum("bpe"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+_DOREMI_ETA = 1.0  # exponentiated-gradient step size
+
+
+@query(
+    "sample_doremi_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE tok <> '' GROUP BY 1, 2
+    ),
+    ctf AS (
+      SELECT tok, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS t FROM ctf),
+    nll AS (
+      SELECT tok, CAST(floor(-ln(CAST(ctf AS DOUBLE) / t.t) * 1e6 + 0.5)
+                       AS BIGINT) AS nll
+      FROM ctf CROSS JOIN tot t
+    ),
+    per_src AS (
+      SELECT f.source,
+             CAST(sum(f.tf) AS BIGINT) AS t_s,
+             CAST(sum(f.tf * n.nll) AS BIGINT) AS nll_sum
+      FROM tf f JOIN nll n ON n.tok = f.tok
+      GROUP BY f.source
+    ),
+    corpus AS (
+      SELECT CAST(sum(t_s) AS BIGINT) AS t,
+             CAST(sum(nll_sum) // sum(t_s) AS BIGINT) AS l_c
+      FROM per_src
+    ),
+    scored AS (
+      SELECT p.source,
+             p.t_s * 1000000 // c.t AS base_share_q,
+             p.nll_sum // p.t_s AS l_s,
+             CAST(floor(exp({_DOREMI_ETA}
+                     * (p.nll_sum // p.t_s - c.l_c) / 1e6) * 1e6 + 0.5)
+                  AS BIGINT) AS tilt_q
+      FROM per_src p CROSS JOIN corpus c
+    ),
+    numer AS (
+      SELECT source, base_share_q, l_s AS surprisal_q, tilt_q,
+             base_share_q * tilt_q // 1000000 AS num
+      FROM scored
+    )
+    SELECT source, base_share_q, surprisal_q, tilt_q,
+           CAST(num * 1000000 // (SELECT sum(num) FROM numer) AS BIGINT)
+             AS new_share_q
+    FROM numer ORDER BY source
+    """,
+)
+def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, public
+    method), one exponentiated-gradient step: domains whose data is
+    HARDER under the reference model (here: per-source mean token
+    surprisal under the corpus unigram LM, the DSIR-grade proxy) get
+    upweighted multiplicatively — w'_s ∝ w_s · exp(η·(L_s − L̄)) —
+    then renormalized. Output per source: the base (token-mass) share,
+    the surprisal in integer micro-nats, the exp tilt (quantized),
+    and the renormalized new share.
+
+    Cross-engine determinism: per-token NLL is quantized to integer
+    micro-nats BEFORE the tf-weighted sum (the perplexity-filter
+    discipline); per-source folds are integer; the renormalization
+    denominator is a sum of INTEGER numerators (never a float
+    reduction across domains); every division is integer floor-div.
+
+    100 TB: two token-keyed aggregates (tf, ctf — vocabulary
+    exchange), one broadcast of the 1-row total, one source-keyed
+    fold; the EG step itself is arithmetic on |domains| rows. The
+    full DoReMi trains a proxy model per round — this is the
+    weight-update operator that consumes any such per-domain loss.
+
+    Ref cite: none — /root/reference has no sampling surface."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)  # ctf + per-source fold
+    )
+    ctf = tf.groupBy("tok").agg(F.sum("tf").cast("bigint").alias("ctf"))
+    tot = ctf.agg(F.sum("ctf").cast("bigint").alias("t"))
+    nll = ctf.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(-F.log(F.col("ctf").cast("double") / F.col("t")) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("nll"),
+    )
+    per_src = (
+        tf.join(nll, "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("tf").cast("bigint").alias("t_s"),
+            F.sum(F.col("tf") * F.col("nll")).cast("bigint").alias("nll_sum"),
+        )
+        .localCheckpoint(eager=False)  # corpus fold + scored rows
+    )
+    corpus = per_src.agg(
+        F.sum("t_s").cast("bigint").alias("t"),
+        F.expr("sum(nll_sum) DIV sum(t_s)").cast("bigint").alias("l_c"),
+    )
+    l_s = F.expr("nll_sum DIV t_s")
+    scored = per_src.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        F.expr("t_s * 1000000 DIV t").cast("bigint").alias("base_share_q"),
+        l_s.cast("bigint").alias("surprisal_q"),
+        F.floor(
+            F.exp(F.lit(_DOREMI_ETA) * (l_s - F.col("l_c")) / F.lit(1e6))
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("tilt_q"),
+    )
+    numer = scored.withColumn(
+        "num", F.expr("base_share_q * tilt_q DIV 1000000").cast("bigint")
+    )
+    den = numer.agg(F.sum("num").cast("bigint").alias("den"))
+    return (
+        numer.crossJoin(F.broadcast(den))
+        .select(
+            "source",
+            "base_share_q",
+            "surprisal_q",
+            "tilt_q",
+            F.expr("num * 1000000 DIV den").cast("bigint").alias("new_share_q"),
+        )
+        .orderBy("source")
     )

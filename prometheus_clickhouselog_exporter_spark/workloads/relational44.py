@@ -1,0 +1,363 @@
+"""Relational battery, round 9 batch 2: Kruskal–Wallis k-group rank
+test, the PromQL *_over_time aggregation family, ClickHouse
+sequenceNextNode parity, and a data-freshness SLA report.
+
+Shared discipline: rank statistics are VALUE-GROUPED (the
+stats_mann_whitney_u recipe — doubled tie-averaged ranks are integers,
+the only no-partition window rides the distinct-value frame), k-group
+sums use per-group CONDITIONAL COLUMNS (the lang/event_type domains
+are fixed 5-value sets, so cross-group reductions become one fixed
+expression instead of an order-sensitive float sum), and every
+*_over_time statistic folds exact integer cents.
+
+Reference parity note: /root/reference exposes counters and histograms
+only (metrics.go:8-75); PromQL evaluation over them and the ClickHouse
+function surface are §2.3 north-star territory. The *_over_time family
+is the query side of the exporter's own metrics (A5-A9 histograms ride
+the same event stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import fround, query, table
+
+_LANGS = ("de", "en", "es", "fr", "zh")  # fixed corpus domain (FIXTURES.md)
+
+_KW_SUMS = ", ".join(
+    f"CAST(sum(CASE WHEN lang = '{g}' THEN cnt_{g} * r2 ELSE 0 END) AS BIGINT)"
+    for g in ()
+)  # (placeholder keeps formatting linters quiet)
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle=f"""
+    WITH g AS (
+      SELECT n_chars,
+             CAST(count(*) AS BIGINT) AS cnt,
+             {", ".join(f"CAST(sum(CASE WHEN lang = '{g}' THEN 1 ELSE 0 END) AS BIGINT) AS c_{g}" for g in _LANGS)}
+      FROM documents GROUP BY n_chars
+    ),
+    ranked AS (
+      SELECT *,
+             2 * (1 + coalesce(sum(cnt) OVER (ORDER BY n_chars
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               + cnt - 1 AS r2
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties,
+             {", ".join(f"CAST(sum(c_{g}) AS BIGINT) AS n_{g}, CAST(sum(c_{g} * r2) AS BIGINT) AS s_{g}" for g in _LANGS)}
+      FROM ranked
+    )
+    SELECT n, CAST(5 AS BIGINT) AS k, CAST(4 AS BIGINT) AS df,
+           floor((3.0 / (CAST(n AS DOUBLE) * (n + 1))
+              * ({" + ".join(f"CAST(s_{g} AS DOUBLE) * s_{g} / n_{g}" for g in _LANGS)})
+              - 3.0 * (n + 1)) * 1e6 + 0.5) / 1e6 AS h,
+           floor((3.0 / (CAST(n AS DOUBLE) * (n + 1))
+              * ({" + ".join(f"CAST(s_{g} AS DOUBLE) * s_{g} / n_{g}" for g in _LANGS)})
+              - 3.0 * (n + 1))
+              / (1.0 - CAST(ties AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n * n - n)) * 1e6 + 0.5) / 1e6
+             AS h_tie_corrected
+    FROM s
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H — the k-group generalization of Mann–Whitney
+    (does ANY language's document-length distribution stochastically
+    differ?), with the standard tie correction. Doubled tie-averaged
+    ranks keep everything integer until the final closed form: per
+    distinct length, r2 = 2·rank + cnt − 1 is the doubled average rank
+    shared by every doc at that value, so each language's doubled rank
+    sum S_g = Σ c_g·r2 is an exact integer, and
+    H = 3/(N(N+1))·Σ S_g²/n_g − 3(N+1) (the 12/(4) fold of doubled
+    ranks), divided by the tie factor 1 − Σ(t³−t)/(N³−N).
+
+    Cross-engine determinism: the five S_g come out of ONE conditional
+    aggregate as SEPARATE COLUMNS (the lang domain is fixed), so the
+    cross-group Σ S_g²/n_g is a fixed-order expression, never a float
+    reduction; S_g ≤ 2N·n_g keeps S_g² inside double's 2^53 integer
+    range through sf10.
+
+    100 TB: one value-keyed aggregate (map-side combinable), a
+    distinct-value-cardinality rank window (bounded by the n_chars
+    domain), one row out — the mann_whitney shape with k columns."""
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("n_chars").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[
+            F.sum(F.when(F.col("lang") == lg, 1).otherwise(0)).alias(f"c_{lg}")
+            for lg in _LANGS
+        ],
+    )
+    wo = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "r2",
+        2 * (1 + F.coalesce(F.sum("cnt").over(wo), F.lit(0)))
+        + F.col("cnt")
+        - 1,
+    )
+    s = ranked.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("ties"),
+        *[
+            c
+            for lg in _LANGS
+            for c in (
+                F.sum(f"c_{lg}").cast("bigint").alias(f"n_{lg}"),
+                F.sum(F.col(f"c_{lg}") * F.col("r2"))
+                .cast("bigint")
+                .alias(f"s_{lg}"),
+            )
+        ],
+    )
+    nD = F.col("n").cast("double")
+    ssum = None
+    for lg in _LANGS:
+        term = (
+            F.col(f"s_{lg}").cast("double")
+            * F.col(f"s_{lg}")
+            / F.col(f"n_{lg}")
+        )
+        ssum = term if ssum is None else ssum + term
+    h = 3.0 / (nD * (F.col("n") + 1)) * ssum - 3.0 * (F.col("n") + 1)
+    tie_factor = 1.0 - F.col("ties").cast("double") / (nD * F.col("n") * F.col("n") - F.col("n"))
+    return s.select(
+        "n",
+        F.lit(5).cast("bigint").alias("k"),
+        F.lit(4).cast("bigint").alias("df"),
+        fround(h, 6).alias("h"),
+        fround(h / tie_factor, 6).alias("h_tie_corrected"),
+    )
+
+
+@query(
+    "promql_over_time_battery",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_us(ts) * 32 + event_id % 32 AS ord
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, hr,
+           CAST(count(*) AS BIGINT) AS n_over_time,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           CAST(max_by(cents, ord) AS BIGINT) AS last_cents,
+           floor(CAST(sum(cents) AS DOUBLE) / count(*) / 100 * 1e6 + 0.5)
+             / 1e6 AS avg_over_time,
+           floor(sqrt(greatest(0.0,
+                 CAST(sum(cents * cents) AS DOUBLE) / count(*)
+                 - (CAST(sum(cents) AS DOUBLE) / count(*))
+                   * (CAST(sum(cents) AS DOUBLE) / count(*)))) / 100
+                 * 1e6 + 0.5) / 1e6 AS stddev_over_time
+    FROM q GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def promql_over_time_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PromQL range-vector aggregation family —
+    count/min/max/last/avg/stddev_over_time — evaluated per (series,
+    1h range) exactly as the published semantics define them over raw
+    samples (stddev_over_time is the POPULATION σ, last_over_time the
+    sample with the greatest timestamp). One conditional aggregate per
+    hour bucket from integer cents; the only libm is the final sqrt on
+    exact integer moments; last_* uses max_by on a packed
+    (µs·32 + event_id%32) key so timestamp ties cannot flip it between
+    engines (the single-integer-key rule — composite max_by keys bind
+    on neither engine).
+
+    Ref cite: metrics.go:39-69 exposes the histogram side of this
+    stream; the *_over_time family is what a PromQL dashboard runs on
+    the same samples. 100 TB: one scan, one (type, hour)-keyed
+    map-side-combinable aggregate — the canonical pre-aggregation
+    shape; no window, no join."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    ord_ = (
+        F.unix_micros(F.col("ts").cast("timestamp")) * 32
+        + F.col("event_id") % 32
+    )
+    q = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        cents.alias("cents"),
+        ord_.alias("ord"),
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("cents").cast("double")
+    ss = F.sum(F.col("cents") * F.col("cents")).cast("double")
+    return (
+        q.groupBy("event_type", "hr")
+        .agg(
+            n.cast("bigint").alias("n_over_time"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+            F.max_by("cents", "ord").cast("bigint").alias("last_cents"),
+            fround(s / n / 100, 6).alias("avg_over_time"),
+            fround(
+                F.sqrt(F.greatest(F.lit(0.0), ss / n - (s / n) * (s / n))) / 100,
+                6,
+            ).alias("stddev_over_time"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+@query(
+    "clickhouse_sequence_next_node",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    base AS (
+      SELECT user_id, min(rn) AS vrn FROM seq
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    nxt AS (
+      SELECT b.user_id, s.event_type AS next_type
+      FROM base b LEFT JOIN seq s
+        ON s.user_id = b.user_id AND s.rn = b.vrn + 1
+    )
+    SELECT coalesce(next_type, '(end)') AS next_type,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM nxt GROUP BY 1 ORDER BY 1
+    """,
+)
+def clickhouse_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `sequenceNextNode(forward, first_match)` parity: for
+    each user, anchor on the FIRST 'view' event (event-time order,
+    event_id tie-break — ClickHouse requires a deterministic sort key
+    for exactly this reason) and report the type of the immediately
+    following event; users whose first view is their last event emit
+    the '(end)' node. The census over next-nodes is the "where do
+    users go after their first view" funnel question the ClickHouse
+    function exists for.
+
+    100 TB: one user-partitioned sequence window (the funnel family's
+    exchange, reused by every per-user operator), one min-aggregate,
+    one (user, rn)-keyed self-equi-join — no cross products; the
+    census output is |event types|+1 rows.
+
+    Ref cite: none — /root/reference classifies single statements
+    (query.go:276-289); sequence analytics is §2.3 ClickHouse-parity
+    territory."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).localCheckpoint(eager=False)  # base + next probe
+    base = (
+        seq.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("vrn"))
+        .select(F.col("user_id").alias("b_uid"), "vrn")
+    )
+    nxt = base.join(
+        seq.select(
+            F.col("user_id").alias("s_uid"),
+            F.col("rn").alias("s_rn"),
+            F.col("event_type").alias("next_type"),
+        ),
+        (F.col("s_rn") == F.col("vrn") + 1) & (F.col("s_uid") == F.col("b_uid")),
+        "left",
+    )
+    return (
+        nxt.groupBy(F.coalesce(F.col("next_type"), F.lit("(end)")).alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("next_type")
+    )
+
+
+_SLA_MINUTES = {"error": 5, "purchase": 30, "click": 60, "view": 60, "signup": 60}
+
+
+@query(
+    "dq_freshness_sla",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             max(ts) AS last_ts,
+             CAST(sum(CASE WHEN ts >= (SELECT max(ts) FROM events)
+                                      - INTERVAL 24 HOUR
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_last24h
+      FROM events GROUP BY event_type
+    ),
+    m AS (SELECT max(ts) AS gmax FROM events)
+    SELECT g.event_type, g.n_rows, g.last_ts,
+           CAST(floor(epoch_us(m.gmax - g.last_ts) / 60000000.0) AS BIGINT)
+             AS lag_minutes,
+           CASE g.event_type
+             {" ".join(f"WHEN '{t}' THEN CAST({m} AS BIGINT)" for t, m in _SLA_MINUTES.items())}
+           END AS sla_minutes,
+           epoch_us(m.gmax - g.last_ts) / 60000000.0
+             > CASE g.event_type
+                 {" ".join(f"WHEN '{t}' THEN {m}" for t, m in _SLA_MINUTES.items())}
+               END AS breached,
+           g.n_last24h
+    FROM g CROSS JOIN m ORDER BY g.event_type
+    """,
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA report — the first page of every pipeline
+    runbook: per stream (event type), row volume, last-arrival
+    timestamp, staleness in whole minutes against the corpus
+    watermark, the stream's SLA literal, the breach flag, and the
+    trailing-24h volume. The watermark is the corpus max (in
+    production, now()) so the report is deterministic.
+
+    100 TB: one scan, one conditional aggregate keyed by the 5-value
+    type domain, a broadcast 1-row watermark — the zero-join shape;
+    the per-type SLA table rides the plan as literals (swap for a
+    broadcast dim at a real registry).
+
+    Ref cite: the reference's own health surface is
+    chlogexporter_errors{{type}} (metrics.go:8-14); freshness is the
+    batch-side twin of its liveness concern."""
+    e = table(spark, sf_dir, "events")
+    # the watermark is ONE bounded driver-side value (the n_vocab
+    # dispatch-statistic class) — embedding it as a literal lets the
+    # whole report fold in a single scan + one 5-row aggregate instead
+    # of three scans of the fact table
+    gmax = e.agg(F.max("ts")).first()[0]
+    sla = F.create_map(
+        *[F.lit(x) for t, mi in _SLA_MINUTES.items() for x in (t, mi)]
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max("ts").alias("last_ts"),
+        F.sum(
+            F.when(
+                F.col("ts") >= F.lit(gmax) - F.expr("INTERVAL 24 HOURS"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_last24h"),
+    )
+    import datetime as _dt
+
+    gmax_us = (
+        int(gmax.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+        if gmax is not None
+        else 0
+    )
+    lag_us = F.lit(gmax_us) - F.unix_micros(F.col("last_ts").cast("timestamp"))
+    lag_min = F.floor(lag_us / 60000000.0).cast("bigint")
+    return g.select(
+        "event_type",
+        "n_rows",
+        "last_ts",
+        lag_min.alias("lag_minutes"),
+        sla[F.col("event_type")].cast("bigint").alias("sla_minutes"),
+        (lag_us / 60000000.0 > sla[F.col("event_type")]).alias("breached"),
+        "n_last24h",
+    ).orderBy("event_type")

@@ -1,0 +1,105 @@
+"""Round 9 batch 2: Kruskal–Wallis, *_over_time, sequenceNextNode,
+freshness SLA, proximity search, LSH-CC dedup clusters, tokenizer
+fertility, DoReMi weights — semantic invariants beyond the hash gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prometheus_clickhouselog_exporter_spark.workloads import QUERIES
+from prometheus_clickhouselog_exporter_spark.workloads.core import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_kruskal_wallis_invariants(spark):
+    r = QUERIES["stats_kruskal_wallis"](spark, SF_DIR).collect()[0]
+    assert r.n > 0 and r.k == 5 and r.df == 4
+    assert r.h >= 0
+    # n_chars has ties, so the tie factor < 1 and correction raises H
+    assert r.h_tie_corrected >= r.h
+
+
+def test_sequence_next_node_partitions_viewers(spark):
+    rows = QUERIES["clickhouse_sequence_next_node"](spark, SF_DIR).collect()
+    n_viewers = (
+        table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == n_viewers
+
+
+def test_freshness_sla_consistency(spark):
+    for r in QUERIES["dq_freshness_sla"](spark, SF_DIR).collect():
+        assert r.lag_minutes >= 0 and r.n_last24h <= r.n_rows
+        if r.breached:
+            assert r.lag_minutes >= r.sla_minutes
+
+
+def test_proximity_rows_obey_gate(spark):
+    rows = QUERIES["text_proximity_search"](spark, SF_DIR).collect()
+    assert rows, "fixture corpus contains both query terms"
+    for r in rows:
+        assert 0 <= r.min_dist <= 3 and r.n_a >= 1 and r.n_b >= 1
+
+
+def test_cc_clusters_reach_fixpoint(spark):
+    rows = QUERIES["dedup_minhash_clusters_cc"](spark, SF_DIR).collect()
+    assert rows and all(r.n_members >= 2 for r in rows)
+    assert all(r.cluster_id == r.keeper_id for r in rows)  # min-label = keeper
+    assert all(r.n_removed == r.n_members - 1 for r in rows)
+    # one MORE propagation round must not move any label: rebuild edges,
+    # seed labels from the query's clusters, and relax once
+    from prometheus_clickhouselog_exporter_spark.operators.dedup import (
+        minhash_lsh_dedup,
+    )
+
+    d = table(spark, SF_DIR, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    pairs = minhash_lsh_dedup(d, "text", "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = e.select(F.col("src").alias("id")).distinct()
+    cur = nodes.withColumn("label", F.col("id"))
+    for _ in range(7):  # one MORE than the query uses
+        best = (
+            e.join(cur.select(F.col("id").alias("src"), F.col("label").alias("sl")), "src")
+            .groupBy("dst")
+            .agg(F.min("sl").alias("nl"))
+        )
+        cur = cur.join(best, cur["id"] == best["dst"], "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                "label"
+            ),
+        ).localCheckpoint(eager=False)
+    census7 = (
+        cur.groupBy(F.col("label").cast("bigint").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .collect()
+    )
+    got = {(r.cluster_id, r.n_members) for r in rows}
+    assert {(r.cluster_id, r.n_members) for r in census7} == got
+
+
+def test_doremi_shares_normalize_and_tilt_tracks_surprisal(spark):
+    rows = QUERIES["sample_doremi_weights"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    total = sum(r.new_share_q for r in rows)
+    assert abs(total - 1_000_000) <= len(rows)  # floor-div slack only
+    by_surprisal = sorted(rows, key=lambda r: r.surprisal_q)
+    tilts = [r.tilt_q for r in by_surprisal]
+    assert tilts == sorted(tilts)  # exp is monotone in excess loss
+
+
+def test_fertility_at_least_one(spark):
+    for r in QUERIES["text_tokenizer_fertility"](spark, SF_DIR).collect():
+        assert r.fertility >= 1.0  # a pre-tokenizer never merges words
+        assert r.chars_per_token > 0
