@@ -681,3 +681,303 @@ def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_TR_D_NUM, _TR_D_DEN = 85, 100  # damping d = 0.85
+_TR_ITERS = 2
+
+
+def _tr_iter_sql(prev: str, this: str) -> str:
+    # ws'(v) = (1-d)·1e6 + Σ_u (d·w_uv·ws(u)) DIV out_u — every edge
+    # term floor-divided to an integer BEFORE the sum
+    return f"""
+    {this} AS MATERIALIZED (
+      SELECT e.v AS word,
+             CAST(150000 + sum(({_TR_D_NUM} * e.w * p.ws)
+                               // ({_TR_D_DEN} * o.outw)) AS BIGINT) AS ws
+      FROM e
+      JOIN {prev} p ON p.word = e.u
+      JOIN outw o ON o.u = e.u
+      GROUP BY e.v
+    )"""
+
+
+@query(
+    "text_keyphrase_textrank",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, w[CAST(r.i AS BIGINT)] AS tok, r.i AS p
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents),
+           UNNEST(range(1, len(w) + 1)) AS r(i)
+      WHERE w[CAST(r.i AS BIGINT)] <> ''
+    ),
+    co AS (
+      SELECT a.tok AS u, b.tok AS v, CAST(count(*) AS BIGINT) AS w
+      FROM pos a JOIN pos b
+        ON b.doc_id = a.doc_id AND b.p > a.p AND b.p <= a.p + 2
+       AND a.tok <> b.tok
+      GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+      SELECT u, v, w FROM co
+      UNION ALL SELECT v, u, w FROM co
+    ),
+    outw AS (SELECT u, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY u),
+    p0 AS MATERIALIZED (
+      SELECT DISTINCT u AS word, CAST(1000000 AS BIGINT) AS ws FROM e
+    ),
+    {",".join(_tr_iter_sql(f'p{i}', f'p{i + 1}') for i in range(_TR_ITERS))}
+    SELECT word, ws AS score_q
+    FROM p{_TR_ITERS} ORDER BY ws DESC, word LIMIT 10
+    """,
+)
+def text_keyphrase_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, public
+    method): build the word co-occurrence graph (±2 token window,
+    corpus-pooled weights), run the weighted-PageRank recurrence
+    ws'(v) = (1−d) + d·Σ w_uv/out_u·ws(u) for two synchronous
+    iterations with scores QUANTIZED to integer micro-units between
+    rounds (the Bradley–Terry/graph_pagerank discipline — per-edge
+    terms floor-divided to integers before every sum, so no float
+    reduction exists), and emit the top-10 keywords by final score via
+    TakeOrdered — deliberately NOT a rank window, so the vocabulary
+    never sorts in one task (the open-domain rule).
+
+    RAKE (llmdata25) scores phrases by degree/frequency counts;
+    TextRank is the recursive-centrality alternative the same
+    pipelines use when stopword boundaries are unreliable — having
+    both lets the datacard compare keyword stability across methods.
+
+    100 TB: co-occurrence folds map-side to |V|² bounded pairs (real
+    corpora: pruned by min-count before the fold — the bigram-LM
+    shape); each iteration is one edge⋈score join + v-keyed aggregate
+    (score table is vocabulary-sized, broadcastable); the final top-k
+    is TakeOrderedAndProject.
+
+    Ref cite: none — /root/reference has no text surface."""
+    d = table(spark, sf_dir, "documents")
+    pos = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("p", "tok"),
+        )
+        .filter(F.col("tok") != "")
+        .localCheckpoint(eager=False)  # both co-occurrence sides
+    )
+    a = pos.select("doc_id", F.col("p").alias("pa"), F.col("tok").alias("u"))
+    b = pos.select("doc_id", F.col("p").alias("pb"), F.col("tok").alias("v"))
+    co = (
+        a.join(b, "doc_id")
+        .where(
+            (F.col("pb") > F.col("pa"))
+            & (F.col("pb") <= F.col("pa") + 2)
+            & (F.col("u") != F.col("v"))
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    e = co.unionByName(
+        co.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).localCheckpoint(eager=False)  # outw + every iteration
+    outw = e.groupBy("u").agg(F.sum("w").cast("bigint").alias("outw"))
+    ws = e.select("u").distinct().select(
+        F.col("u").alias("word"), F.lit(1_000_000).cast("bigint").alias("ws")
+    )
+    for _ in range(_TR_ITERS):
+        ws = (
+            e.join(ws.select(F.col("word").alias("u"), "ws"), "u")
+            .join(outw, "u")
+            .groupBy(F.col("v").alias("word"))
+            .agg(
+                (
+                    F.lit(150_000)
+                    + F.sum(
+                        F.expr(
+                            f"({_TR_D_NUM} * w * ws) DIV ({_TR_D_DEN} * outw)"
+                        )
+                    )
+                )
+                .cast("bigint")
+                .alias("ws")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ws.select("word", F.col("ws").alias("score_q")).orderBy(
+        F.desc("score_q"), "word"
+    ).limit(10)
+
+
+_LOGIT_ITERS = 2
+
+
+def _logit_iter_sql(prev: str, this: str) -> str:
+    # one Newton-Raphson step from integer-quantized params: per-row p
+    # quantized to 1e6 BEFORE the moment sums, curvature w derived from
+    # p_q by integer arithmetic, 2x2 solve in one fixed expression
+    return f"""
+    {this} AS MATERIALIZED (
+      SELECT CAST(b0q + floor((CAST(h11 AS DOUBLE) * g0 - CAST(h01 AS DOUBLE) * g1)
+                   / (CAST(h00 AS DOUBLE) * h11 - CAST(h01 AS DOUBLE) * h01)
+                   * 1e6 + 0.5) AS BIGINT) AS b0q,
+             CAST(b1q + floor((CAST(h00 AS DOUBLE) * g1 - CAST(h01 AS DOUBLE) * g0)
+                   / (CAST(h00 AS DOUBLE) * h11 - CAST(h01 AS DOUBLE) * h01)
+                   * 1e6 + 0.5) AS BIGINT) AS b1q
+      FROM (
+        SELECT any_value(b.b0q) AS b0q, any_value(b.b1q) AS b1q,
+               CAST(sum(o.y * 1000000 - pq.pq) AS BIGINT) AS g0,
+               CAST(sum((o.y * 1000000 - pq.pq) * o.x) AS BIGINT) AS g1,
+               CAST(sum(pq.pq * (1000000 - pq.pq) // 1000000) AS BIGINT) AS h00,
+               CAST(sum((pq.pq * (1000000 - pq.pq) // 1000000) * o.x) AS BIGINT)
+                 AS h01,
+               CAST(sum((pq.pq * (1000000 - pq.pq) // 1000000) * o.x * o.x)
+                    AS BIGINT) AS h11
+        FROM obs o CROSS JOIN {prev} b,
+             LATERAL (SELECT CAST(floor(
+               least(greatest(
+                 1.0 / (1.0 + exp(-(b.b0q + b.b1q * o.x) / 1e6)),
+                 1e-6), 1.0 - 1e-6) * 1e6 + 0.5) AS BIGINT) AS pq) pq
+      )
+    )"""
+
+
+@query(
+    "ml_logistic_newton2",
+    oracle=f"""
+    WITH obs AS (
+      SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    it0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS b0q,
+                                CAST(0 AS BIGINT) AS b1q),
+    {",".join(_logit_iter_sql(f'it{i}', f'it{i + 1}') for i in range(_LOGIT_ITERS))}
+    SELECT CAST((SELECT count(*) FROM obs) AS BIGINT) AS n,
+           b.b0q AS b0_q, b.b1q AS b1_q,
+           CAST((
+             SELECT sum(CAST(floor(
+               (o.y * ln(least(greatest(
+                  1.0 / (1.0 + exp(-(b.b0q + b.b1q * o.x) / 1e6)),
+                  1e-6), 1.0 - 1e-6))
+                + (1 - o.y) * ln(1.0 - least(greatest(
+                  1.0 / (1.0 + exp(-(b.b0q + b.b1q * o.x) / 1e6)),
+                  1e-6), 1.0 - 1e-6))) * 1e6) AS BIGINT))
+             FROM obs o) AS BIGINT) AS ll_q
+    FROM it{_LOGIT_ITERS} b
+    """,
+)
+def ml_logistic_newton2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained IN THE ENGINE: two Newton–Raphson
+    (IRLS) steps for P(error | value) with one feature + intercept —
+    the canonical convex-training shape a data platform runs without
+    exporting to a modeling stack. Cross-engine exactness comes from
+    the OLS-by-Cramer discipline extended to an iterative fit: per-row
+    probabilities quantize to integer micro-units BEFORE the moment
+    sums (gradient g and curvature H fold as exact integers; the
+    curvature weight p(1−p) is derived from the QUANTIZED p by integer
+    arithmetic, never re-floated), the 2×2 Newton solve is one fixed
+    Cramer expression, and parameters re-quantize between iterations —
+    so both engines iterate on identical integers, like Bradley–Terry.
+    Output: n, the fitted (intercept, slope) in micro-units, and the
+    final log-likelihood in integer micro-nats.
+
+    100 TB: each iteration is ONE map-side-combinable aggregate over
+    the scan (5 integer sums), a 1-row broadcast of params back — the
+    distributed-IRLS shape; iterations are bounded (production runs to
+    a convergence action on |Δβ|, the suffix-doubling pattern).
+
+    Ref cite: none — /root/reference computes no statistics
+    (metrics.go:8-75); §2.3 ML territory."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    obs = e.select(
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT) DIV 100").alias("x"),
+    ).localCheckpoint(eager=False)  # 2 iterations + n + ll reuse it
+    params = obs.sparkSession.createDataFrame(
+        [(0, 0)], "b0q bigint, b1q bigint"
+    )
+    for _ in range(_LOGIT_ITERS):
+        z = (F.col("b0q") + F.col("b1q") * F.col("x")) / F.lit(1e6)
+        p = F.least(
+            F.greatest(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), F.lit(1e-6)
+            ),
+            F.lit(1.0 - 1e-6),
+        )
+        pq = F.floor(p * 1e6 + F.lit(0.5)).cast("bigint")
+        wq = F.expr("pq * (1000000 - pq) DIV 1000000")
+        m = (
+            obs.crossJoin(F.broadcast(params))
+            .withColumn("pq", pq)
+            .agg(
+                F.any_value("b0q").alias("b0q"),
+                F.any_value("b1q").alias("b1q"),
+                F.sum(F.col("y") * 1_000_000 - F.col("pq"))
+                .cast("bigint")
+                .alias("g0"),
+                F.sum((F.col("y") * 1_000_000 - F.col("pq")) * F.col("x"))
+                .cast("bigint")
+                .alias("g1"),
+                F.sum(wq).cast("bigint").alias("h00"),
+                F.sum(wq * F.col("x")).cast("bigint").alias("h01"),
+                F.sum(wq * F.col("x") * F.col("x")).cast("bigint").alias("h11"),
+            )
+        )
+        det = (
+            F.col("h00").cast("double") * F.col("h11")
+            - F.col("h01").cast("double") * F.col("h01")
+        )
+        params = m.select(
+            (
+                F.col("b0q")
+                + F.floor(
+                    (
+                        F.col("h11").cast("double") * F.col("g0")
+                        - F.col("h01").cast("double") * F.col("g1")
+                    )
+                    / det
+                    * 1e6
+                    + F.lit(0.5)
+                )
+            )
+            .cast("bigint")
+            .alias("b0q"),
+            (
+                F.col("b1q")
+                + F.floor(
+                    (
+                        F.col("h00").cast("double") * F.col("g1")
+                        - F.col("h01").cast("double") * F.col("g0")
+                    )
+                    / det
+                    * 1e6
+                    + F.lit(0.5)
+                )
+            )
+            .cast("bigint")
+            .alias("b1q"),
+        ).localCheckpoint(eager=False)
+    z = (F.col("b0q") + F.col("b1q") * F.col("x")) / F.lit(1e6)
+    p = F.least(
+        F.greatest(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), F.lit(1e-6)),
+        F.lit(1.0 - 1e-6),
+    )
+    ll_term = F.floor(
+        (F.col("y") * F.log(p) + (1 - F.col("y")) * F.log(F.lit(1.0) - p))
+        * 1e6
+    ).cast("bigint")
+    n_row = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ll = (
+        obs.crossJoin(F.broadcast(params))
+        .agg(F.sum(ll_term).cast("bigint").alias("ll_q"))
+    )
+    return (
+        n_row.crossJoin(F.broadcast(params))
+        .crossJoin(F.broadcast(ll))
+        .select(
+            "n",
+            F.col("b0q").alias("b0_q"),
+            F.col("b1q").alias("b1_q"),
+            "ll_q",
+        )
+    )

@@ -26,11 +26,6 @@ from .core import fround, query, table
 
 _LANGS = ("de", "en", "es", "fr", "zh")  # fixed corpus domain (FIXTURES.md)
 
-_KW_SUMS = ", ".join(
-    f"CAST(sum(CASE WHEN lang = '{g}' THEN cnt_{g} * r2 ELSE 0 END) AS BIGINT)"
-    for g in ()
-)  # (placeholder keeps formatting linters quiet)
-
 
 @query(
     "stats_kruskal_wallis",
@@ -361,3 +356,156 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lag_us / 60000000.0 > sla[F.col("event_type")]).alias("breached"),
         "n_last24h",
     ).orderBy("event_type")
+
+
+@query(
+    "window_range_interval_trailing",
+    oracle="""
+    SELECT event_id, event_type, ts,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_6h_cents,
+           CAST(count(*) OVER (
+             PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_6h_n
+    FROM events WHERE value IS NOT NULL
+    ORDER BY event_id
+    """,
+)
+def window_range_interval_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frames with INTERVAL bounds — the event-time
+    trailing window ("revenue in the 6 hours ending at THIS event")
+    that ROWS frames cannot express when sampling is irregular: the
+    frame is defined by the ORDER BY value's time distance, so peers
+    at the same timestamp are always all-in (which also makes the
+    result tie-deterministic without any tiebreak column — unlike
+    ROWS). Exact integer cents inside the frame sum.
+
+    100 TB: one event_type-partitioned sort-based window — the same
+    exchange every per-series operator reuses; RANGE frames evaluate
+    with a sliding two-pointer over the sorted run, O(n) per
+    partition, no per-row rescan.
+
+    Ref cite: none — /root/reference aggregates globally
+    (metrics.go:39-69); event-time trailing windows are §2.2 window
+    territory (SURVEY 'Window functions' row, RANGE-INTERVAL form)."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        e.select("event_id", "event_type", "ts", cents.alias("cents"))
+        .selectExpr(
+            "event_id",
+            "event_type",
+            "ts",
+            "CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS trailing_6h_cents",
+            "CAST(count(*) OVER (PARTITION BY event_type ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS trailing_6h_n",
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "promql_changes_absent",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             lag(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS prev
+      FROM events WHERE value IS NOT NULL
+    ),
+    have AS (
+      SELECT event_type, hr,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND cents <> prev
+                      THEN 1 ELSE 0 END) AS BIGINT) AS changes
+      FROM q GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, h.hr
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(
+          (SELECT min(date_trunc('hour', ts)) FROM events),
+          (SELECT max(date_trunc('hour', ts)) FROM events),
+          INTERVAL 1 HOUR)) AS hr
+      ) h
+    )
+    SELECT g.event_type, g.hr,
+           coalesce(h.n_samples, 0) AS n_samples,
+           coalesce(h.changes, 0) AS changes,
+           h.n_samples IS NULL AS absent
+    FROM grid g LEFT JOIN have h
+      ON h.event_type = g.event_type AND h.hr = g.hr
+    ORDER BY g.event_type, g.hr
+    """,
+)
+def promql_changes_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `changes()` + `absent()` parity: per (series, 1h range),
+    how many times the sample value CHANGED (consecutive samples in
+    (ts, event_id) order with different values — the flapping-detector
+    function), and the absent() marker for every (series, hour) cell
+    of the calendar grid with NO samples at all — the alerting
+    primitive that fires when a target stops scraping. The grid is
+    generated from the corpus min/max hour (bounded, calendar-
+    cardinality) so absence is an explicit row, not a silent gap.
+
+    100 TB: one series-partitioned lag window + one (series, hour)
+    aggregate; the calendar grid is hours x series (broadcastable) and
+    the absence check is one left join against the aggregate — never
+    against raw samples.
+
+    Ref cite: the reference's liveness signal is the read_lines
+    counter (metrics.go:16-21); changes/absent are the PromQL query
+    side of the same concern."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("event_type", "hr").orderBy("ts", "event_id")
+    q = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        "ts",
+        "event_id",
+        cents.alias("cents"),
+    ).withColumn("prev", F.lag("cents").over(w))
+    have = q.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull() & (F.col("cents") != F.col("prev")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("changes"),
+    ).localCheckpoint(eager=False)  # grid bounds + types + the left join
+    # the calendar bounds and the series set both ride the AGGREGATED
+    # frame (every populated hour appears there), so the fact table
+    # scans exactly once
+    bounds = have.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    types = have.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    return (
+        grid.join(have, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce(F.col("n_samples"), F.lit(0)).cast("bigint").alias(
+                "n_samples"
+            ),
+            F.coalesce(F.col("changes"), F.lit(0)).cast("bigint").alias("changes"),
+            F.col("n_samples").isNull().alias("absent"),
+        )
+        .orderBy("event_type", "hr")
+    )

@@ -103,3 +103,39 @@ def test_fertility_at_least_one(spark):
     for r in QUERIES["text_tokenizer_fertility"](spark, SF_DIR).collect():
         assert r.fertility >= 1.0  # a pre-tokenizer never merges words
         assert r.chars_per_token > 0
+
+
+def test_range_interval_frame_includes_self(spark):
+    rows = QUERIES["window_range_interval_trailing"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r.trailing_6h_n >= 1  # frame always includes current row
+
+
+def test_changes_absent_grid_is_complete(spark):
+    rows = QUERIES["promql_changes_absent"](spark, SF_DIR).collect()
+    hours = {r.hr for r in rows}
+    types = {r.event_type for r in rows}
+    assert len(rows) == len(hours) * len(types)  # full calendar grid
+    for r in rows:
+        assert r.absent == (r.n_samples == 0)
+        assert r.changes <= max(r.n_samples - 1, 0)
+
+
+def test_textrank_scores_positive_topk(spark):
+    rows = QUERIES["text_keyphrase_textrank"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    scores = [r.score_q for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 150_000 for s in scores)  # every top word has inlinks
+
+
+def test_logistic_newton_improves_likelihood(spark):
+    r = QUERIES["ml_logistic_newton2"](spark, SF_DIR).collect()[0]
+    assert r.n > 0
+    # null model LL (b=0): n * ln(0.5) in micro-nats; 2 Newton steps on a
+    # convex problem must not be worse than the start
+    null_ll = r.n * -693_148  # ln(0.5) * 1e6, ceil'd per-row floor slack
+    assert r.ll_q >= null_ll
+    # error rate ~20% => negative intercept
+    assert r.b0_q < 0
