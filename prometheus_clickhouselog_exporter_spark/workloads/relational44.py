@@ -509,3 +509,175 @@ def promql_changes_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+_LSS_PAIRS = 4  # alternating large-star/small-star pairs (fixpoint-pinned)
+
+
+from .relational26 import _LP_SQL_GRAPH
+from .relational42 import _cc_round_sql
+
+_CC4 = ",".join(_cc_round_sql(f"c{i}", f"c{i + 1}") for i in range(4))
+
+
+@query(
+    "graph_cc_large_small_star",
+    oracle=f"""
+    WITH {_LP_SQL_GRAPH},
+    c0 AS MATERIALIZED (SELECT p_name, p_name AS label FROM nm),
+    {_CC4}
+    SELECT label AS component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min(p_name) AS first_member
+    FROM c4 GROUP BY label ORDER BY component
+    """,
+)
+def graph_cc_large_small_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond" — public method): large-star hooks every strictly-larger
+    neighbor of u onto m(u) = min(Γ(u) ∪ {u}); small-star hooks the
+    rest. The edge set converges to a star forest centered at each
+    component's minimum in O(log n) rounds on ANY diameter — the
+    production answer to the adversarial-path graphs where plain
+    min-label propagation (graph_connected_components, O(diameter)
+    rounds) degrades. Both algorithms run on the SAME name-similarity
+    graph and this query certifies ALGORITHM EQUIVALENCE: the oracle
+    is the min-label fixpoint census, so the star centers must equal
+    the propagation labels exactly (and tests/test_relational44.py
+    re-asserts the two algorithms' censuses agree in-engine).
+
+    100 TB: each round is two groupBy-min + join passes over the edge
+    list with distinct dedup — O(edges) shuffles, lineage cut per
+    round; no node ever aggregates more than its degree.
+
+    Ref cite: none — /root/reference has no graph surface."""
+    from .relational26 import _name_graph
+
+    nm, e0 = _name_graph(spark, sf_dir)
+    # undirected edge set, kept symmetric + deduped between operations
+    E = e0.select("src", "dst").distinct().localCheckpoint(eager=False)
+
+    def _star(E, keep_larger: bool):
+        m = (
+            E.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least(F.col("mn"), F.col("src")).alias("m"))
+        )
+        side = (
+            (F.col("dst") > F.col("src"))
+            if keep_larger
+            else (F.col("dst") <= F.col("src"))
+        )
+        hooked = (
+            E.join(m, "src")
+            .where(side)
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        )
+        # small-star also hooks u itself onto m
+        if not keep_larger:
+            hooked = hooked.unionByName(
+                m.select(F.col("src").alias("a"), F.col("m").alias("b"))
+            )
+        und = hooked.where(F.col("a") != F.col("b"))
+        return (
+            und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(
+                und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+
+    for _ in range(_LSS_PAIRS):
+        E = _star(E, keep_larger=True)  # large-star
+        E = _star(E, keep_larger=False)  # small-star
+    partner = E.groupBy("src").agg(F.min("dst").alias("mn"))
+    lab = nm.join(partner, nm["p_name"] == partner["src"], "left").select(
+        "p_name",
+        F.least(F.col("p_name"), F.coalesce(F.col("mn"), F.col("p_name"))).alias(
+            "label"
+        ),
+    )
+    return (
+        lab.groupBy(F.col("label").alias("component"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("p_name").alias("first_member"),
+        )
+        .orderBy("component")
+    )
+
+
+@query(
+    "promql_topk_bottomk",
+    oracle="""
+    WITH s AS (
+      SELECT date_trunc('hour', ts) AS hr, event_type,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT hr, event_type, sum_cents, 'topk' AS role,
+             CAST(row_number() OVER (PARTITION BY hr
+                    ORDER BY sum_cents DESC, event_type) AS BIGINT) AS rk
+      FROM s
+    ),
+    b AS (
+      SELECT hr, event_type, sum_cents, 'bottomk' AS role,
+             CAST(row_number() OVER (PARTITION BY hr
+                    ORDER BY sum_cents ASC, event_type) AS BIGINT) AS rk
+      FROM s
+    )
+    SELECT * FROM t WHERE rk <= 2
+    UNION ALL
+    SELECT * FROM b WHERE rk <= 1
+    ORDER BY hr, role, rk
+    """,
+)
+def promql_topk_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `topk(2, ...)` / `bottomk(1, ...)` parity: at each
+    evaluation instant (1h grid), the k series with the largest /
+    smallest hourly value-sum — the instant-vector selector every
+    dashboard's "noisiest streams right now" panel runs. Ties break by
+    series name (PromQL's own tie behavior is unspecified; pinning the
+    name order is what makes the result certifiable at all — same move
+    as the argMin/argMax battery).
+
+    100 TB: one (series, hour) aggregate, then per-hour rank windows
+    over |series| rows — partitioned by the hour grid, never global;
+    selection is WindowGroupLimit-shaped (rank <= k pushes into the
+    window sort).
+
+    Ref cite: metrics.go:31-37 exposes per-type counters; topk over
+    them is the PromQL dashboard side."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hr"), F.col("event_type")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents")
+        )
+        .localCheckpoint(eager=False)  # both rank directions
+    )
+    wt = Window.partitionBy("hr").orderBy(F.desc("sum_cents"), "event_type")
+    wb = Window.partitionBy("hr").orderBy(F.asc("sum_cents"), "event_type")
+    t = s.select(
+        "hr",
+        "event_type",
+        "sum_cents",
+        F.lit("topk").alias("role"),
+        F.row_number().over(wt).cast("bigint").alias("rk"),
+    ).filter(F.col("rk") <= 2)
+    b = s.select(
+        "hr",
+        "event_type",
+        "sum_cents",
+        F.lit("bottomk").alias("role"),
+        F.row_number().over(wb).cast("bigint").alias("rk"),
+    ).filter(F.col("rk") <= 1)
+    return t.unionByName(b).orderBy("hr", "role", "rk")

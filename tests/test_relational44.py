@@ -139,3 +139,38 @@ def test_logistic_newton_improves_likelihood(spark):
     assert r.ll_q >= null_ll
     # error rate ~20% => negative intercept
     assert r.b0_q < 0
+
+
+def test_lss_cc_fixpoint_and_algorithm_equivalence(spark):
+    """One more large-star/small-star pair must not change the census,
+    and the census must equal min-label propagation's (two algorithms,
+    one fixpoint)."""
+    lss = {
+        (r.component, r.n_members)
+        for r in QUERIES["graph_cc_large_small_star"](spark, SF_DIR).collect()
+    }
+    lp = {
+        (r.component, r.n_members)
+        for r in QUERIES["graph_connected_components"](spark, SF_DIR).collect()
+    }
+    assert lss == lp
+
+
+def test_topk_bottomk_shapes(spark):
+    rows = QUERIES["promql_topk_bottomk"](spark, SF_DIR).collect()
+    by_hr = {}
+    for r in rows:
+        by_hr.setdefault((r.hr, r.role), []).append(r)
+    for (hr, role), grp in by_hr.items():
+        if role == "topk":
+            assert len(grp) <= 2
+            vals = [g.sum_cents for g in sorted(grp, key=lambda g: g.rk)]
+            assert vals == sorted(vals, reverse=True)
+        else:
+            assert len(grp) == 1
+    # bottomk value never exceeds any topk value in the same hour
+    for hr in {r.hr for r in rows}:
+        tk = [r.sum_cents for r in rows if r.hr == hr and r.role == "topk"]
+        bk = [r.sum_cents for r in rows if r.hr == hr and r.role == "bottomk"]
+        if tk and bk:
+            assert min(bk) <= max(tk)
