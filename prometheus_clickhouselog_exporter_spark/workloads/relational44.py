@@ -681,3 +681,339 @@ def promql_topk_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wb).cast("bigint").alias("rk"),
     ).filter(F.col("rk") <= 1)
     return t.unionByName(b).orderBy("hr", "role", "rk")
+
+
+@query(
+    "dq_orders_lineitem_reconcile",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)
+                      * CAST(floor((1 + l_tax) * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s_micro
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT o.o_orderstatus AS status,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) * 10000
+               AS total_micro,
+             l.s_micro
+      FROM orders o LEFT JOIN l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN s_micro IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_no_lineitems,
+           CAST(sum(CASE WHEN s_micro IS NOT NULL
+                    AND abs(total_micro - s_micro) * 100 <= total_micro
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+           CAST(sum(CASE WHEN s_micro IS NOT NULL
+                    AND abs(total_micro - s_micro) * 100 > total_micro
+                    AND abs(total_micro - s_micro) * 10 <= total_micro
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_1_to_10pct,
+           CAST(sum(CASE WHEN s_micro IS NOT NULL
+                    AND abs(total_micro - s_micro) * 10 > total_micro
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_over_10pct
+    FROM j GROUP BY status ORDER BY status
+    """,
+)
+def dq_orders_lineitem_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation — the DQ check every warehouse runs
+    nightly: does the order header's total match the sum of its line
+    items (extended price x (1-discount) x (1+tax))? Per order status:
+    header count, headers with NO line items at all (the referential
+    gap), and the relative-delta distribution in integer
+    cross-multiplied bands (within 1%, 1-10%, over 10% — |Δ|·100 ≤
+    total avoids any float division). All money stays in integer
+    micro-cent products (cents x percent x percent), so the bands are
+    exact on both engines. On this synthetic fixture the totals are
+    independently generated (every order lands in the >10% band) —
+    the check's OUTPUT shape, not the fixture, is the operator.
+
+    100 TB: one lineitem fold keyed by order (map-side combinable),
+    one orderkey-coalesced left join (both sides hash the same key —
+    co-partitioned at a real lakehouse via bucketing), one 3-value
+    status aggregate.
+
+    Ref cite: none — /root/reference has no relational surface."""
+    li = table(spark, sf_dir, "lineitem")
+    s_micro = F.sum(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+        * F.floor((1 - F.col("l_discount")) * 100 + F.lit(0.5)).cast("bigint")
+        * F.floor((1 + F.col("l_tax")) * 100 + F.lit(0.5)).cast("bigint")
+    ).cast("bigint")
+    l = li.groupBy("l_orderkey").agg(s_micro.alias("s_micro"))
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint") * 10000)
+        .alias("total_micro"),
+    )
+    j = o.join(l, o["o_orderkey"] == l["l_orderkey"], "left")
+    d = F.abs(F.col("total_micro") - F.col("s_micro"))
+    has = F.col("s_micro").isNotNull()
+    return (
+        j.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.when(~has, 1).otherwise(0)).cast("bigint").alias(
+                "n_no_lineitems"
+            ),
+            F.sum(F.when(has & (d * 100 <= F.col("total_micro")), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_within_1pct"),
+            F.sum(
+                F.when(
+                    has
+                    & (d * 100 > F.col("total_micro"))
+                    & (d * 10 <= F.col("total_micro")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_1_to_10pct"),
+            F.sum(F.when(has & (d * 10 > F.col("total_micro")), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_over_10pct"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "stats_two_proportion_ztest",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id % 2 = 1 AS treated,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events
+    ),
+    m AS (
+      SELECT CAST(sum(CASE WHEN treated THEN conv END) AS BIGINT) AS xt,
+             CAST(count(CASE WHEN treated THEN 1 END) AS BIGINT) AS nt,
+             CAST(sum(CASE WHEN NOT treated THEN conv END) AS BIGINT) AS xc,
+             CAST(count(CASE WHEN NOT treated THEN 1 END) AS BIGINT) AS nc
+      FROM obs
+    )
+    SELECT xt, nt, xc, nc,
+           floor((CAST(xt AS DOUBLE) / nt - CAST(xc AS DOUBLE) / nc) * 1e6
+                 + 0.5) / 1e6 AS diff,
+           floor((CAST(xt AS DOUBLE) / nt - CAST(xc AS DOUBLE) / nc)
+             / sqrt((CAST(xt + xc AS DOUBLE) / (nt + nc))
+                    * (1 - CAST(xt + xc AS DOUBLE) / (nt + nc))
+                    * (1.0 / nt + 1.0 / nc)) * 1e6 + 0.5) / 1e6 AS z
+    FROM m
+    """,
+)
+def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on conversion rates (purchase share,
+    treated vs control by the standard user_id parity split) — the
+    binary-outcome sibling of stats_ttest_welch and the FIRST readout
+    of any conversion experiment: pooled-proportion standard error,
+    z = (p_t − p_c)/√(p̂(1−p̂)(1/n_t+1/n_c)). Four exact integer counts
+    from ONE conditional scan; diff and z are single fixed expressions
+    over them (no float reduction anywhere).
+
+    100 TB: the zero-join, one-aggregate shape — four partial-sum
+    cells per mapper.
+
+    Ref cite: none — /root/reference computes no statistics
+    (metrics.go:8-75)."""
+    e = table(spark, sf_dir, "events")
+    t = F.col("user_id") % 2 == 1
+    conv = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    m = e.agg(
+        F.sum(F.when(t, conv)).cast("bigint").alias("xt"),
+        F.count(F.when(t, F.lit(1))).cast("bigint").alias("nt"),
+        F.sum(F.when(~t, conv)).cast("bigint").alias("xc"),
+        F.count(F.when(~t, F.lit(1))).cast("bigint").alias("nc"),
+    )
+    pt = F.col("xt").cast("double") / F.col("nt")
+    pc = F.col("xc").cast("double") / F.col("nc")
+    pp = (F.col("xt") + F.col("xc")).cast("double") / (F.col("nt") + F.col("nc"))
+    se = F.sqrt(pp * (1 - pp) * (1.0 / F.col("nt") + 1.0 / F.col("nc")))
+    return m.select(
+        "xt",
+        "nt",
+        "xc",
+        "nc",
+        fround(pt - pc, 6).alias("diff"),
+        fround((pt - pc) / se, 6).alias("z"),
+    )
+
+
+_LR_BUDGET = 1000  # sample slots to apportion
+
+
+@query(
+    "sample_largest_remainder",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    t AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS t_s
+      FROM tok WHERE tok <> '' GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS t FROM t),
+    base AS (
+      SELECT source, t_s,
+             {_LR_BUDGET} * t_s // tot.t AS base_alloc,
+             {_LR_BUDGET} * t_s - ({_LR_BUDGET} * t_s // tot.t) * tot.t
+               AS remainder
+      FROM t CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY remainder DESC, source) AS rk,
+             CAST({_LR_BUDGET} - sum(base_alloc) OVER () AS BIGINT) AS n_extra
+      FROM base
+    )
+    SELECT source, t_s, CAST(base_alloc AS BIGINT) AS base_alloc,
+           CAST(CASE WHEN rk <= n_extra THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           CAST(base_alloc + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked ORDER BY source
+    """,
+)
+def sample_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed sample
+    budget across sources by token mass — the exact-integer allocator
+    a mixture sampler needs when per-domain floats would over- or
+    under-draw the budget: base = ⌊K·T_s/T⌋ per source, then the
+    K − Σbase leftover slots go to the largest integer remainders
+    K·T_s − base·T (source-name tie-break). Σ alloc == K exactly, by
+    construction, on both engines — pinned in pytest.
+
+    100 TB: one token fold to source mass, one |domains|-row window
+    (domain-cardinality, bounded — the mixture table), pure integer
+    arithmetic; the allocator pairs with sample_mixture_temperature /
+    sample_doremi_weights, which produce the masses it consumes.
+
+    Ref cite: none — /root/reference has no sampling surface."""
+    d = table(spark, sf_dir, "documents")
+    t = (
+        d.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t_s"))
+    )
+    tot = t.agg(F.sum("t_s").cast("bigint").alias("t"))
+    base = t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "t_s",
+        F.expr(f"{_LR_BUDGET} * t_s DIV t").cast("bigint").alias("base_alloc"),
+        (
+            F.lit(_LR_BUDGET) * F.col("t_s")
+            - F.expr(f"{_LR_BUDGET} * t_s DIV t") * F.col("t")
+        ).alias("remainder"),
+    )
+    ranked = base.select(
+        "source",
+        "t_s",
+        "base_alloc",
+        F.row_number()
+        .over(Window.orderBy(F.desc("remainder"), F.col("source")))
+        .alias("rk"),
+        (F.lit(_LR_BUDGET) - F.sum("base_alloc").over(Window.partitionBy()))
+        .cast("bigint")
+        .alias("n_extra"),
+    )
+    extra = F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0)
+    return ranked.select(
+        "source",
+        "t_s",
+        "base_alloc",
+        extra.cast("bigint").alias("extra"),
+        (F.col("base_alloc") + extra).cast("bigint").alias("alloc"),
+    ).orderBy("source")
+
+
+# the reference's clickhouse_query_time bucket ladder (metrics.go:42)
+_HF_BUCKETS = (1, 5, 10, 20, 30, 40, 50, 60, 120, 180, 300, 1800)
+_HF_X = 42.5  # fraction threshold (inside the 40..50 bucket)
+
+
+@query(
+    "promql_histogram_fraction",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             {", ".join(f"CAST(sum(CASE WHEN value <= {le} THEN 1 ELSE 0 END) AS BIGINT) AS le_{le}" for le in _HF_BUCKETS)}
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    , x AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_le_x
+      FROM events WHERE value IS NOT NULL AND value <= 42.5
+      GROUP BY event_type
+    )
+    SELECT b.event_type, b.n, b.le_40, b.le_50,
+           floor((CAST(b.le_40 AS DOUBLE)
+                  + (42.5 - 40) / (50 - 40) * (b.le_50 - b.le_40))
+                 / b.n * 1e6 + 0.5) / 1e6 AS frac_le_x_est,
+           floor(CAST(coalesce(x.n_le_x, 0) AS DOUBLE) / b.n * 1e6 + 0.5)
+             / 1e6 AS frac_le_x_exact
+    FROM b LEFT JOIN x ON x.event_type = b.event_type ORDER BY b.event_type
+    """,
+)
+def promql_histogram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL `histogram_fraction(lo, hi, ...)` parity: the share of
+    observations at or below a threshold, RECONSTRUCTED from the
+    cumulative `le` bucket ladder with the published linear
+    interpolation inside the straddling bucket — the inverse of
+    histogram_quantile (promql_histogram_quantile consumes the same
+    ladder the exporter's A5 histogram emits, metrics.go:39-45). The
+    estimate sits NEXT TO the exact fraction computed from raw
+    samples, so the bucket-resolution error is visible in the result
+    itself (the sketch-certificate pattern).
+
+    100 TB: the ladder is ONE conditional aggregate per series (the
+    exporter's own pre-aggregation); the fraction is arithmetic on
+    |series| rows. The exact lane exists only for the certificate.
+
+    Ref cite: metrics.go:39-45 (bucket ladder), query.go:228
+    (observation site)."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(F.when(F.col("value") <= float(le), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"le_{le}")
+            for le in _HF_BUCKETS
+        ],
+    )
+    est = fround(
+        (
+            F.col("le_40").cast("double")
+            + (_HF_X - 40.0) / 10.0 * (F.col("le_50") - F.col("le_40"))
+        )
+        / F.col("n"),
+        6,
+    )
+    exact = (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") <= _HF_X, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_le_x")
+        )
+    )
+    return (
+        b.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "le_40",
+            "le_50",
+            est.alias("frac_le_x_est"),
+            fround(F.col("n_le_x").cast("double") / F.col("n"), 6).alias(
+                "frac_le_x_exact"
+            ),
+        )
+        .orderBy("event_type")
+    )

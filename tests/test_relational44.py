@@ -174,3 +174,35 @@ def test_topk_bottomk_shapes(spark):
         bk = [r.sum_cents for r in rows if r.hr == hr and r.role == "bottomk"]
         if tk and bk:
             assert min(bk) <= max(tk)
+
+
+def test_reconcile_partitions_orders(spark):
+    rows = QUERIES["dq_orders_lineitem_reconcile"](spark, SF_DIR).collect()
+    for r in rows:
+        assert (
+            r.n_no_lineitems + r.n_within_1pct + r.n_1_to_10pct + r.n_over_10pct
+            == r.n_orders
+        )
+
+
+def test_two_proportion_ztest_consistency(spark):
+    r = QUERIES["stats_two_proportion_ztest"](spark, SF_DIR).collect()[0]
+    assert 0 <= r.xt <= r.nt and 0 <= r.xc <= r.nc
+    # z and diff must share a sign
+    assert (r.z >= 0) == (r.diff >= 0)
+
+
+def test_largest_remainder_sums_to_budget(spark):
+    rows = QUERIES["sample_largest_remainder"](spark, SF_DIR).collect()
+    assert sum(r.alloc for r in rows) == 1000
+    assert all(r.extra in (0, 1) for r in rows)
+    assert all(r.alloc in (r.base_alloc, r.base_alloc + 1) for r in rows)
+
+
+def test_histogram_fraction_brackets_exact(spark):
+    for r in QUERIES["promql_histogram_fraction"](spark, SF_DIR).collect():
+        # the ladder estimate must land within the straddling bucket's mass
+        lo = r.le_40 / r.n
+        hi = r.le_50 / r.n
+        assert lo - 1e-9 <= r.frac_le_x_est <= hi + 1e-9
+        assert lo - 1e-9 <= r.frac_le_x_exact <= hi + 1e-9
