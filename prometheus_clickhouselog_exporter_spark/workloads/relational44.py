@@ -137,24 +137,35 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promql_over_time_battery",
     oracle="""
     WITH q AS (
-      SELECT event_type, date_trunc('hour', ts) AS hr,
-             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-             epoch_us(ts) * 32 + event_id % 32 AS ord
+      SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events WHERE value IS NOT NULL
+    ),
+    per_ts AS (
+      SELECT event_type, hr, ts, max_by(cents, event_id) AS c_at
+      FROM q GROUP BY 1, 2, 3
+    ),
+    lastv AS (
+      SELECT event_type, hr, CAST(max_by(c_at, ts) AS BIGINT) AS last_cents
+      FROM per_ts GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type, hr,
+             CAST(count(*) AS BIGINT) AS n_over_time,
+             CAST(min(cents) AS BIGINT) AS min_cents,
+             CAST(max(cents) AS BIGINT) AS max_cents,
+             floor(CAST(sum(cents) AS DOUBLE) / count(*) / 100 * 1e6 + 0.5)
+               / 1e6 AS avg_over_time,
+             floor(sqrt(greatest(0.0,
+                   CAST(sum(cents * cents) AS DOUBLE) / count(*)
+                   - (CAST(sum(cents) AS DOUBLE) / count(*))
+                     * (CAST(sum(cents) AS DOUBLE) / count(*)))) / 100
+                   * 1e6 + 0.5) / 1e6 AS stddev_over_time
+      FROM q GROUP BY 1, 2
     )
-    SELECT event_type, hr,
-           CAST(count(*) AS BIGINT) AS n_over_time,
-           CAST(min(cents) AS BIGINT) AS min_cents,
-           CAST(max(cents) AS BIGINT) AS max_cents,
-           CAST(max_by(cents, ord) AS BIGINT) AS last_cents,
-           floor(CAST(sum(cents) AS DOUBLE) / count(*) / 100 * 1e6 + 0.5)
-             / 1e6 AS avg_over_time,
-           floor(sqrt(greatest(0.0,
-                 CAST(sum(cents * cents) AS DOUBLE) / count(*)
-                 - (CAST(sum(cents) AS DOUBLE) / count(*))
-                   * (CAST(sum(cents) AS DOUBLE) / count(*)))) / 100
-                 * 1e6 + 0.5) / 1e6 AS stddev_over_time
-    FROM q GROUP BY 1, 2 ORDER BY 1, 2
+    SELECT agg.event_type, agg.hr, n_over_time, min_cents, max_cents,
+           last_cents, avg_over_time, stddev_over_time
+    FROM agg JOIN lastv USING (event_type, hr) ORDER BY 1, 2
     """,
 )
 def promql_over_time_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,43 +175,53 @@ def promql_over_time_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples (stddev_over_time is the POPULATION σ, last_over_time the
     sample with the greatest timestamp). One conditional aggregate per
     hour bucket from integer cents; the only libm is the final sqrt on
-    exact integer moments; last_* uses max_by on a packed
-    (µs·32 + event_id%32) key so timestamp ties cannot flip it between
-    engines (the single-integer-key rule — composite max_by keys bind
-    on neither engine).
+    exact integer moments; last_* is resolved in two stages so it is
+    collision-free for ANY fixture: per (series, ts) take
+    max_by(cents, event_id) — event_id is globally unique, so that
+    stage is deterministic — then max_by over the now-unique
+    timestamps (the packed µs·32+id%32 single-key form could alias two
+    same-µs events whose ids were congruent mod 32, making the winner
+    engine-dependent).
 
     Ref cite: metrics.go:39-69 exposes the histogram side of this
     stream; the *_over_time family is what a PromQL dashboard runs on
     the same samples. 100 TB: one scan, one (type, hour)-keyed
     map-side-combinable aggregate — the canonical pre-aggregation
-    shape; no window, no join."""
+    shape — plus a (type, hour, ts)-keyed pre-reduce feeding the tiny
+    last_* join (|types|·|hours| rows, broadcastable)."""
     e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-    ord_ = (
-        F.unix_micros(F.col("ts").cast("timestamp")) * 32
-        + F.col("event_id") % 32
-    )
     q = e.select(
         "event_type",
         F.date_trunc("hour", "ts").alias("hr"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id"),
         cents.alias("cents"),
-        ord_.alias("ord"),
+    )
+    per_ts = q.groupBy("event_type", "hr", "ts").agg(
+        F.max_by("cents", "event_id").alias("c_at")
+    )
+    lastv = per_ts.groupBy("event_type", "hr").agg(
+        F.max_by("c_at", "ts").cast("bigint").alias("last_cents")
     )
     n = F.count(F.lit(1))
     s = F.sum("cents").cast("double")
     ss = F.sum(F.col("cents") * F.col("cents")).cast("double")
+    agg = q.groupBy("event_type", "hr").agg(
+        n.cast("bigint").alias("n_over_time"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+        fround(s / n / 100, 6).alias("avg_over_time"),
+        fround(
+            F.sqrt(F.greatest(F.lit(0.0), ss / n - (s / n) * (s / n))) / 100,
+            6,
+        ).alias("stddev_over_time"),
+    )
     return (
-        q.groupBy("event_type", "hr")
-        .agg(
-            n.cast("bigint").alias("n_over_time"),
-            F.min("cents").cast("bigint").alias("min_cents"),
-            F.max("cents").cast("bigint").alias("max_cents"),
-            F.max_by("cents", "ord").cast("bigint").alias("last_cents"),
-            fround(s / n / 100, 6).alias("avg_over_time"),
-            fround(
-                F.sqrt(F.greatest(F.lit(0.0), ss / n - (s / n) * (s / n))) / 100,
-                6,
-            ).alias("stddev_over_time"),
+        agg.join(F.broadcast(lastv), ["event_type", "hr"])
+        .select(
+            "event_type", "hr", "n_over_time", "min_cents", "max_cents",
+            "last_cents", "avg_over_time", "stddev_over_time",
         )
         .orderBy("event_type", "hr")
     )
@@ -429,12 +450,16 @@ def window_range_interval_trailing(spark: SparkSession, sf_dir: str) -> DataFram
       FROM q GROUP BY 1, 2
     ),
     grid AS (
+      -- grid bounds and the series set ride the FILTERED aggregate
+      -- (have), exactly like the Spark plan: a NULL-valued event that
+      -- extends the raw min/max hour, or an all-NULL series, must not
+      -- widen the absent() grid on one engine only
       SELECT t.event_type, h.hr
-      FROM (SELECT DISTINCT event_type FROM events) t
+      FROM (SELECT DISTINCT event_type FROM have) t
       CROSS JOIN (
         SELECT unnest(generate_series(
-          (SELECT min(date_trunc('hour', ts)) FROM events),
-          (SELECT max(date_trunc('hour', ts)) FROM events),
+          (SELECT min(hr) FROM have),
+          (SELECT max(hr) FROM have),
           INTERVAL 1 HOUR)) AS hr
       ) h
     )
@@ -454,8 +479,12 @@ def promql_changes_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     function), and the absent() marker for every (series, hour) cell
     of the calendar grid with NO samples at all — the alerting
     primitive that fires when a target stops scraping. The grid is
-    generated from the corpus min/max hour (bounded, calendar-
-    cardinality) so absence is an explicit row, not a silent gap.
+    generated from the min/max hour and series set of the FILTERED
+    samples (value IS NOT NULL) on BOTH engines — a NULL-valued
+    boundary event or an all-NULL series must not widen the grid on
+    one engine only (pinned by
+    tests/test_relational44.py::test_changes_absent_null_boundary) —
+    so absence is an explicit row, not a silent gap.
 
     100 TB: one series-partitioned lag window + one (series, hour)
     aggregate; the calendar grid is hours x series (broadcastable) and

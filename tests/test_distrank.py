@@ -53,3 +53,33 @@ def test_ntile_from_rank_matches_ntile(spark):
             "k", ntile_from_rank(F.col("pre") + 1, F.col("n"), buckets).alias("t")
         )
         assert got.exceptAll(want).count() == 0, (n, buckets)
+
+
+def test_exclusive_prefix_recursive_tier_wide_span(spark):
+    # >100k occupied super-buckets (span ~2.4e12) forces the data-driven
+    # recursive tier (no driver-fold cap, no fail-loud ceiling); the
+    # result must still equal the no-partition row_number.
+    df = _keys(spark, 120_000, 20_000_017, offset=-7)
+    got = exclusive_prefix(df, "k").select("k", (F.col("pre") + 1).alias("rn"))
+    want = df.select("k", F.row_number().over(Window.orderBy("k")).alias("rn"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_exclusive_prefix_exact_past_double_precision(spark):
+    # keys > 2^53: the old floor(key/4096.0) double path merged buckets;
+    # the shiftright path must keep ranks exact at full bigint magnitude.
+    base = (1 << 61) - 5
+    df = spark.range(64).select((F.lit(base) + F.col("id") * 4096 + F.col("id") % 3).alias("k"))
+    got = exclusive_prefix(df, "k").select("k", (F.col("pre") + 1).alias("rn"))
+    want = df.select("k", F.row_number().over(Window.orderBy("k")).alias("rn"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_ntile_from_rank_misuse_fails_loud(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.range(1).select(F.lit(5).cast("bigint").alias("rank"), F.lit(3).cast("bigint").alias("n"))
+    bad = df.select(ntile_from_rank(F.col("rank"), F.col("n"), 10).alias("t"))
+    with _pytest.raises(Exception):
+        bad.collect()

@@ -206,3 +206,54 @@ def test_histogram_fraction_brackets_exact(spark):
         hi = r.le_50 / r.n
         assert lo - 1e-9 <= r.frac_le_x_est <= hi + 1e-9
         assert lo - 1e-9 <= r.frac_le_x_exact <= hi + 1e-9
+
+
+def test_changes_absent_null_boundary(spark, tmp_path):
+    """ADVICE r9: the absent() grid must come from the FILTERED samples on
+    both engines. Fixture has a NULL-valued event extending min/max hour
+    and an all-NULL series — neither may widen the grid or add a series."""
+    import duckdb
+    import pandas as pd
+
+    from prometheus_clickhouselog_exporter_spark.workloads import ORACLE
+
+    rows = [
+        # valid samples: 2 series, hours 10..12 (hour 11 absent for 'b')
+        (1, "2026-01-01 10:00:05", 7, "a", 1.0, None),
+        (2, "2026-01-01 10:30:00", 7, "a", 2.0, None),
+        (3, "2026-01-01 11:00:00", 8, "a", 2.0, None),
+        (4, "2026-01-01 12:10:00", 8, "a", 3.0, None),
+        (5, "2026-01-01 10:20:00", 9, "b", 5.0, None),
+        (6, "2026-01-01 12:40:00", 9, "b", 5.0, None),
+        # NULL-valued boundary events: hours 08 and 15 must NOT appear
+        (7, "2026-01-01 08:00:00", 7, "a", None, None),
+        (8, "2026-01-01 15:00:00", 9, "b", None, None),
+        # all-NULL series: must NOT appear as a grid series
+        (9, "2026-01-01 11:30:00", 7, "ghost", None, None),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+    got = (
+        QUERIES["promql_changes_absent"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["event_type", "hr"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+    want = (
+        con.execute(ORACLE["promql_changes_absent"])
+        .df()
+        .sort_values(["event_type", "hr"])
+        .reset_index(drop=True)
+    )
+    assert set(got["event_type"]) == {"a", "b"}
+    assert got["hr"].min().hour == 10 and got["hr"].max().hour == 12
+    assert len(got) == len(want) == 6
+    for col in ["event_type", "n_samples", "changes", "absent"]:
+        assert list(got[col]) == list(want[col]), col
+    assert bool(got.loc[(got.event_type == "b") & (got.hr.dt.hour == 11), "absent"].iloc[0])
