@@ -36,10 +36,18 @@ class LogPipeline:
     sessions_query: StreamingQuery
     lines_query: StreamingQuery
     sink: PrometheusSnapshotSink
+    available_now: bool = False
 
     def process_all_available(self) -> None:
-        self.lines_query.processAllAvailable()
-        self.sessions_query.processAllAvailable()
+        if self.available_now:
+            # availableNow queries self-terminate after the backlog —
+            # awaitTermination is the drain, with no trigger-boundary
+            # waits and no no-data timer batches afterwards.
+            self.lines_query.awaitTermination()
+            self.sessions_query.awaitTermination()
+        else:
+            self.lines_query.processAllAvailable()
+            self.sessions_query.processAllAvailable()
 
     def stop(self) -> None:
         for q in (self.sessions_query, self.lines_query):
@@ -55,12 +63,21 @@ def run_log_pipeline(
     timeout_ms: int = 0,
     max_files_per_trigger: int | None = None,
     trigger_interval: str | None = "1 second",
+    available_now: bool = False,
 ) -> LogPipeline:
     """``trigger_interval`` bounds micro-batch frequency. Without it, any
     pending processing-time state timer makes the engine run no-data
     batches back-to-back (observed: hundreds of empty batches per minute,
     each writing a state-store version) — a pure CPU/IO burn. One-second
-    triggers keep metric latency negligible and batch count sane."""
+    triggers keep metric latency negligible and batch count sane.
+
+    ``available_now=True`` is the BOUNDED-drain mode (fidelity harness,
+    replay-then-exit jobs): Trigger.AvailableNow processes the whole
+    backlog and self-terminates, so the drain pays no trigger-boundary
+    waits; processing-time session TIMEOUTS never fire in this mode
+    (the query exits once the backlog is handled), so only use it where
+    completion comes from the data (memory lines), not from eviction —
+    the live tail path keeps the interval trigger."""
     sink = sink or PrometheusSnapshotSink()
 
     raw = read_log_stream(spark, log_dir, max_files_per_trigger)
@@ -79,7 +96,12 @@ def run_log_pipeline(
         .option("checkpointLocation", f"{checkpoint_dir}/lines")
         .queryName("ch_log_lines")
     )
-    if trigger_interval:
+    if available_now:
+        sessions_writer = sessions_writer.trigger(availableNow=True)
+        lines_writer = lines_writer.trigger(availableNow=True)
+    elif trigger_interval:
         sessions_writer = sessions_writer.trigger(processingTime=trigger_interval)
         lines_writer = lines_writer.trigger(processingTime=trigger_interval)
-    return LogPipeline(sessions_writer.start(), lines_writer.start(), sink)
+    return LogPipeline(
+        sessions_writer.start(), lines_writer.start(), sink, available_now
+    )

@@ -509,7 +509,7 @@ def streaming_sessionize_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     import os
 
     from ..streaming import PrometheusSnapshotSink, run_log_pipeline
-    from .llmdata11 import _fidelity_tmp
+    from .llmdata11 import _fidelity_tmp, _materialize
 
     e = table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & (F.col("value") >= 0) & (F.col("event_id") % 5 == 0)
@@ -521,30 +521,38 @@ def streaming_sessionize_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     tmp = _fidelity_tmp("stream-fidelity-")
     log_dir = f"{tmp}/logs"
     os.makedirs(log_dir)
-    log.coalesce(1).write.mode("overwrite").text(log_dir)
+    # 32-way file fan-out: unlike the tiny r9-treated fidelity streams
+    # (state-commit-bound, where ONE sentinel file minimized batches),
+    # this corpus is PARSE-bound — a single text file gives the
+    # micro-batch ≤2 input splits, pinning the regex/Arrow work to two
+    # cores. 32 files = full-width parse in the same single batch
+    # (measured r10 at sf0.1: 8.0 s → 6.6 s; the scoped 32→8 state-
+    # partition trick from the commit-bound peers went the WRONG way
+    # here, 8.8 s → 16 s, so state partitions stay at session width).
+    log.repartition(32).write.mode("overwrite").text(log_dir)
     sink = PrometheusSnapshotSink(session_parquet_path=f"{tmp}/sessions")
-    pipe = run_log_pipeline(spark, log_dir, f"{tmp}/ckpt", sink)
+    # availableNow drain: self-terminates after the one-batch backlog,
+    # paying no 1 s trigger boundaries and no no-data timer batches
+    # (every certified session closes on its memory line, never on
+    # eviction, so the timeout path this mode skips is outside the
+    # oracle set).
+    pipe = run_log_pipeline(
+        spark, log_dir, f"{tmp}/ckpt", sink, available_now=True
+    )
     try:
         pipe.process_all_available()
     finally:
         pipe.stop()
-    # collect then DELETE the tempdir (corpus + checkpoint + sessions
-    # copies per invocation — the disk-fill trap) and hand back a local
-    # frame with an explicit schema.
-    import shutil
-
-    rows = (
-        spark.read.parquet(f"{tmp}/sessions")
-        .select(
-            "id", "host", "port", "pid", "stmt_type", "start_time", "end_time",
-            "rows_read", "bytes_read", "rps", "speed", "memory", "elapsed",
-            "full_info", "error",
-        )
-        .collect()
+    # materialize JVM-side, then DELETE the tempdir (corpus + checkpoint
+    # + sessions copies per invocation — the disk-fill trap); no
+    # collect()/createDataFrame Python round-trip.
+    out = spark.read.parquet(f"{tmp}/sessions").select(
+        "id", "host", "port", "pid", "stmt_type", "start_time", "end_time",
+        "rows_read", "bytes_read", "rps", "speed", "memory", "elapsed",
+        "full_info", "error",
     )
-    shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
+    return _materialize(
+        spark, tmp, out,
         "id string, host string, port bigint, pid bigint, stmt_type string, "
         "start_time timestamp, end_time timestamp, rows_read bigint, "
         "bytes_read bigint, rps bigint, speed bigint, memory bigint, "
