@@ -39,6 +39,76 @@ _CAP = 8  # replica cap per token in the SKETCH (re-rank uses raw tf)
 _HASH_X = "tok || '#' || CAST(r.r AS VARCHAR) || '#' || CAST(p.perm AS VARCHAR)"
 
 
+def icws_candidates(tf: DataFrame, band_width: int = _R) -> DataFrame:
+    """(doc_id, tok, tf) → banded ICWS candidate pairs (id_a < id_b).
+
+    The reusable sketch stage of `dedup_weighted_jaccard_icws` (see the
+    module docstring for the prefix-min construction): per-(token, perm)
+    prefix-minima over replica index 1..min(tf, cap), per-doc signature
+    = min over its tokens at r = tf, signatures banded `band_width`-wide
+    into P/band_width bands, equal bands → candidate. Narrower bands
+    trade precision for recall at lower similarity thresholds:
+    P(cand|J) = 1-(1-J^w)^(P/w) — w=4 targets J>=0.8 (0.985 recall),
+    w=2 targets J>=0.5 (0.990 recall). `dedup_weighted_jaccard`'s
+    corpus-scale arm calls this with w=2; re-rank is always exact on
+    raw tf, so band width costs recall only, never precision."""
+    assert _P % band_width == 0, "band width must divide the perm count"
+    tokmax = tf.groupBy("tok").agg(
+        F.least(F.max("tf"), F.lit(_CAP)).cast("int").alias("mw")
+    )
+    pref0 = tokmax.select(
+        "tok",
+        F.explode(F.sequence(F.lit(1), F.col("mw"))).alias("r"),
+    ).select(
+        "tok",
+        "r",
+        F.explode(F.sequence(F.lit(0), F.lit(_P - 1))).alias("perm"),
+    ).select(
+        "tok",
+        "r",
+        "perm",
+        md5_long(F.concat_ws("#", F.col("tok"), F.col("r"), F.col("perm"))).alias(
+            "h"
+        ),
+    )
+    wpm = (
+        Window.partitionBy("tok", "perm")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = pref0.select("tok", "r", "perm", F.min("h").over(wpm).alias("pm"))
+    sigs = (
+        tf.withColumn("r", F.least(F.col("tf"), F.lit(_CAP)).cast("int"))
+        .join(pref, ["tok", "r"])
+        .groupBy("doc_id", "perm")
+        .agg(F.min("pm").alias("sig"))
+        .localCheckpoint(eager=False)  # both band sides
+    )
+    bands = (
+        sigs.groupBy(
+            "doc_id", (F.col("perm") / band_width).cast("int").alias("band")
+        )
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("perm") % band_width == i, F.col("sig"))
+                ).alias(f"s{i}")
+                for i in range(band_width)
+            ]
+        )
+        .localCheckpoint(eager=False)  # self-joined a/b
+    )
+    bkeys = ["band"] + [f"s{i}" for i in range(band_width)]
+    a = bands.select(F.col("doc_id").alias("id_a"), *bkeys)
+    b = bands.select(F.col("doc_id").alias("id_b"), *bkeys)
+    return (
+        a.join(b, bkeys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 @query(
     "dedup_weighted_jaccard_icws",
     oracle=f"""
@@ -149,64 +219,14 @@ def dedup_weighted_jaccard_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)  # sigs join + totals + re-rank
     )
-    tokmax = tf.groupBy("tok").agg(
-        F.least(F.max("tf"), F.lit(_CAP)).cast("int").alias("mw")
-    )
-    pref0 = tokmax.select(
-        "tok",
-        F.explode(F.sequence(F.lit(1), F.col("mw"))).alias("r"),
-    ).select(
-        "tok",
-        "r",
-        F.explode(F.sequence(F.lit(0), F.lit(_P - 1))).alias("perm"),
-    ).select(
-        "tok",
-        "r",
-        "perm",
-        md5_long(F.concat_ws("#", F.col("tok"), F.col("r"), F.col("perm"))).alias(
-            "h"
-        ),
-    )
-    wpm = (
-        Window.partitionBy("tok", "perm")
-        .orderBy("r")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    pref = pref0.select("tok", "r", "perm", F.min("h").over(wpm).alias("pm"))
-    sigs = (
-        tf.withColumn("r", F.least(F.col("tf"), F.lit(_CAP)).cast("int"))
-        .join(pref, ["tok", "r"])
-        .groupBy("doc_id", "perm")
-        .agg(F.min("pm").alias("sig"))
-        .localCheckpoint(eager=False)  # both band sides
-    )
-    bands = (
-        sigs.groupBy("doc_id", (F.col("perm") / _R).cast("int").alias("band"))
-        .agg(
-            *[
-                F.min(F.when(F.col("perm") % _R == i, F.col("sig"))).alias(
-                    f"s{i}"
-                )
-                for i in range(_R)
-            ]
-        )
-        .localCheckpoint(eager=False)  # self-joined a/b
-    )
-    bkeys = ["band"] + [f"s{i}" for i in range(_R)]
-    a = bands.select(F.col("doc_id").alias("id_a"), *bkeys)
-    b = bands.select(F.col("doc_id").alias("id_b"), *bkeys)
-    cand = (
-        a.join(b, bkeys)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        .localCheckpoint(eager=False)  # re-rank probes it twice
-    )
+    cand = icws_candidates(tf).localCheckpoint(
+        eager=False
+    )  # re-rank probes it twice
     totals = tf.groupBy("doc_id").agg(F.sum("tf").alias("t"))
-    n_vocab = tokmax.count()
+    n_vocab = tf.select("tok").distinct().count()
     if n_vocab <= 2048:
         # dense re-rank: candidates meet broadcast vocab-indexed profiles
-        vidx = tokmax.select("tok").withColumn(
+        vidx = tf.select("tok").distinct().withColumn(
             "i", F.row_number().over(Window.orderBy("tok")).cast("int")
         )
         prof = (

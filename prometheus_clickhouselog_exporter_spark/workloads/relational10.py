@@ -488,6 +488,12 @@ def growth_streak_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus size past which dedup_weighted_jaccard dispatches to the ICWS
+# sketch arm (candidates + exact re-rank) instead of an exact pair join.
+# Tests lower it to exercise the arm on the small fixtures.
+_ICWS_DOCS = 200_000
+
+
 @query(
     "dedup_weighted_jaccard",
     oracle="""
@@ -508,7 +514,10 @@ def growth_streak_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(smin AS BIGINT) AS sum_min,
            CAST(ta.t + tb.t - smin AS BIGINT) AS sum_max,
            CAST(smin AS DOUBLE) / CAST(ta.t + tb.t - smin AS DOUBLE)
-             AS weighted_jaccard
+             AS weighted_jaccard,
+           CASE WHEN (SELECT count(*) FROM documents) > 200000 THEN 'icws'
+                WHEN (SELECT count(DISTINCT tok) FROM tf) <= 2048 THEN 'dense'
+                ELSE 'postings' END AS arm
     FROM mins
     JOIN totals ta ON ta.doc_id = mins.id_a
     JOIN totals tb ON tb.doc_id = mins.id_b
@@ -526,8 +535,21 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything is exact integers and the ≥0.5 cut is the cross-multiply
     `3·Σmin ≥ T_a + T_b`.
 
-    Scale — ADAPTIVE plan (r8; the full-registry bench caught the
-    posting join at 141 s on sf0.1): the corpus vocabulary decides.
+    Scale — ADAPTIVE plan (r8 vocab dispatch; r10 adds the corpus-scale
+    sketch arm per the r9 verdict): corpus size, then vocabulary,
+    decide. The `arm` output column names the branch taken, and the
+    oracle derives the same name from the same corpus statistics, so
+    the dispatch decision itself is hash-certified.
+
+    - **ICWS arm** (docs > 200k — `_ICWS_DOCS`): banded
+      consistent-weighted-sampling candidates (band width 2: P(cand|J)
+      = 1-(1-J²)^16 = 0.990 at the J>=0.5 cut) + the posting re-rank
+      RESTRICTED TO CANDIDATES — exact on raw tf, so precision is 1 and
+      band width costs recall only. This is the plan that survives 10⁷
+      docs: neither the quadratic dense pair join nor the full posting
+      join ever runs; pair work is bounded by sketch collisions.
+      Pinned by tests/test_llmdata28.py with the threshold lowered — at
+      sf0.001 the arm recalls 100% of exact J>=0.5 pairs.
 
     - **Dense-vocab path** (|V| <= 2048, one cheap distinct-count to
       decide — this corpus: ~31 tokens): with a tiny vocabulary every
@@ -544,13 +566,12 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       inverted-index posting join — postings are short, co-occurrence
       bounds the pair space, and dense |V|-arrays would be absurd.
 
-    The frequency-aware MinHash analog at corpus scale is
-    ICWS/consistent weighted sampling — IMPLEMENTED (r9) as
-    `dedup_weighted_jaccard_icws` (llmdata28.py): per-doc fixed-size
-    signature via per-token prefix-min hashes, banded candidate join,
-    exact re-rank — the path that needs neither the quadratic dense
-    pair join nor the posting join at 10⁷ docs.
+    The sketch machinery is shared with `dedup_weighted_jaccard_icws`
+    (llmdata28.icws_candidates — the r9 sibling keeps its tighter
+    J>=0.8 cut and 4-wide bands as the standalone certified entry).
     """
+    from .llmdata28 import icws_candidates
+
     d = table(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -558,6 +579,40 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)  # totals + both join sides reuse
     )
+
+    def _finish(pairs, arm: str):
+        smax = F.col("ta") + F.col("tb") - F.col("smin")
+        return (
+            pairs.where(F.col("smin") * 3 >= F.col("ta") + F.col("tb"))
+            .select(
+                "id_a",
+                "id_b",
+                F.col("smin").cast("bigint").alias("sum_min"),
+                smax.cast("bigint").alias("sum_max"),
+                (F.col("smin").cast("double") / smax.cast("double")).alias(
+                    "weighted_jaccard"
+                ),
+                F.lit(arm).alias("arm"),
+            )
+            .orderBy("id_a", "id_b")
+        )
+
+    totals = tf.groupBy("doc_id").agg(F.sum("tf").alias("t"))
+    if d.count() > _ICWS_DOCS:
+        cand = icws_candidates(tf, band_width=2).localCheckpoint(eager=False)
+        fa = tf.select(F.col("doc_id").alias("id_a"), "tok", F.col("tf").alias("tfa"))
+        fb = tf.select(F.col("doc_id").alias("id_b"), "tok", F.col("tf").alias("tfb"))
+        ta_t = totals.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+        tb_t = totals.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+        pairs = (
+            cand.join(fa, "id_a")
+            .join(fb, ["id_b", "tok"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.least("tfa", "tfb")).alias("smin"))
+            .join(ta_t, "id_a")
+            .join(tb_t, "id_b")
+        )
+        return _finish(pairs, "icws")
     vocab = tf.select("tok").distinct()
     n_vocab = vocab.count()
     if n_vocab <= 2048:
@@ -612,19 +667,8 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                    <= 2 * F.least(F.col("ta"), F.col("tb"))),
             )
             .withColumn("smin", smin)
-            .where(F.col("smin") * 3 >= F.col("ta") + F.col("tb"))
         )
-        smax = F.col("ta") + F.col("tb") - F.col("smin")
-        return pairs.select(
-            "id_a",
-            "id_b",
-            F.col("smin").cast("bigint").alias("sum_min"),
-            smax.cast("bigint").alias("sum_max"),
-            (F.col("smin").cast("double") / smax.cast("double")).alias(
-                "weighted_jaccard"
-            ),
-        ).orderBy("id_a", "id_b")
-    totals = tf.groupBy("doc_id").agg(F.sum("tf").alias("t"))
+        return _finish(pairs, "dense")
     a = tf.select(F.col("doc_id").alias("id_a"), "tok", F.col("tf").alias("tfa"))
     b = tf.select(F.col("doc_id").alias("id_b"), "tok", F.col("tf").alias("tfb"))
     mins = (
@@ -635,22 +679,7 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = totals.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
     tb = totals.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
-    smax = F.col("ta") + F.col("tb") - F.col("smin")
-    return (
-        mins.join(ta, "id_a")
-        .join(tb, "id_b")
-        .where(F.col("smin") * 3 >= F.col("ta") + F.col("tb"))
-        .select(
-            "id_a",
-            "id_b",
-            F.col("smin").alias("sum_min"),
-            smax.alias("sum_max"),
-            (F.col("smin").cast("double") / smax.cast("double")).alias(
-                "weighted_jaccard"
-            ),
-        )
-        .orderBy("id_a", "id_b")
-    )
+    return _finish(mins.join(ta, "id_a").join(tb, "id_b"), "postings")
 
 
 @query(

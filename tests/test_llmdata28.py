@@ -58,3 +58,27 @@ def test_icws_precision_is_exact(spark):
         assert r.weighted_jaccard >= 0.8 - 1e-12
         assert r.sum_min <= r.sum_max
         assert (r.id_a, r.id_b) in truth  # exact re-rank => zero false pos
+
+
+def test_weighted_jaccard_icws_dispatch_arm(spark, monkeypatch):
+    """r10: dedup_weighted_jaccard's third arm — docs > _ICWS_DOCS →
+    ICWS candidates (band width 2, tuned for the J>=0.5 cut) + exact
+    posting re-rank. Lowering the threshold onto the fixture must (a)
+    name the arm in the dispatch column, (b) emit ONLY exact J>=0.5
+    pairs (precision 1), and (c) recall >=0.95 of them."""
+    from prometheus_clickhouselog_exporter_spark.workloads import relational10
+
+    exact = QUERIES["dedup_weighted_jaccard"](spark, SF_DIR)
+    assert exact.select("arm").distinct().collect()[0].arm == "dense"
+    truth = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert truth, "fixture must contain J>=0.5 pairs"
+
+    monkeypatch.setattr(relational10, "_ICWS_DOCS", 10)
+    got = QUERIES["dedup_weighted_jaccard"](spark, SF_DIR).collect()
+    assert got and all(r.arm == "icws" for r in got)
+    pairs = set()
+    for r in got:
+        assert r.weighted_jaccard >= 0.5 - 1e-12  # exact re-rank
+        assert (r.id_a, r.id_b) in truth  # precision 1
+        pairs.add((r.id_a, r.id_b))
+    assert len(pairs) / len(truth) >= 0.95, (len(pairs), len(truth))
