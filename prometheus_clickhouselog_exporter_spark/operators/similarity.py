@@ -188,13 +188,18 @@ def ivf_topk(
     # shuffle, yet the sample is uniform (hash order ⊥ storage order) and
     # deterministic across retries. At 100 TB KMeans still sees ≤max_train.
     max_train = max(2048, 256 * n_centroids)
-    train = (
-        c_norm.orderBy(F.xxhash64(F.col("nbr_id"), F.lit(seed)))
-        .limit(max_train)
-        .select(array_to_vector(F.col("_cv")).alias("features"))
-    )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
-    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])  # (C, dim)
+    if _exceeds(c_norm, _DIST_TRAIN_DOCS):
+        # corpus-scale arm: Lloyd rounds as Spark jobs; only k×dim
+        # statistics reach the driver (see distributed_lloyd)
+        centroids = distributed_lloyd(c_norm, "_cv", "nbr_id", n_centroids, seed)
+    else:
+        train = (
+            c_norm.orderBy(F.xxhash64(F.col("nbr_id"), F.lit(seed)))
+            .limit(max_train)
+            .select(array_to_vector(F.col("_cv")).alias("features"))
+        )
+        model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
+        centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])  # (C, dim)
 
     def cell_udf(n_cells: int):
         @F.pandas_udf("array<int>")
@@ -357,6 +362,77 @@ def pq_adc_topk(
     )
 
 
+# Corpus size past which coarse quantizers train DISTRIBUTED instead of
+# on a driver-side bounded sample. Below it, the pre-r10 plans run
+# verbatim (hash-stable at every test SF); above it, Lloyd rounds run as
+# Spark jobs with only k×dim centroid statistics ever reaching the
+# driver. Tests lower it to exercise the distributed branch.
+_DIST_TRAIN_DOCS = 1_000_000
+
+
+def _exceeds(df: DataFrame, threshold: int) -> bool:
+    """Bounded size probe: scans at most threshold+1 rows, never counts
+    the full corpus (a LocalLimit stops the scan early)."""
+    return df.limit(threshold + 1).count() > threshold
+
+
+def distributed_lloyd(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    seed: int,
+    iters: int = 10,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means — the corpus-scale arm of the coarse
+    trainers. Init = k hash-ordered rows (TakeOrderedAndProject, one
+    bounded scan, deterministic). Each round: an Arrow-batched
+    nearest-cell UDF over the checkpointed corpus, then a posexplode +
+    (cell, dim)-keyed partial-sum aggregate whose map-side combine
+    reduces driver traffic to exactly k×dim rows per round — centroids
+    live on the driver, vectors never do. Empty cells keep their old
+    centroid (same rule as the driver `_lloyd`).
+
+    Only reachable above `_DIST_TRAIN_DOCS` (the small branch keeps the
+    pre-r10 driver fits verbatim, so every hash-gated SF is unchanged);
+    float reduction order across partitions makes last-bit sums
+    non-deterministic, which the certificate-style consumers tolerate
+    by construction (ε-bound outputs, exact re-ranks)."""
+    vecs = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).localCheckpoint(eager=False)  # rescanned once per round
+    init = (
+        vecs.orderBy(F.xxhash64(F.col("_id"), F.lit(seed))).limit(k).collect()
+    )
+    cent = np.vstack([np.asarray(r["_v"], dtype=np.float64) for r in init])
+    for _ in range(iters):
+        c = cent
+
+        @F.pandas_udf("int")
+        def nearest(vs: pd.Series) -> pd.Series:
+            m = np.vstack(vs.to_numpy())
+            d = (m**2).sum(1)[:, None] - 2 * m @ c.T + (c**2).sum(1)[None, :]
+            return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+        stats = (
+            vecs.withColumn("_cell", nearest(F.col("_v")))
+            .select("_cell", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("_cell", "_i")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()  # exactly k×dim rows
+        )
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent))
+        for r in stats:
+            sums[r["_cell"], r["_i"]] = r["_s"]
+            counts[r["_cell"]] = r["_n"]
+        nz = counts > 0
+        cent = cent.copy()
+        cent[nz] = sums[nz] / counts[nz, None]
+    return cent
+
+
 def _lloyd(x, k: int, seed: int, iters: int = 15):
     """Seeded numpy Lloyd's (GEMM distance form); driver-side k-means for
     sample-sized fits (coarse quantizers, PQ codebooks)."""
@@ -407,14 +483,23 @@ def ivfpq_topk(
 
     sub_dim = dim // n_sub
     max_train = max(2048, 64 * n_centroids)
+    norm_corpus = corpus.select(
+        F.col(id_col).alias("_id"), normalize(F.col(vec_col)).alias("_v")
+    )
     sample_rows = (
-        corpus.select(F.col(id_col).alias("_id"), normalize(F.col(vec_col)).alias("_v"))
-        .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)))
+        norm_corpus.orderBy(F.xxhash64(F.col("_id"), F.lit(seed)))
         .limit(max_train)
         .collect()
     )
     sm = np.vstack([np.asarray(r["_v"], dtype=np.float64) for r in sample_rows])
-    coarse = _lloyd(sm, n_cells, seed)  # (C, dim)
+    if _exceeds(norm_corpus, _DIST_TRAIN_DOCS):
+        # corpus-scale coarse arm; PQ codebooks still fit on the
+        # (residual) sample — they are per-subspace KBs whose quality
+        # depends on residual DISTRIBUTION, which the bounded sample
+        # represents; the coarse cells are what must see the corpus.
+        coarse = distributed_lloyd(norm_corpus, "_v", "_id", n_cells, seed)
+    else:
+        coarse = _lloyd(sm, n_cells, seed)  # (C, dim)
     cell_of = np.argmin(
         (sm**2).sum(1)[:, None] - 2 * sm @ coarse.T + (coarse**2).sum(1)[None, :], axis=1
     )
@@ -855,15 +940,18 @@ def hnsw_topk(
     ).select("nbr_id", "_bucket").localCheckpoint(eager=False)
     edges = _knn_edges(c_base, c_ids, graph_degree)
 
-    # --- index build: coarse layer (bounded-sample k-means, IVF style)
+    # --- index build: coarse layer (size-dispatched, IVF discipline)
     max_train = max(2048, 256 * n_centroids)
-    train = (
-        c_base.orderBy(F.xxhash64(F.col("nbr_id"), F.lit(seed)))
-        .limit(max_train)
-        .select(array_to_vector(F.col("_cv")).alias("features"))
-    )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
-    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    if _exceeds(c_base, _DIST_TRAIN_DOCS):
+        centroids = distributed_lloyd(c_base, "_cv", "nbr_id", n_centroids, seed)
+    else:
+        train = (
+            c_base.orderBy(F.xxhash64(F.col("nbr_id"), F.lit(seed)))
+            .limit(max_train)
+            .select(array_to_vector(F.col("_cv")).alias("features"))
+        )
+        model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
+        centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
 
     def cell_udf(n_cells: int):
         @F.pandas_udf("array<int>")
