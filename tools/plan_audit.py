@@ -13,6 +13,16 @@ built literal frames, broadcast-bounded inputs the detector can't prove)
 are whitelisted by query name in ``BOUNDED_GLOBAL_WINDOW_OK`` with the
 reason reviewed at add time.
 
+r10 adds the ``build-jobs`` column: the number of Spark jobs a query
+EXECUTES while merely constructing its DataFrame (counted via a
+per-query job group). Plan-only tooling pays these eagerly — dispatch
+count probes (1-2 bounded jobs: weighted-jaccard arms, SemDeDup k,
+suffix auto-dispatch, ANN trainer/occupancy probes) and the
+distrank top-tier fold (operators/distrank.py: top_df.count() + a
+≤100k-row collect + gt.count(), all bounded by construction, per the
+module docstring). Report-only; ``build-jobs xN`` flags N ≥ 10 as
+excessive eager work.
+
 Usage: python tools/plan_audit.py [sf_dir] [name ...]
 Prints one line per query: scans-per-table, exchange count, join kinds,
 and a FLAG column when a smell triggers. Exit code = number of
@@ -143,6 +153,51 @@ OPEN_DOMAIN_WINDOW_OK: dict[str, str] = {
     "dedup_weighted_jaccard_icws": "vidx over |V|<=2048-gated vocabulary",
 }
 
+# Reviewed queries that execute >=10 bounded Spark jobs at DataFrame-
+# construction time (the build-jobs smell). Every entry's eager work is
+# bounded by construction; reviewed at add time, re-review when touched.
+BUILD_JOBS_OK: dict[str, str] = {
+    # distrank top-tier fold: top_df.count() + <=100k-row collect +
+    # gt.count() per exclusive_prefix call (operators/distrank.py
+    # docstring), x2 calls here (vocab rank + shuffled-baseline rank)
+    "text_zipf_fit": "distrank bounded fold x2 + dispatch counts",
+    # MLlib KMeans coarse fit runs ~2 jobs/iteration on a <=max_train
+    # sample; plus the _exceeds dispatch probe (limit-bounded)
+    "similarity_ivf_topk": "KMeans sample fit (bounded <=max_train rows)",
+    "similarity_hnsw_topk": "KMeans sample fit + occupancy count",
+    # driver codebook fits collect one <=max_train sample; the ADC
+    # tables are built from the collected QUERY set (8 rows)
+    "similarity_pq_adc_topk": "PQ sample fit (bounded collect)",
+    "similarity_ivfpq_topk": "coarse+PQ sample fits (bounded collects)",
+    # dense-arm dispatch: d.count + |V| count + profile checkpoint
+    "dedup_weighted_jaccard": "arm dispatch counts (1-row statistics)",
+    # --- iterative fixpoint loops: one bounded convergence action per
+    # round (1-row count / changed-count), rounds capped; the per-round
+    # lineage is cut by localCheckpoint so jobs stay shallow. The jobs
+    # ARE the algorithm (label-prop/peeling/BFS/power-iteration rounds),
+    # not accidental eager work.
+    "graph_pagerank_names": "power-iteration rounds (capped)",
+    "graph_connected_components": "min-label fixpoint rounds",
+    "graph_cc_large_small_star": "large/small-star fixpoint + census",
+    "graph_label_propagation": "label-prop rounds (capped)",
+    "graph_kcore_peel": "peeling rounds (degeneracy-bounded)",
+    "graph_bfs_name_distances": "BFS frontier rounds (diameter-bounded)",
+    "graph_weighted_sssp": "Bellman-Ford rounds (capped)",
+    "graph_hits_hub_authority": "HITS power rounds (capped)",
+    "embedding_kmeans_lloyd": "Lloyd rounds, kxd driver traffic each",
+    "ml_kmeans_exact": "Lloyd rounds, integer-sum centroid state",
+    "sample_coreset_kmeans": "sensitivity-sampling rounds (capped)",
+    "dedup_minhash_clusters_cc": "LSH cand + min-label fixpoint rounds",
+    "dedup_cluster_canonical": "min-label fixpoint rounds",
+    "dedup_longest_substring_unbounded": "prefix-doubling rounds (<=log)",
+    "dedup_weighted_jaccard_icws": "sketch build + |V| dispatch counts",
+    "similarity_beam_search_topk": "greedy beam hops (capped)",
+    "text_keyphrase_textrank": "TextRank power rounds (capped)",
+    "text_shingle_novelty": "distrank bounded fold + dispatch counts",
+    "ml_naive_bayes_train": "per-class bounded moment collects",
+    "range_join_value_neighbors_distributed": "two-tier prefix fold",
+}
+
 
 def open_domain_global_windows(plan: str) -> list[str]:
     """No-partition Window nodes whose nearest bounding node is an
@@ -206,7 +261,15 @@ def main() -> None:
             skipped.append(name)
             continue
         try:
-            df = QUERIES[name](spark, sf_dir)
+            group = f"plan-audit-{name}"
+            spark.sparkContext.setJobGroup(group, f"plan_audit build: {name}")
+            try:
+                df = QUERIES[name](spark, sf_dir)
+            finally:
+                spark.sparkContext.setJobGroup(None, None)
+            build_jobs = len(
+                spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+            )
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # pragma: no cover - reporting tool
             print(f"{name}: BUILD-ERROR {type(e).__name__}: {e}")
@@ -234,13 +297,16 @@ def main() -> None:
         od = open_domain_global_windows(plan)
         if od and name not in OPEN_DOMAIN_WINDOW_OK:
             smells.append(f"open-domain-window x{len(od)} ({od[0]})")
+        if build_jobs >= 10 and name not in BUILD_JOBS_OK:
+            smells.append(f"build-jobs x{build_jobs}")
         scans = ",".join(f"{t}x{c}" for t, c in sorted(tables.items()) if c > 1)
         flag = " FLAG[" + ";".join(smells) + "]" if smells else ""
         if smells:
             flagged += 1
+        bj = f" build-jobs={build_jobs}" if build_jobs else ""
         print(
             f"{name}: exch={plan.count('Exchange')} "
-            f"rescans=({scans or '-'}){flag}"
+            f"rescans=({scans or '-'}){bj}{flag}"
         )
     print(
         f"# flagged: {flagged}/{len(targets)} (global-window violations: "
