@@ -116,6 +116,16 @@ HEADLINE = [
     "dedup_containment_shingles",
     "graph_kcore_peel",
     "dedup_lsh_band_tuning",
+    # r10 (verdict directive #2): the 4 slowest non-headline rows of
+    # BENCH_FULL_r9.json promoted so the regression guard watches the
+    # real tail — the sessionize fidelity pipeline (treated this round:
+    # 32-file fan-out + availableNow drain + JVM materialization, 11.3s
+    # -> ~9s), the adaptive weighted-Jaccard pair join (dense arm,
+    # output-bound), the hierarchical beam search, and the ICWS sketch
+    "streaming_sessionize_fidelity",
+    "dedup_weighted_jaccard",
+    "similarity_beam_search_topk",
+    "dedup_weighted_jaccard_icws",
 ]
 
 
