@@ -83,6 +83,8 @@ from . import llmdata28  # noqa: F401,E402
 from . import relational44  # noqa: F401,E402
 from . import relational45  # noqa: F401,E402
 from . import llmdata29  # noqa: F401,E402
+from . import relational46  # noqa: F401,E402
+from . import llmdata30  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import pipeline_ops2  # noqa: F401,E402
