@@ -85,6 +85,8 @@ from . import relational45  # noqa: F401,E402
 from . import llmdata29  # noqa: F401,E402
 from . import relational46  # noqa: F401,E402
 from . import llmdata30  # noqa: F401,E402
+from . import relational47  # noqa: F401,E402
+from . import llmdata31  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import pipeline_ops2  # noqa: F401,E402
