@@ -87,6 +87,8 @@ from . import relational46  # noqa: F401,E402
 from . import llmdata30  # noqa: F401,E402
 from . import relational47  # noqa: F401,E402
 from . import llmdata31  # noqa: F401,E402
+from . import relational48  # noqa: F401,E402
+from . import llmdata32  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import pipeline_ops2  # noqa: F401,E402
