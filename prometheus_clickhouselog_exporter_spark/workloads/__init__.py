@@ -95,6 +95,8 @@ from . import relational50  # noqa: F401,E402
 from . import relational51  # noqa: F401,E402
 from . import relational52  # noqa: F401,E402
 from . import llmdata34  # noqa: F401,E402
+from . import relational53  # noqa: F401,E402
+from . import llmdata35  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import pipeline_ops2  # noqa: F401,E402

@@ -1,0 +1,499 @@
+"""Round 10 batch: Ledoit–Wolf covariance shrinkage, chrF character
+n-gram score, distinct-n diversity, and TF-IDF cosine near-dup pairs —
+DuckDB-oracle-checked, quantized-fold exact.
+
+Reference parity note: /root/reference (main.go:1-145, query.go:1-289,
+metrics.go:1-75) has no embedding/text surface; §2.3 north-star
+LLM-data territory. Methods are public: Ledoit & Wolf 2004, Popović
+2015 (chrF), Li et al. 2016 (distinct-n), Salton & Buckley 1988
+(TF-IDF cosine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import fan_out, fround, query, table
+
+# --- Ledoit–Wolf shrinkage intensity -------------------------------------------
+
+_LW_ORACLE = """
+    WITH x_long AS (
+      SELECT vec_id AS k, r.i,
+             CAST(floor(CAST(embedding[r.i + 1] AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings, range(64) r(i)
+    ),
+    cells AS (
+      SELECT a.i, b.i AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.q * b.q) AS DECIMAL(38,0)) AS m,
+             sum(CAST(a.q * b.q AS HUGEINT) * (a.q * b.q)) AS p
+      FROM x_long a JOIN x_long b USING (k)
+      GROUP BY a.i, b.i
+    ),
+    mu AS (
+      SELECT CAST(sum(m) AS DECIMAL(38,0)) AS trsum, max(n) AS n
+      FROM cells WHERE i = j
+    ),
+    terms AS (
+      SELECT c.i, c.j, c.n,
+             CAST(floor(
+               (CAST(c.m AS DOUBLE) / c.n / 1e12
+                - CASE WHEN c.i = c.j THEN
+                    CAST(u.trsum AS DOUBLE) / u.n / 1e12 / 64
+                  ELSE 0 END)
+               * (CAST(c.m AS DOUBLE) / c.n / 1e12
+                  - CASE WHEN c.i = c.j THEN
+                      CAST(u.trsum AS DOUBLE) / u.n / 1e12 / 64
+                    ELSE 0 END) * 1e15 + 0.5) AS BIGINT) AS dq,
+             CAST(floor(
+               (CAST(c.p AS DOUBLE) / 1e24
+                - (CAST(c.m AS DOUBLE) / 1e12)
+                  * (CAST(c.m AS DOUBLE) / 1e12) / c.n)
+               / (CAST(c.n AS DOUBLE) * c.n) * 1e15 + 0.5) AS BIGINT) AS bq
+      FROM cells c CROSS JOIN mu u
+    )
+    SELECT max(n) AS n, 64 AS d,
+           floor((SELECT CAST(trsum AS DOUBLE) / n / 1e12 / 64 FROM mu)
+                 * 1e9 + 0.5) / 1e9 AS mu,
+           floor(CAST(sum(bq) AS DOUBLE) / 1e15 * 1e12 + 0.5) / 1e12
+             AS bbar2,
+           floor(CAST(sum(dq) AS DOUBLE) / 1e15 * 1e12 + 0.5) / 1e12
+             AS dbar2,
+           floor(least(CAST(sum(bq) AS DOUBLE), CAST(sum(dq) AS DOUBLE))
+                 / CAST(sum(dq) AS DOUBLE) * 1e9 + 0.5) / 1e9
+             AS lambda_star
+    FROM terms
+    """
+
+
+@query("embedding_ledoit_wolf", oracle=_LW_ORACLE)
+def embedding_ledoit_wolf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledoit–Wolf shrinkage intensity (Ledoit & Wolf 2004) for the
+    64×64 second-moment matrix of the embedding corpus, shrinking
+    toward μI: λ* = min(b̄², d̄²)/d̄² with d̄² = ‖S−μI‖²_F and b̄² =
+    (1/n²)Σₖ‖xₖxₖᵀ−S‖²_F expanded to the per-cell closed form
+    (Pᵢⱼ − Mᵢⱼ²/n)/n² — so BOTH statistics come from two integer moment
+    families (M = Σqᵢqⱼ, P = Σ(qᵢqⱼ)², 1e-6-quantized coordinates) over
+    ONE (k,i,j) long-form join, no per-sample second pass. Per-cell
+    terms quantize at 1e-15 before the 4096-cell reduction. This is the
+    shrinkage scalar a whitening/Mahalanobis pipeline needs when
+    n ≲ d² makes the sample covariance singular-ish.
+
+    100 TB: the long form is N·d² rows keyed by (i,j) — map-side
+    combinable to d² partials per task; the d²-cell frame then reduces
+    with a 1-row diag broadcast. Uncentered-moment variant documented
+    (embeddings are near-centered; the centered twin adds the mean
+    outer product to the same machinery)."""
+    emb = table(spark, sf_dir, "embeddings")
+    lng = emb.select(
+        F.col("vec_id").alias("k"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    ).select(
+        "k", "i", F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("bigint").alias("q")
+    )
+    rhs = lng.select(
+        F.col("k"), F.col("i").alias("j"), F.col("q").alias("q2")
+    )
+    dec = "decimal(38,0)"
+    prod = F.col("q") * F.col("q2")
+    cells = (
+        lng.join(rhs, "k")
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(prod.cast(dec)).alias("m"),
+            F.sum(prod.cast(dec) * prod).alias("p"),
+        )
+        .localCheckpoint(eager=False)  # consumers: diag trace + full terms
+    )
+    mu = cells.where(F.col("i") == F.col("j")).agg(
+        F.sum("m").alias("trsum"), F.max("n").alias("n")
+    )
+    md = F.col("m").cast("double")
+    nd = F.col("n").cast("double")
+    mu_val = F.col("trsum").cast("double") / F.col("n") / 1e12 / 64
+    s_cell = md / F.col("n") / 1e12
+    d_term = s_cell - F.when(F.col("i") == F.col("j"), mu_val).otherwise(
+        F.lit(0.0)
+    )
+    b_term = (
+        F.col("p").cast("double") / 1e24 - (md / 1e12) * (md / 1e12) / F.col("n")
+    ) / (nd * nd)
+    terms = cells.crossJoin(F.broadcast(mu.select("trsum", F.col("n").alias("n_mu")))).select(
+        "n",
+        F.floor(
+            (s_cell - F.when(F.col("i") == F.col("j"),
+                             F.col("trsum").cast("double") / F.col("n_mu") / 1e12 / 64)
+             .otherwise(F.lit(0.0)))
+            * (s_cell - F.when(F.col("i") == F.col("j"),
+                               F.col("trsum").cast("double") / F.col("n_mu") / 1e12 / 64)
+               .otherwise(F.lit(0.0)))
+            * 1e15
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("dq"),
+        F.floor(b_term * 1e15 + F.lit(0.5)).cast("bigint").alias("bq"),
+        (F.col("trsum").cast("double") / F.col("n_mu") / 1e12 / 64).alias("muv"),
+    )
+    sb = F.sum("bq").cast("double")
+    sd = F.sum("dq").cast("double")
+    return terms.agg(
+        F.max("n").alias("n"),
+        F.lit(64).alias("d"),
+        fround(F.max("muv"), 9).alias("mu"),
+        fround(sb / 1e15, 12).alias("bbar2"),
+        fround(sd / 1e15, 12).alias("dbar2"),
+        fround(F.least(sb, sd) / sd, 9).alias("lambda_star"),
+    )
+
+
+# --- chrF (character 3-gram F2) over deterministic doc pairs --------------------
+
+_CHRF_ORACLE = """
+    WITH base AS (
+      SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side, lang,
+             [substr(text, i, 3) for i in range(1, len(text) - 1)] AS gs
+      FROM documents WHERE len(text) >= 3
+    ),
+    cnt AS (
+      SELECT pair_id, side, any_value(lang) AS lang, g.gram,
+             CAST(count(*) AS BIGINT) AS c
+      FROM base, unnest(gs) AS g(gram)
+      GROUP BY pair_id, side, g.gram
+    ),
+    cand AS (SELECT pair_id, lang, gram, c FROM cnt WHERE side = 1),
+    ref AS (SELECT pair_id, gram, c AS cr FROM cnt WHERE side = 0),
+    pairs AS (
+      SELECT cd.pair_id, any_value(cd.lang) AS lang,
+             CAST(sum(least(cd.c, coalesce(r.cr, 0))) AS BIGINT) AS match,
+             CAST(sum(cd.c) AS BIGINT) AS ctot
+      FROM cand cd LEFT JOIN ref r USING (pair_id, gram)
+      GROUP BY cd.pair_id
+    ),
+    rtot AS (
+      SELECT pair_id, CAST(sum(c) AS BIGINT) AS rt
+      FROM cnt WHERE side = 0 GROUP BY pair_id
+    ),
+    scored AS (
+      SELECT p.lang,
+             CASE WHEN p.match > 0 THEN
+               CAST(floor(5.0 * (CAST(p.match AS DOUBLE) / p.ctot)
+                              * (CAST(p.match AS DOUBLE) / r.rt)
+                          / (4.0 * (CAST(p.match AS DOUBLE) / p.ctot)
+                             + (CAST(p.match AS DOUBLE) / r.rt))
+                          * 1e9 + 0.5) AS BIGINT)
+             ELSE 0 END AS q9
+      FROM pairs p JOIN rtot r USING (pair_id)
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS pairs,
+           floor(CAST(sum(q9) AS DOUBLE) / count(*) / 1e9 * 1e9 + 0.5) / 1e9
+             AS avg_chrf3
+    FROM scored GROUP BY lang ORDER BY lang
+    """
+
+
+@query("eval_chrf_pairs", oracle=_CHRF_ORACLE)
+def eval_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF score (Popović 2015; the 3-gram slice of chrF, β = 2) over
+    the same deterministic doc pairing as BLEU/ROUGE: character 3-gram
+    clipped precision and recall, F_β = (1+β²)PR/(β²P+R), zero-match →
+    0 per the published convention. Character n-grams make the metric
+    tokenizer-free — the robustness argument chrF was built on, and the
+    natural cross-check for the word-level twins on one fixture.
+
+    100 TB: the char-3-gram explosion is linear in text bytes behind
+    fan_out(); the clip join is (pair, gram)-keyed; per-pair scores
+    quantize to 1e-9 integers before the per-lang mean."""
+    base = (
+        fan_out(table(spark, sf_dir, "documents"))
+        .where(F.length("text") >= 3)
+        .select(
+            (F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
+            F.pmod("doc_id", F.lit(2)).alias("side"),
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            ).alias("gram"),
+        )
+    )
+    cnt = base.groupBy("pair_id", "side", "gram").agg(
+        F.any_value("lang").alias("lang"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    ).localCheckpoint(eager=False)  # consumers: cand, ref, ref totals
+    cand = cnt.where(F.col("side") == 1).drop("side")
+    ref = cnt.where(F.col("side") == 0).select(
+        "pair_id", "gram", F.col("c").alias("cr")
+    )
+    pairs = (
+        cand.join(ref, ["pair_id", "gram"], "left")
+        .groupBy("pair_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.sum(F.least(F.col("c"), F.coalesce(F.col("cr"), F.lit(0))))
+            .cast("bigint")
+            .alias("match"),
+            F.sum("c").cast("bigint").alias("ctot"),
+        )
+    )
+    rtot = cnt.where(F.col("side") == 0).groupBy("pair_id").agg(
+        F.sum("c").cast("bigint").alias("rt")
+    )
+    prec = F.col("match").cast("double") / F.col("ctot")
+    rec = F.col("match").cast("double") / F.col("rt")
+    q9 = F.when(
+        F.col("match") > 0,
+        F.floor(5.0 * prec * rec / (4.0 * prec + rec) * 1e9 + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    ).otherwise(F.lit(0))
+    scored = pairs.join(rtot, "pair_id").select("lang", q9.alias("q9"))
+    n = F.count(F.lit(1))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            n.cast("bigint").alias("pairs"),
+            fround(F.sum("q9").cast("double") / n / 1e9, 9).alias("avg_chrf3"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- distinct-n diversity ---------------------------------------------------------
+
+_DISTN_ORACLE = """
+    WITH tok AS (
+      SELECT source, string_split(text, ' ') AS ws
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    grams AS (
+      SELECT source, 1 AS n, unnest(ws) AS gram FROM tok
+      UNION ALL
+      SELECT source, 2 AS n,
+             unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))])
+      FROM tok
+      UNION ALL
+      SELECT source, 3 AS n,
+             unnest([ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                     for i in range(1, len(ws) - 1)])
+      FROM tok
+    ),
+    census AS (
+      SELECT source, n, gram, CAST(count(*) AS BIGINT) AS c
+      FROM grams GROUP BY source, n, gram
+    ),
+    per AS (
+      SELECT source, n, CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(c) AS BIGINT) AS t
+      FROM census GROUP BY source, n
+    )
+    SELECT source,
+           max(CASE WHEN n = 1 THEN t END) AS tokens,
+           floor(CAST(max(CASE WHEN n = 1 THEN v END) AS DOUBLE)
+                 / max(CASE WHEN n = 1 THEN t END) * 1e6 + 0.5) / 1e6
+             AS distinct1,
+           floor(CAST(max(CASE WHEN n = 2 THEN v END) AS DOUBLE)
+                 / max(CASE WHEN n = 2 THEN t END) * 1e6 + 0.5) / 1e6
+             AS distinct2,
+           floor(CAST(max(CASE WHEN n = 3 THEN v END) AS DOUBLE)
+                 / max(CASE WHEN n = 3 THEN t END) * 1e6 + 0.5) / 1e6
+             AS distinct3
+    FROM per GROUP BY source ORDER BY source
+    """
+
+
+@query("text_distinct_n", oracle=_DISTN_ORACLE)
+def text_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity (Li et al. 2016): the unique-to-total ratio
+    of 1/2/3-grams per source — THE standard repetitiveness/diversity
+    diagnostic for generated corpora (mode-collapsed sources score low
+    distinct-2/3 long before distinct-1 moves). All three orders ride
+    one tokenize pass via a stacked gram frame.
+
+    100 TB: explode → census → per-(source, n) counts; the shuffle
+    carries (source, n, gram) partials, map-side combined. Ratios are
+    exact integer divisions quantized at 1e-6."""
+    tok = (
+        fan_out(table(spark, sf_dir, "documents"))
+        .select("source", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= 3)
+    )
+    # all three gram orders from ONE concatenated array per doc — a
+    # single scan and a single explode, no 3-branch union rescanning
+    grams = tok.select(
+        "source",
+        F.explode(
+            F.expr(
+                "concat("
+                " transform(ws, w -> struct(1 AS n, w AS gram)),"
+                " transform(sequence(1, size(ws) - 1),"
+                "   i -> struct(2 AS n, ws[i-1] || ' ' || ws[i] AS gram)),"
+                " transform(sequence(1, size(ws) - 2),"
+                "   i -> struct(3 AS n,"
+                "     ws[i-1] || ' ' || ws[i] || ' ' || ws[i+1] AS gram)))"
+            )
+        ).alias("g"),
+    )
+    census = grams.groupBy(
+        "source", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    per = census.groupBy("source", "n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum("c").cast("bigint").alias("t"),
+    )
+
+    def pick(n, col):
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    return (
+        per.groupBy("source")
+        .agg(
+            pick(1, "t").alias("tokens"),
+            fround(pick(1, "v").cast("double") / pick(1, "t"), 6).alias(
+                "distinct1"
+            ),
+            fround(pick(2, "v").cast("double") / pick(2, "t"), 6).alias(
+                "distinct2"
+            ),
+            fround(pick(3, "v").cast("double") / pick(3, "t"), 6).alias(
+                "distinct3"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --- TF-IDF cosine near-dup pairs ------------------------------------------------
+
+_TFIDF_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
+      FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM sh GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    w AS (
+      SELECT t.doc_id, t.tok,
+             CAST(floor(t.tf * ln(CAST(n.n AS DOUBLE) / d.df) * 1e6 + 0.5)
+                  AS BIGINT) AS wq
+      FROM tf t JOIN df d USING (tok) CROSS JOIN nd n
+      WHERE d.df <= 4
+    ),
+    norms AS (
+      SELECT doc_id, sum(CAST(wq AS HUGEINT) * wq) AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             sum(CAST(a.wq AS HUGEINT) * b.wq) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor(CAST(dot AS DOUBLE)
+                 / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS cosine
+    FROM dots
+    JOIN norms na ON dots.id_a = na.doc_id
+    JOIN norms nb ON dots.id_b = nb.doc_id
+    WHERE CAST(dot AS DOUBLE)
+          / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.2
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_tfidf_cosine_pairs", oracle=_TFIDF_ORACLE)
+def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-duplicate pairs (Salton & Buckley
+    1988 weighting) over 3-token shingles — the corpus' word vocabulary
+    is a 31-token pool (measured), so TOKEN-level idf is degenerate and
+    the discriminating unit is the shingle: wq = tf·ln(N/df) quantized
+    to 1e-6 integers PER POSTING, so dot products and norms are exact
+    integer sums; cosine = dot/√(‖a‖‖b‖). Shingle-df pruning (df ≤ 4,
+    the dedup_jaccard_pruned bound) caps every posting list BEFORE the
+    self-join; unlike Jaccard this keeps MULTIPLICITY and weights, the
+    lexical rung between set-Jaccard and embedding cosine.
+
+    100 TB: the pair join is posting-keyed (token) with df-capped
+    lists — worst fan-out df²·|kept vocab|, never corpus²; the shuffle
+    carries (token, doc, weight) triples. At web scale the df cap is
+    the knob that keeps the heaviest posting within a task."""
+    toks = (
+        fan_out(table(spark, sf_dir, "documents"))
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> t[i-1] || ' ' || t[i] || ' ' || t[i+1])"
+                )
+            ).alias("tok"),
+        )
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    ).localCheckpoint(eager=False)  # consumers: df census + weights + N
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nd = tf.agg(F.count_distinct("doc_id").cast("bigint").alias("n"))
+    w = (
+        tf.join(df_.where(F.col("df") <= 4), "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("wq"),
+        )
+        .localCheckpoint(eager=False)  # consumers: norms + both join sides
+    )
+    dec = "decimal(38,0)"
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wq").cast(dec) * F.col("wq")).alias("nrm")
+    )
+    rhs = w.select(
+        F.col("tok"), F.col("doc_id").alias("id_b"), F.col("wq").alias("wq2")
+    )
+    dots = (
+        w.join(rhs, "tok")
+        .where(F.col("doc_id") < F.col("id_b"))
+        .groupBy(F.col("doc_id").alias("id_a"), "id_b")
+        .agg(F.sum(F.col("wq").cast(dec) * F.col("wq2")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(cos >= 0.2)
+        .select("id_a", "id_b", fround(cos, 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
