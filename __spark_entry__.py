@@ -23,21 +23,28 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
 from prometheus_clickhouselog_exporter_spark.workloads import ORACLE, QUERIES
+from prometheus_clickhouselog_exporter_spark.workloads.stamp_manifest import (
+    STAMP_PRIORITY,
+)
 
 
 def _registration_order() -> list[str]:
     """Order queries so the least-verified register first.
 
-    The driver samples a subset of the registry per round; if that sample is
-    order-dependent, queries that have never received a green driver stamp
-    (or whose last stamp was a FAIL) should be first in line. Priority:
-    0 = appeared but last stamp not hash-green — including rows whose last
-    stamp carried ``err`` (e.g. the formerly rows-only ``no_oracle`` ANN /
-    sketch entries: every registry query now has a DuckDB oracle, so any
-    stamp short of a value-hash match should be re-certified first),
-    1 = never appeared in any CORRECTNESS_r*.json, 2 = hash-green on the
-    most recent stamp. Ties keep registry insertion order, so this is a
-    stable re-sort, never a filter.
+    Evidence from CORRECTNESS_r01..r10.json mapped onto registry positions
+    shows the driver stamps the HEAD-50 of the order this function returns,
+    so the ordering IS the sampling policy. Priority:
+    0 = appeared but last stamp not hash-green (re-certify first),
+    1 = never appeared in any CORRECTNESS_r*.json,
+    2 = hash-green on the most recent stamp.
+    Within priority 1 the tie-break is the static ``STAMP_PRIORITY``
+    manifest (oldest debt first); never-stamped names not in the manifest
+    (new additions this round) rank after every manifest entry, then by
+    registry insertion order — new work cannot displace old debt. The r10
+    tie-break used raw registry rank, which let each round's new modules
+    outrank the r2/r3-era queries living in late-imported modules; the
+    manifest replaces that (VERDICT r10, Next round #1). Priorities 0 and 2
+    keep registry insertion order. This is a stable re-sort, never a filter.
     """
     last: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
@@ -48,15 +55,20 @@ def _registration_order() -> list[str]:
         for name, row in rows.items():
             last[name] = row.get("hash_match") is True and row.get("err") is None
     rank = {name: i for i, name in enumerate(QUERIES)}
+    manifest_rank = {name: i for i, name in enumerate(STAMP_PRIORITY)}
 
-    def prio(name: str) -> tuple[int, int]:
+    def prio(name: str) -> tuple[int, int, int]:
         if name not in last:
             p = 1
         elif not last[name]:
             p = 0
         else:
             p = 2
-        return (p, rank[name])
+        if p == 1:
+            tie = manifest_rank.get(name, len(STAMP_PRIORITY))
+        else:
+            tie = 0
+        return (p, tie, rank[name])
 
     return sorted(QUERIES, key=prio)
 
