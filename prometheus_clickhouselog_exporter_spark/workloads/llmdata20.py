@@ -166,21 +166,26 @@ def decontam_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("ce").alias("ea")
     )
     b = base.select((F.col("vec_id") - 1).alias("probe_id"), F.col("ce").alias("eb"))
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    # self-norms factored to the PRE-join projections: O(q+N) sqrt(dot())
+    # folds instead of O(q*N) (the pair projection re-folded the corpus
+    # norm once per probe and the probe norm once per corpus row). The
+    # factored column is the SAME expression over the same values, so the
+    # quantized cosine — and the oracle hash — cannot move.
     probes = a.join(b, "probe_id").select(
         "probe_id",
         F.zip_with("ea", "eb", lambda x, y: 0.9 * x + 0.1 * y).alias("qe"),
     )
-    corpus = base
-    dot = lambda u, v: F.aggregate(  # noqa: E731
-        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    probes = probes.select(
+        "probe_id", "qe", F.sqrt(dot(F.col("qe"), F.col("qe"))).alias("nq")
+    )
+    corpus = base.select(
+        "vec_id", "ce", F.sqrt(dot(F.col("ce"), F.col("ce"))).alias("nc")
     )
     cos = fround(
-        dot(F.col("qe"), F.col("ce"))
-        / (
-            F.sqrt(dot(F.col("qe"), F.col("qe")))
-            * F.sqrt(dot(F.col("ce"), F.col("ce")))
-        ),
-        6,
+        dot(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc")), 6
     )
     scored = corpus.crossJoin(F.broadcast(probes)).select(
         "probe_id", "vec_id", cos.alias("cosine")

@@ -318,13 +318,20 @@ def similarity_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dot(F.col("e"), F.col("e")) > 0)
         .localCheckpoint(eager=False)  # queries + corpus side
     )
+    # self-norms factored to the PRE-join projections (O(q+N) folds, not
+    # O(q*N): the pair projection re-folded the query norm once per corpus
+    # row and the corpus norm once per query). Same expression over the
+    # same values -> identical doubles -> the oracle hash cannot move.
     q = base.where(F.col("vec_id") < _RAD_NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("nq"),
     )
-    joined = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    cosine = dot(F.col("qe"), F.col("e")) / (
-        F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("e"), F.col("e")))
+    corpus = base.select(
+        "vec_id", "e", F.sqrt(dot(F.col("e"), F.col("e"))).alias("nc")
     )
+    joined = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cosine = dot(F.col("qe"), F.col("e")) / (F.col("nq") * F.col("nc"))
     scored = joined.select("query_id", "vec_id", cosine.alias("cosine"))
     return (
         scored.where(F.col("cosine") >= _RAD_T)
