@@ -126,6 +126,17 @@ HEADLINE = [
     "dedup_weighted_jaccard",
     "similarity_beam_search_topk",
     "dedup_weighted_jaccard_icws",
+    # r11 (verdict directive #5): the 4 slowest genuine non-headline
+    # rows of BENCH_FULL_r10.json promoted so the regression guard
+    # watches the real tail — radius-3 multi-source BFS closeness
+    # (per-round keyed join + anti-join vs visited), grid DBSCAN
+    # (grid-bounded CC rounds with a convergence certificate), and the
+    # two d^2-bounded quantized moment reductions (Procrustes rotation,
+    # Ledoit-Wolf shrinkage)
+    "graph_closeness_centrality",
+    "spatial_dbscan_grid",
+    "embedding_procrustes_alignment",
+    "embedding_ledoit_wolf",
 ]
 
 

@@ -496,11 +496,22 @@ _JS_ORACLE = """
     probs AS (
       SELECT c.source, c.tok, c.c, t.n FROM census c JOIN totals t USING (source)
     ),
+    -- densify over the GLOBAL vocabulary so one-sided mass (tokens a
+    -- source never emits) contributes its p*ln2 term: p=0 for absent
+    -- (source, tok) cells. r11 fix — the former inner join on shared
+    -- tokens silently dropped this mass, and at sf0.001 three sources
+    -- genuinely miss tokens (the r10 advice's hazard, live).
+    grid AS (
+      SELECT s.source, v.tok,
+             COALESCE(CAST(p.c AS DOUBLE) / p.n, 0.0) AS p
+      FROM (SELECT DISTINCT source FROM totals) s
+      CROSS JOIN (SELECT DISTINCT tok FROM census) v
+      LEFT JOIN probs p ON p.source = s.source AND p.tok = v.tok
+    ),
     pairs AS (
       SELECT a.source AS src_a, b.source AS src_b, a.tok,
-             CAST(a.c AS DOUBLE) / a.n AS p,
-             CAST(b.c AS DOUBLE) / b.n AS q
-      FROM probs a JOIN probs b ON a.tok = b.tok AND a.source < b.source
+             a.p AS p, b.p AS q
+      FROM grid a JOIN grid b ON a.tok = b.tok AND a.source < b.source
     ),
     terms AS (
       SELECT src_a, src_b,
@@ -524,17 +535,20 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributional distance a mixing pipeline uses to pick diverse
     domains (crosssource_vocab_similarity's set-overlap twin, but over
     the full PROBABILITY MASS, so frequency shifts register even with
-    identical vocabularies). The token join carries only SHARED tokens;
-    on this corpus the 31-token pool makes every pair dense — the
-    documented simplification is that tokens absent from one source
-    contribute their one-sided term via the p>0/q>0 guards, which here
-    never fire because the join is inner on shared tokens (disjoint
-    mass is zero on this corpus — both engines compute the identical
-    restricted sum).
+    identical vocabularies). Each source's distribution is densified
+    over the GLOBAL vocabulary (sources × vocab grid, absent cells
+    p=0) before the pair join, so one-sided mass — tokens a source
+    never emits — contributes its p·ln2 term through the p>0/q>0
+    guards. r11 fix: the former inner join on shared tokens dropped
+    that mass, and the pinned precondition (every source covers the
+    global vocabulary — tests/test_r10_batch13.py) is genuinely
+    violated at sf0.001, where three sources miss tokens; the old form
+    agreed with its oracle on a value that was not JS there.
 
-    100 TB: (source, token) census → token-keyed pair join (|V|·k²
-    worst case, bounded by vocabulary, never documents); per-pair terms
-    quantize at 1e-12 before the reduction."""
+    100 TB: (source, token) census → |S|·|V| dense grid → token-keyed
+    pair join (|V|·k² worst case, bounded by vocabulary, never
+    documents); per-pair terms quantize at 1e-12 before the
+    reduction."""
     toks = table(spark, sf_dir, "documents").select(
         "source",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
@@ -547,13 +561,25 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probs = census.join(totals, "source").select(
         "source", "tok", (F.col("c").cast("double") / F.col("n")).alias("p")
-    ).localCheckpoint(eager=False)  # both sides of the pair join
-    bside = probs.select(
+    )
+    # densify over the global vocabulary: absent (source, tok) cells get
+    # p=0 so one-sided mass survives the pair join (see docstring).
+    # sources × vocab is |S|·|V| — bounded by vocabulary, both sides
+    # broadcastable at any corpus size where |S|·|V| is dim-table-sized.
+    sources = totals.select("source")
+    vocab = census.select("tok").distinct()
+    grid = (
+        sources.crossJoin(vocab)
+        .join(probs, ["source", "tok"], "left")
+        .select("source", "tok", F.coalesce(F.col("p"), F.lit(0.0)).alias("p"))
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    bside = grid.select(
         F.col("source").alias("src_b"),
         F.col("tok").alias("tok_b"),
         F.col("p").alias("q"),
     )
-    pairs = probs.join(
+    pairs = grid.join(
         bside,
         (F.col("tok") == F.col("tok_b")) & (F.col("source") < F.col("src_b")),
     ).select(F.col("source").alias("src_a"), "src_b", "p", "q")

@@ -69,3 +69,67 @@ def test_js_divergence_bounds_and_symmetry_base(spark):
     ln2 = math.log(2.0)
     for r in rows:
         assert -1e-9 <= r.js <= ln2 + 1e-9
+
+
+def test_js_divergence_one_sided_mass_live(spark):
+    """ADVICE r10 follow-up, resolved by FIXING the query: the former
+    inner join on shared tokens dropped one-sided mass (p*ln2 terms for
+    tokens absent from the other source), and the documented
+    precondition (every source covers the global vocabulary) is
+    genuinely violated at sf0.001 — three sources miss tokens. The
+    query now densifies each source over the global vocabulary before
+    the pair join. This test pins BOTH facts: (a) the fixture really
+    exercises the one-sided branch (planted-signal doctrine — at least
+    one source must miss at least one global token at sf0.001), and
+    (b) the query's output equals an independently computed full JS
+    (pure-Python, exact same 1e-12 term quantization) on every pair."""
+    import collections
+
+    from prometheus_clickhouselog_exporter_spark.workloads.core import table
+
+    sf_dir = SF_DIR
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    census = collections.Counter()
+    for r in toks.groupBy("source", "tok").count().collect():
+        census[(r.source, r.tok)] = r["count"]
+    sources = sorted({s for s, _ in census})
+    vocab = sorted({t for _, t in census})
+    missing = [
+        s for s in sources if any((s, t) not in census for t in vocab)
+    ]
+    assert missing, (
+        "no source misses a global token at sf0.001 — the one-sided "
+        "branch is no longer exercised; plant a fixture that trips it"
+    )
+
+    totals = collections.Counter()
+    for (s, _), c in census.items():
+        totals[s] += c
+    expected = {}
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            acc = 0
+            for t in vocab:
+                p = census.get((a, t), 0) / totals[a]
+                q = census.get((b, t), 0) / totals[b]
+                term = 0.0
+                if p > 0:
+                    term += p * math.log(2.0 * p / (p + q))
+                if q > 0:
+                    term += q * math.log(2.0 * q / (p + q))
+                acc += int(math.floor(term / 2.0 * 1e12 + 0.5))
+            expected[(a, b)] = math.floor(acc / 1e12 * 1e9 + 0.5) / 1e9
+
+    rows = QUERIES["text_js_divergence"](spark, sf_dir).collect()
+    assert len(rows) == len(expected)
+    ln2 = math.log(2.0)
+    for r in rows:
+        assert -1e-9 <= r.js <= ln2 + 1e-9
+        assert r.js == expected[(r.src_a, r.src_b)], (r.src_a, r.src_b)

@@ -5,8 +5,15 @@ JSON document shaped like bench.py's line plus the full per-query map.
 
 Protocol notes:
 - One warm-up pass of a small query compiles the session; each query is
-  then timed on a single pass (391 queries × 2 passes would double a
+  then timed on a single pass (N queries × 2 passes would double a
   ~15-min run for little signal — the headline bench keeps min-of-2).
+- r11 (VERDICT r10 directive #4): after the sweep, the 20 slowest
+  queries are re-timed once and the MIN of the two passes is kept —
+  the r10 single-pass protocol produced 12 phantom tail regressions
+  (first-touch JIT / shuffle-file effects landing on whichever query
+  follows a cold stretch) that each took a separate warm audit to
+  refute. ~90 s of second passes makes the tail a usable regression
+  record; the JSON notes the protocol per query.
 - Streaming *_fidelity queries execute their real streams inside the
   callable; their wall time includes stream start/drain/stop, which is
   the honest number for them.
@@ -58,11 +65,38 @@ def main() -> int:
             flush=True,
         )
 
+    # min-of-2 for the top-20 tail (see protocol notes): re-time the 20
+    # slowest single-pass queries and keep the min, so cold-stretch
+    # artifacts don't read as regressions round-over-round.
+    tail = sorted(timings, key=lambda n: -timings[n])[:20]
+    retimed: dict[str, float] = {}
+    for name in tail:
+        t0 = time.time()
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            second = round(time.time() - t0, 3)
+        except Exception:  # first pass stands
+            continue
+        retimed[name] = second
+        timings[name] = min(timings[name], second)
+        print(
+            f"# tail-retime {name}: min({second}, first) -> {timings[name]}",
+            file=sys.stderr,
+            flush=True,
+        )
+
     doc = {
         "metric": "full_registry_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "n_queries": len(timings),
+        "protocol": (
+            "single pass per query; 20 slowest re-timed once, min-of-2 "
+            "kept (names in min_of_two)"
+        ),
+        "min_of_two": sorted(retimed),
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])),
         "errors": errors,
         "sf": sf,

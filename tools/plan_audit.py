@@ -202,6 +202,45 @@ BUILD_JOBS_OK: dict[str, str] = {
     # 3 BFS rounds + one edges materialization shared by all rounds —
     # without it each round would rescan lineitem multiplicatively (r10)
     "graph_closeness_centrality": "BFS frontier rounds (radius 3)",
+    # --- r11 adjudications (VERDICT r10, What's wrong #4) ---
+    # two exclusive_prefix calls (pre_toks, pre_new), each 2-3 bounded
+    # jobs per tier, + the log-grid fit's bounded moment folds; every
+    # fold is over the <=100k super-bucket tier or a <=30-point grid
+    "text_heaps_law_fit": "distrank bounded fold x2 + log-grid fit",
+    # 4 synchronous min-label rounds (same fixpoint class as the
+    # graph_cc family), one bounded action per round; the Q fold is
+    # community-count-sized
+    "graph_modularity_score": "min-label fixpoint rounds (4, capped)",
+    # distrank ntile_from_rank tiers (<=100k super-buckets per tier);
+    # downstream frame is the 10-row decile table
+    "ml_lift_gains_deciles": "distrank decile tiers (bounded folds)",
+    # two capture passes' localCheckpoints + 1-row n1/n2/m count
+    # statistics; every eager job is a groupBy(doc) min or a 1-row agg
+    "dedup_capture_recapture_estimate": "capture checkpoints + 1-row counts",
+    # exclusive_prefix over the packed (lang,hash,doc) key (bounded
+    # tier folds) + the class-count/n_min 1-row dispatch statistics
+    "sample_class_balanced": "distrank tier folds + 1-row class stats",
+}
+
+# Reviewed CartesianProduct plans: each is a bounded-by-construction
+# pair frame (both sides capped far below data scale), so the quadratic
+# form cannot grow with the corpus. Reviewed at add time.
+CARTESIAN_OK: dict[str, str] = {
+    # 10x10 decile self-join for the cumulative fold + 1-row broadcast
+    # totals: at most 100 pairs at ANY corpus size
+    "ml_lift_gains_deciles": "10x10 decile self-join (bounded 100 pairs)",
+}
+
+# Reviewed multi-BroadcastNestedLoopJoin plans: every BNLJ side is a
+# 1-row aggregate (scalar statistic) crossed into the result row — the
+# single-BNLJ allowance generalized to queries that combine several
+# scalar statistics. Reviewed at add time.
+MULTI_BNLJ_OK: dict[str, str] = {
+    # n1/n2/m capture-total 1-row aggregates crossed into the Chapman
+    # estimator row
+    "dedup_capture_recapture_estimate": "1-row n1/n2/m scalar crosses",
+    # offs (per-class offset, <=|classes| rows) + n_min 1-row scalar
+    "sample_class_balanced": "1-row n_min + class-offset broadcasts",
 }
 
 
@@ -288,11 +327,14 @@ def main() -> None:
         worst = max(tables.values(), default=0)
         if worst >= 3:
             smells.append(f"rescan x{worst}")
-        if "CartesianProduct" in plan:
+        if "CartesianProduct" in plan and name not in CARTESIAN_OK:
             smells.append("cartesian")
         if "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan:
             # broadcast-NL against a 1-row side is fine; flag only big sides
-            if plan.count("BroadcastNestedLoopJoin") > 1:
+            if (
+                plan.count("BroadcastNestedLoopJoin") > 1
+                and name not in MULTI_BNLJ_OK
+            ):
                 smells.append("multi-BNLJ")
         if "BatchEvalPython" in plan:
             smells.append("row-python")
