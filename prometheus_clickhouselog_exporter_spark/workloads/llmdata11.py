@@ -362,17 +362,20 @@ def _sequential_fidelity(spark, sf_dir, build_stream, out_schema):
     stream over it (memory sink, update mode), return each key's final
     (max-n) row. The `% 16` subsample keeps every BIGINT cross term of
     the acf1 emission inside int64 at sf0.1 (m·Σq² ≤ ~1.6e18)."""
-    tmp = _fidelity_tmp("seq-fidelity-")
+    tmp = _fidelity_tmp("seq-fidelity-")  # per-run ckpt/sink only
     ev = (
         table(spark, sf_dir, "events")
         .filter(_SEQ_FILTER)
         .select("event_type", "ts", "event_id", "value")
     )
-    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    corpus = _cached_corpus(
+        ("seq", sf_dir),
+        lambda d: ev.write.mode("overwrite").parquet(f"{d}/in"),
+    )
     stream = build_stream(
         spark.readStream.schema(
             "event_type string, ts timestamp, event_id long, value double"
-        ).parquet(f"{tmp}/in")
+        ).parquet(f"{corpus}/in")
     )
     out = _run_stream_to_memory(spark, stream, tmp)
     w = Window.partitionBy("event_type").orderBy(F.desc("n"))
@@ -538,11 +541,72 @@ def streaming_sliding_window_fidelity(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+# Session-scoped immutable-corpus cache (r11, VERDICT r10 directive #6).
+# Every fidelity corpus is a pure function of (recipe, sf_dir), yet each
+# query invocation re-synthesized and re-wrote it — and the bench's
+# warm-up + min-of-2 protocol builds each corpus 3× per query, the three
+# outer-join variants share ONE corpus, and the whole order-sensitive
+# monitor family shares another. Cached dirs live until session exit
+# (the _FIDELITY_BASE atexit rmtree); consumers take a SEPARATE per-run
+# _fidelity_tmp for checkpoint/sink state, which _materialize still
+# deletes eagerly — a checkpoint must never be reused across runs (its
+# offsets reference corpus file paths and a resume would process
+# nothing), while the corpus MUST be byte-identical across runs (it is:
+# same deterministic plan, written once).
+_STREAM_CORPUS_CACHE: dict[tuple, str] = {}
+
+
+def _cached_corpus(key: tuple, build) -> str:
+    """Return the session-cached corpus dir for ``key``, invoking
+    ``build(dir)`` to materialize it on first use."""
+    if key not in _STREAM_CORPUS_CACHE:
+        d = _fidelity_tmp(f"corpus-{key[0]}-")
+        build(d)
+        _STREAM_CORPUS_CACHE[key] = d
+    return _STREAM_CORPUS_CACHE[key]
+
+
+def _bump_new_file_mtimes(path: str, before: set[str], gap_s: int = 60) -> None:
+    """Push every file under ``path`` NOT in ``before`` ``gap_s`` seconds
+    past the newest pre-existing file. The streaming file source orders
+    pending files oldest-first (latestFirst=false), so this turns
+    "sentinel file sorts after the corpus" from a bet on write-job
+    wall-clock spacing into a guarantee."""
+    import glob as _g
+    import os as _os
+
+    files = [
+        f
+        for f in _g.glob(_os.path.join(path, "part-*"))
+        if not f.endswith(".crc")
+    ]
+    olds = [f for f in files if f in before]
+    news = [f for f in files if f not in before]
+    base = max((_os.path.getmtime(f) for f in olds), default=None)
+    if base is None:
+        return
+    for f in news:
+        _os.utime(f, (base + gap_s, base + gap_s))
+
+
+def _snapshot_files(path: str) -> set[str]:
+    import glob as _g
+    import os as _os
+
+    return {
+        f
+        for f in _g.glob(_os.path.join(path, "part-*"))
+        if not f.endswith(".crc")
+    }
+
+
 def _logpipe_stream_corpus(spark, sf_dir: str):
     """The logpipe_open_close_join corpus (initial at ts, MemoryTracker
     close at ts + event_id%7 s for event_id%3≠0), written as text files
     for the streaming file source. Shared by the stream-stream join and
-    streaming-dedup fidelity queries."""
+    streaming-dedup fidelity queries. Session-cached per sf_dir (r11):
+    callers must NOT mutate or delete the returned dir — per-run state
+    belongs in a separate _fidelity_tmp."""
     e = table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & (F.col("value") >= 0)
     )
@@ -566,9 +630,10 @@ def _logpipe_stream_corpus(spark, sf_dir: str):
         e.select(F.explode(F.array(initial, memory)).alias("value"))
         .filter(F.col("value").isNotNull())
     )
-    tmp = _fidelity_tmp("logstream-fidelity-")
-    log.coalesce(1).write.mode("overwrite").text(f"{tmp}/logs")
-    return tmp
+    return _cached_corpus(
+        ("logpipe", sf_dir),
+        lambda d: log.coalesce(1).write.mode("overwrite").text(f"{d}/logs"),
+    )
 
 
 @query(
@@ -596,8 +661,9 @@ def streaming_interval_join_fidelity(spark: SparkSession, sf_dir: str) -> DataFr
     from ..operators.parsing import parse_log_lines
     from ..streaming.joins import join_initial_to_close
 
-    tmp = _logpipe_stream_corpus(spark, sf_dir)
-    raw = spark.readStream.format("text").load(f"{tmp}/logs")
+    corpus = _logpipe_stream_corpus(spark, sf_dir)  # session-cached
+    tmp = _fidelity_tmp("ivjoin-fidelity-")  # per-run ckpt/sink only
+    raw = spark.readStream.format("text").load(f"{corpus}/logs")
     joined = join_initial_to_close(parse_log_lines(raw), max_duration="5 seconds")
     out = _run_stream_to_memory(
         spark,
@@ -653,9 +719,12 @@ def streaming_dedup_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = e.select(
         F.explode(F.array(line(pid), line(F.lit("1")))).alias("value")
     )
-    tmp = _fidelity_tmp("dedup-fidelity-")
-    log.coalesce(1).write.mode("overwrite").text(f"{tmp}/logs")
-    raw = spark.readStream.format("text").load(f"{tmp}/logs")
+    corpus = _cached_corpus(
+        ("dedup", sf_dir),
+        lambda d: log.coalesce(1).write.mode("overwrite").text(f"{d}/logs"),
+    )
+    tmp = _fidelity_tmp("dedup-fidelity-")  # per-run ckpt/sink only
+    raw = spark.readStream.format("text").load(f"{corpus}/logs")
     deduped = dedup_initial_stream(parse_log_lines(raw))
     out = _run_stream_to_memory(
         spark,

@@ -26,10 +26,13 @@ from pyspark.sql import functions as F
 
 from .core import query, table
 from .llmdata11 import (
+    _bump_new_file_mtimes,
+    _cached_corpus,
     _fidelity_tmp,
     _logpipe_stream_corpus,
     _materialize,
     _run_stream_to_memory,
+    _snapshot_files,
 )
 
 _SENTINELS = (99999901, 99999902)
@@ -64,9 +67,37 @@ def _append_log_sentinels(spark, tmp: str, m) -> None:
             (f"{dts} [ 1 ] {{q-{sid}}} <Debug> MemoryTracker: "
              "Peak memory usage (for query): 1.00 MiB.",)
         )
+    before = _snapshot_files(f"{tmp}/logs")
     spark.createDataFrame(rows, "value string").coalesce(1).write.mode(
         "append"
     ).text(f"{tmp}/logs")
+    # the file source orders pending files oldest-first; bump the
+    # sentinel file's mtime so "corpus batch first, sentinel batch
+    # second" is a guarantee, not a bet on write-job wall-clock spacing
+    _bump_new_file_mtimes(f"{tmp}/logs", before)
+
+
+def _outer_join_corpus(spark, sf_dir: str) -> str:
+    """Session-cached corpus + far-future sentinel file shared by the
+    three outer stream-stream join fidelity queries (their corpus, max
+    timestamp, and sentinel content are identical — r11, VERDICT r10
+    directive #6: each variant used to re-synthesize all of it per
+    invocation, 3× per query under the bench's warm+min-of-2 protocol)."""
+
+    def build(d: str) -> None:
+        import shutil
+
+        src = _logpipe_stream_corpus(spark, sf_dir)
+        shutil.copytree(f"{src}/logs", f"{d}/logs")
+        m = (
+            table(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+            .agg(F.max("ts"))
+            .first()[0]
+        )
+        _append_log_sentinels(spark, d, m)
+
+    return _cached_corpus(("outerjoin", sf_dir), build)
 
 
 @query(
@@ -100,24 +131,18 @@ def streaming_outer_join_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators.parsing import parse_log_lines
     from ..streaming.joins import join_initial_to_close_outer
 
-    tmp = _logpipe_stream_corpus(spark, sf_dir)
-    # One sentinel file far past the corpus: with maxFilesPerTrigger=1 it
+    # Sentinel file far past the corpus: with maxFilesPerTrigger=1 it
     # forms a dedicated micro-batch whose sole job is to drag the
     # watermark beyond every real open's outer deadline (open_ts + 5 s +
     # 10 min watermark delay); the engine's no-data batch then evicts.
-    # collect the 1-row max ONCE (not once per sentinel write — each
-    # lazy reference re-runs the events scan + agg)
-    m = (
-        table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull() & (F.col("value") >= 0))
-        .agg(F.max("ts"))
-        .first()[0]
-    )
-    _append_log_sentinels(spark, tmp, m)
+    # Corpus + sentinel are session-cached and shared by all three outer
+    # variants (_outer_join_corpus); per-run state lives in tmp only.
+    corpus = _outer_join_corpus(spark, sf_dir)
+    tmp = _fidelity_tmp("outerjoin-fidelity-")
     raw = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", "1")
-        .load(f"{tmp}/logs")
+        .load(f"{corpus}/logs")
     )
     joined = join_initial_to_close_outer(
         parse_log_lines(raw), max_duration="5 seconds"
@@ -171,31 +196,42 @@ def streaming_chained_windows_fidelity(spark: SparkSession, sf_dir: str) -> Data
     hour; the sentinel's own type is filtered from the result."""
     from pyspark.sql.functions import window as Fwindow
 
-    tmp = _fidelity_tmp("chainwin-fidelity-")
+    tmp = _fidelity_tmp("chainwin-fidelity-")  # per-run ckpt/sink only
     ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "event_type", "ts"
     )
-    # coalesce(1): the corpus MUST be one file — with maxFilesPerTrigger=1
-    # a multi-part corpus becomes multiple micro-batches whose 5-minute
-    # watermark would drop later parts' older rows as late data (the
-    # _logpipe_stream_corpus discipline, llmdata11).
-    ev.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
-    # collect the 1-row max ONCE — timestamping each sentinel from the
-    # lazy agg would re-run the events scan per file write
-    m = ev.agg(F.max("ts")).first()[0]
-    # one sentinel FILE with both far-future rows (the one-file recipe of
-    # _append_log_sentinels): the engine's no-data batch does the final
-    # eviction, so the second sentinel batch bought nothing but ~2.5 s.
-    import datetime
 
-    spark.createDataFrame(
-        [("__sentinel__", m + datetime.timedelta(hours=2 * i)) for i in (1, 2)],
-        "event_type string, ts timestamp",
-    ).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+    def build(d: str) -> None:
+        # coalesce(1): the corpus MUST be one file — with
+        # maxFilesPerTrigger=1 a multi-part corpus becomes multiple
+        # micro-batches whose 5-minute watermark would drop later parts'
+        # older rows as late data (the _logpipe_stream_corpus
+        # discipline, llmdata11).
+        ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/in")
+        # collect the 1-row max ONCE — timestamping each sentinel from
+        # the lazy agg would re-run the events scan per file write
+        m = ev.agg(F.max("ts")).first()[0]
+        # one sentinel FILE with both far-future rows (the one-file
+        # recipe of _append_log_sentinels): the engine's no-data batch
+        # does the final eviction, so a second sentinel batch would buy
+        # nothing but ~2.5 s. mtime-bumped to guarantee it sorts last.
+        import datetime
+
+        before = _snapshot_files(f"{d}/in")
+        spark.createDataFrame(
+            [
+                ("__sentinel__", m + datetime.timedelta(hours=2 * i))
+                for i in (1, 2)
+            ],
+            "event_type string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(f"{d}/in")
+        _bump_new_file_mtimes(f"{d}/in", before)
+
+    corpus = _cached_corpus(("chainwin", sf_dir), build)
     src = (
         spark.readStream.schema("event_type string, ts timestamp")
         .option("maxFilesPerTrigger", "1")
-        .parquet(f"{tmp}/in")
+        .parquet(f"{corpus}/in")
     )
     ten = (
         src.withWatermark("ts", "5 minutes")
@@ -264,26 +300,33 @@ def streaming_native_session_fidelity(spark: SparkSession, sf_dir: str) -> DataF
     exercise — the state-store operation unique to session windows."""
     from pyspark.sql.functions import session_window
 
-    tmp = _fidelity_tmp("natsess-fidelity-")
+    tmp = _fidelity_tmp("natsess-fidelity-")  # per-run ckpt/sink only
     ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id", "event_type", "ts"
     )
-    ev.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
-    m = ev.agg(F.max("ts")).first()[0]
-    # one sentinel FILE with both far-future rows (one-file recipe)
-    import datetime
 
-    spark.createDataFrame(
-        [
-            (int(-1 - i), "__sentinel__", m + datetime.timedelta(hours=2 * i))
-            for i in (1, 2)
-        ],
-        "user_id long, event_type string, ts timestamp",
-    ).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+    def build(d: str) -> None:
+        ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/in")
+        m = ev.agg(F.max("ts")).first()[0]
+        # one sentinel FILE with both far-future rows (one-file recipe),
+        # mtime-bumped to guarantee it sorts after the corpus file
+        import datetime
+
+        before = _snapshot_files(f"{d}/in")
+        spark.createDataFrame(
+            [
+                (int(-1 - i), "__sentinel__", m + datetime.timedelta(hours=2 * i))
+                for i in (1, 2)
+            ],
+            "user_id long, event_type string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(f"{d}/in")
+        _bump_new_file_mtimes(f"{d}/in", before)
+
+    corpus = _cached_corpus(("natsess", sf_dir), build)
     src = (
         spark.readStream.schema("user_id long, event_type string, ts timestamp")
         .option("maxFilesPerTrigger", "1")
-        .parquet(f"{tmp}/in")
+        .parquet(f"{corpus}/in")
     )
     # Sentinels MUST pass through the watermark node (filtering them
     # before it would leave the watermark at the corpus tail and strand
@@ -345,18 +388,12 @@ def streaming_full_outer_join_fidelity(spark: SparkSession, sf_dir: str) -> Data
     from ..operators.parsing import parse_log_lines
     from ..streaming.joins import join_initial_to_close_outer
 
-    tmp = _logpipe_stream_corpus(spark, sf_dir)
-    m = (
-        table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull() & (F.col("value") >= 0))
-        .agg(F.max("ts"))
-        .first()[0]
-    )
-    _append_log_sentinels(spark, tmp, m)
+    corpus = _outer_join_corpus(spark, sf_dir)  # session-cached + sentinel
+    tmp = _fidelity_tmp("outerjoin-fidelity-")
     raw = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", "1")
-        .load(f"{tmp}/logs")
+        .load(f"{corpus}/logs")
     )
     joined = join_initial_to_close_outer(
         parse_log_lines(raw), max_duration="5 seconds", how="fullOuter"
@@ -406,18 +443,12 @@ def streaming_right_outer_join_fidelity(spark: SparkSession, sf_dir: str) -> Dat
     from ..operators.parsing import parse_log_lines
     from ..streaming.joins import join_initial_to_close_outer
 
-    tmp = _logpipe_stream_corpus(spark, sf_dir)
-    m = (
-        table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull() & (F.col("value") >= 0))
-        .agg(F.max("ts"))
-        .first()[0]
-    )
-    _append_log_sentinels(spark, tmp, m)
+    corpus = _outer_join_corpus(spark, sf_dir)  # session-cached + sentinel
+    tmp = _fidelity_tmp("outerjoin-fidelity-")
     raw = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", "1")
-        .load(f"{tmp}/logs")
+        .load(f"{corpus}/logs")
     )
     joined = join_initial_to_close_outer(
         parse_log_lines(raw), max_duration="5 seconds", how="rightOuter"

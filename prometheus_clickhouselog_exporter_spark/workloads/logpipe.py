@@ -506,8 +506,6 @@ def streaming_sessionize_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     reference-shaped fixture corpus in tests/test_streaming.py (they are
     deliberately absent here so every generated session is SQL-derivable).
     """
-    import os
-
     from ..streaming import PrometheusSnapshotSink, run_log_pipeline
     from .llmdata11 import _fidelity_tmp, _materialize
 
@@ -516,11 +514,11 @@ def streaming_sessionize_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     log = synth_full_log(e)
 
+    from .llmdata11 import _cached_corpus
+
     # atexit-backed session base: a failure before the success-path
     # rmtree below cannot leak a corpus-sized dir per failing run.
-    tmp = _fidelity_tmp("stream-fidelity-")
-    log_dir = f"{tmp}/logs"
-    os.makedirs(log_dir)
+    tmp = _fidelity_tmp("stream-fidelity-")  # per-run ckpt/sessions only
     # 32-way file fan-out: unlike the tiny r9-treated fidelity streams
     # (state-commit-bound, where ONE sentinel file minimized batches),
     # this corpus is PARSE-bound — a single text file gives the
@@ -529,7 +527,13 @@ def streaming_sessionize_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     # (measured r10 at sf0.1: 8.0 s → 6.6 s; the scoped 32→8 state-
     # partition trick from the commit-bound peers went the WRONG way
     # here, 8.8 s → 16 s, so state partitions stay at session width).
-    log.repartition(32).write.mode("overwrite").text(log_dir)
+    # r11: corpus session-cached per sf_dir (immutable input; each
+    # invocation used to re-synthesize + rewrite it).
+    corpus = _cached_corpus(
+        ("sessionize", sf_dir),
+        lambda d: log.repartition(32).write.mode("overwrite").text(f"{d}/logs"),
+    )
+    log_dir = f"{corpus}/logs"
     sink = PrometheusSnapshotSink(session_parquet_path=f"{tmp}/sessions")
     # availableNow drain: self-terminates after the one-batch backlog,
     # paying no 1 s trigger boundaries and no no-data timer batches
