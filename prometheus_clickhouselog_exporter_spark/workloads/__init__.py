@@ -101,6 +101,8 @@ from . import relational54  # noqa: F401,E402
 from . import relational55  # noqa: F401,E402
 from . import llmdata36  # noqa: F401,E402
 from . import relational56  # noqa: F401,E402
+from . import relational57  # noqa: F401,E402
+from . import relational58  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import pipeline_ops2  # noqa: F401,E402

@@ -220,6 +220,13 @@ BUILD_JOBS_OK: dict[str, str] = {
     # exclusive_prefix over the packed (lang,hash,doc) key (bounded
     # tier folds) + the class-count/n_min 1-row dispatch statistics
     "sample_class_balanced": "distrank tier folds + 1-row class stats",
+    # --- r11 batch ---
+    # 3 unrolled ESD rounds over the calendar-bounded day census: each
+    # round's moment agg / argmax-limit / anti-join is census-row work
+    "stats_esd_outlier_rounds": "ESD rounds over day census (3, bounded)",
+    # three 25-row nation-grade rank censuses broadcast back + the S
+    # fold: every eager build is a dim-bounded (<=25 rows) broadcast
+    "eval_kendalls_w": "25-row rank-census broadcasts (dim-bounded)",
 }
 
 # Reviewed CartesianProduct plans: each is a bounded-by-construction
@@ -241,6 +248,10 @@ MULTI_BNLJ_OK: dict[str, str] = {
     "dedup_capture_recapture_estimate": "1-row n1/n2/m scalar crosses",
     # offs (per-class offset, <=|classes| rows) + n_min 1-row scalar
     "sample_class_balanced": "1-row n_min + class-offset broadcasts",
+    # grand-median + half-count 1-row scalars crossed into the census
+    "stats_moods_median": "1-row median/half-count broadcasts",
+    # 1-row item-count scalar + 25-row rank censuses crossed in
+    "eval_kendalls_w": "1-row count + dim-bounded rank broadcasts",
 }
 
 
