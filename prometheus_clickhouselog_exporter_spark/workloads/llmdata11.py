@@ -1130,11 +1130,16 @@ def streaming_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     versioned-state path including the r4 checkpoint-mismatch guard."""
     from ..streaming.minhash_sink import start_minhash_signatures
 
-    tmp = _fidelity_tmp("minhash-fidelity-")
+    tmp = _fidelity_tmp("minhash-fidelity-")  # per-run state/ckpt only
     d = table(spark, sf_dir, "documents").select("source", "text")
-    d.write.mode("overwrite").parquet(f"{tmp}/in")
+    corpus = _cached_corpus(
+        ("minhash", sf_dir),
+        lambda p: d.write.mode("overwrite").parquet(f"{p}/in"),
+    )
     q = start_minhash_signatures(
-        spark.readStream.schema("source string, text string").parquet(f"{tmp}/in"),
+        spark.readStream.schema("source string, text string").parquet(
+            f"{corpus}/in"
+        ),
         state_dir=f"{tmp}/state",
         checkpoint=f"{tmp}/ckpt",
     )

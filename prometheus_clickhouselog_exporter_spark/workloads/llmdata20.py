@@ -75,11 +75,18 @@ def streaming_cms_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tok")
         )
     )
-    toks.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+    from .llmdata11 import _cached_corpus
+
+    corpus = _cached_corpus(
+        ("cms", sf_dir),
+        lambda p: toks.repartition(4)
+        .write.mode("overwrite")
+        .parquet(f"{p}/in"),
+    )
     stream = (
         spark.readStream.schema("tok string")
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tmp}/in")
+        .parquet(f"{corpus}/in")
     )
     rows = F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
     grid = (
@@ -252,11 +259,16 @@ def streaming_cep_guard_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    from .llmdata11 import _cached_corpus
+
+    corpus = _cached_corpus(
+        ("cep", sf_dir),
+        lambda p: ev.write.mode("overwrite").parquet(f"{p}/in"),
+    )
     stream = guard_stream(
         spark.readStream.schema(
             "user_id long, ts timestamp, event_id long, event_type string"
-        ).parquet(f"{tmp}/in")
+        ).parquet(f"{corpus}/in")
     )
     out = _run_stream_to_memory(spark, stream, tmp)
     from pyspark.sql import Window

@@ -304,18 +304,27 @@ def streaming_reservoir_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB/streaming: O(|strata|·k) state regardless of stream volume —
     the canonical bounded-memory live sample over an unbounded stream."""
     from ..streaming.reservoir import reservoir_stream
-    from .llmdata11 import _fidelity_tmp, _materialize, _run_stream_to_memory
+    from .llmdata11 import (
+        _cached_corpus,
+        _fidelity_tmp,
+        _materialize,
+        _run_stream_to_memory,
+    )
 
-    tmp = _fidelity_tmp("reservoir-fidelity-")
-    _aes_keyed(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(
-        f"{tmp}/in"
+    tmp = _fidelity_tmp("reservoir-fidelity-")  # per-run ckpt/sink only
+    corpus = _cached_corpus(
+        ("reservoir", sf_dir),
+        lambda p: _aes_keyed(spark, sf_dir)
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(f"{p}/in"),
     )
     stream = (
         spark.readStream.schema(
             "event_type string, event_id bigint, w double, key_q bigint"
         )
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tmp}/in")
+        .parquet(f"{corpus}/in")
     )
     out = _run_stream_to_memory(
         spark, reservoir_stream(stream, _K_PER_TYPE), tmp
