@@ -517,12 +517,15 @@ def streaming_sliding_window_fidelity(spark: SparkSession, sf_dir: str) -> DataF
     """
     from ..streaming.windows import windowed_event_counts
 
-    tmp = _fidelity_tmp("slidewin-fidelity-")
+    tmp = _fidelity_tmp("slidewin-fidelity-")  # per-run ckpt/sink only
     ev = table(spark, sf_dir, "events").select("event_type", "ts")
-    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    corpus = _cached_corpus(
+        ("slidewin", sf_dir),
+        lambda p: ev.write.mode("overwrite").parquet(f"{p}/in"),
+    )
     stream = windowed_event_counts(
         spark.readStream.schema("event_type string, ts timestamp").parquet(
-            f"{tmp}/in"
+            f"{corpus}/in"
         ),
         ts_col="ts",
         window="1 hour",
@@ -853,13 +856,16 @@ def streaming_cusum_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..streaming.cusum import cusum_stream
 
-    tmp = _fidelity_tmp("cusum-fidelity-")
+    tmp = _fidelity_tmp("cusum-fidelity-")  # per-run ckpt/sink only
     ev = table(spark, sf_dir, "events").select("ts", "event_type", "event_id")
-    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    corpus = _cached_corpus(
+        ("cusum", sf_dir),
+        lambda p: ev.write.mode("overwrite").parquet(f"{p}/in"),
+    )
     stream = cusum_stream(
         spark.readStream.schema(
             "ts timestamp, event_type string, event_id long"
-        ).parquet(f"{tmp}/in"),
+        ).parquet(f"{corpus}/in"),
         kref=_CUSUM_KREF,
         threshold=_CUSUM_THRESHOLD,
     )
@@ -910,16 +916,19 @@ def streaming_attribution_fidelity(spark: SparkSession, sf_dir: str) -> DataFram
     corpus fails the hash."""
     from ..streaming.attribution import attribution_stream
 
-    tmp = _fidelity_tmp("attr-fidelity-")
+    tmp = _fidelity_tmp("attr-fidelity-")  # per-run ckpt/sink only
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type", "event_id", "value"
     )
-    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    corpus = _cached_corpus(
+        ("attr", sf_dir),
+        lambda p: ev.write.mode("overwrite").parquet(f"{p}/in"),
+    )
     stream = attribution_stream(
         spark.readStream.schema(
             "user_id bigint, ts timestamp, event_type string, "
             "event_id bigint, value double"
-        ).parquet(f"{tmp}/in")
+        ).parquet(f"{corpus}/in")
     )
     out = _run_stream_to_memory(spark, stream, tmp, mode="append")
     return _materialize(
@@ -949,13 +958,16 @@ def streaming_bitmap_distinct_fidelity(spark: SparkSession, sf_dir: str) -> Data
     snapshot."""
     from ..streaming.bitmap_distinct import start_bitmap_distinct
 
-    tmp = _fidelity_tmp("bitmap-fidelity-")
+    tmp = _fidelity_tmp("bitmap-fidelity-")  # per-run state/ckpt/out only
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    corpus = _cached_corpus(
+        ("bitmap", sf_dir),
+        lambda p: ev.write.mode("overwrite").parquet(f"{p}/in"),
+    )
     q = start_bitmap_distinct(
         spark.readStream.schema(
             "user_id bigint, event_type string, ts timestamp"
-        ).parquet(f"{tmp}/in"),
+        ).parquet(f"{corpus}/in"),
         state_dir=f"{tmp}/state",
         out_dir=f"{tmp}/out",
         checkpoint=f"{tmp}/ckpt",
@@ -1010,7 +1022,10 @@ def streaming_medallion_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
     )
-    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    corpus = _cached_corpus(
+        ("medallion", sf_dir),
+        lambda p: ev.write.mode("overwrite").parquet(f"{p}/in"),
+    )
     pipe = MedallionPipeline(
         bronze_path=f"{tmp}/bronze",
         silver_path=f"{tmp}/silver",
@@ -1021,7 +1036,7 @@ def streaming_medallion_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(
             "user_id bigint, ts timestamp, event_id bigint, value double, op string"
         )
-        .parquet(f"{tmp}/in")
+        .parquet(f"{corpus}/in")
         .writeStream.outputMode("append")
         .foreachBatch(pipe.foreach_batch())
         .option("checkpointLocation", f"{tmp}/ckpt")
@@ -1187,15 +1202,24 @@ def streaming_heavyhitters_fidelity(spark: SparkSession, sf_dir: str) -> DataFra
     integer, so the booleans are deterministic TRUE, never flaky."""
     from ..streaming.heavyhitters import heavy_hitters_stream
 
-    tmp = _fidelity_tmp("hh-fidelity-")
+    tmp = _fidelity_tmp("hh-fidelity-")  # per-run ckpt/sink only
     ev = table(spark, sf_dir, "events").select(
         "event_type", "ts", "event_id", "user_id"
     )
-    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    # Corpus cache is SAFE here despite MG's fold-order-dependent
+    # summary contents: the certified output carries only the exact
+    # n_seen and the bounds/heavy booleans the MG invariants guarantee
+    # TRUE for ANY fold order — summary membership never reaches the
+    # output columns (that is the whole point of the bound-certificate
+    # pattern this query documents).
+    corpus = _cached_corpus(
+        ("hh", sf_dir),
+        lambda p: ev.write.mode("overwrite").parquet(f"{p}/in"),
+    )
     stream = heavy_hitters_stream(
         spark.readStream.schema(
             "event_type string, ts timestamp, event_id bigint, user_id bigint"
-        ).parquet(f"{tmp}/in"),
+        ).parquet(f"{corpus}/in"),
         k=_MG_K,
     )
     out = _run_stream_to_memory(spark, stream, tmp)
@@ -1205,9 +1229,9 @@ def streaming_heavyhitters_fidelity(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("n_seen") == F.col("mx"))
         .select("event_type", "user_id", "est_count", "n_seen")
     )
-    exact = spark.read.parquet(f"{tmp}/in").groupBy("event_type", "user_id").agg(
-        F.count(F.lit(1)).alias("f")
-    )
+    exact = spark.read.parquet(f"{corpus}/in").groupBy(
+        "event_type", "user_id"
+    ).agg(F.count(F.lit(1)).alias("f"))
     joined = summary.join(exact, ["event_type", "user_id"], "left").select(
         "event_type",
         "n_seen",
