@@ -258,13 +258,23 @@ def streaming_window_funnel_fidelity(
     never un-resolves. The batch twin stays the plan of choice for
     historical scans; this is the live-dashboard form."""
     from ..streaming.cep import window_funnel_stream
-    from .llmdata11 import _fidelity_tmp, _materialize, _run_stream_to_memory
+    from .llmdata11 import (
+        _cached_corpus,
+        _fidelity_tmp,
+        _materialize,
+        _run_stream_to_memory,
+    )
 
-    tmp = _fidelity_tmp("funnel-fidelity-")
+    tmp = _fidelity_tmp("funnel-fidelity-")  # per-run ckpt/sink only
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    ev.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+    corpus = _cached_corpus(
+        ("winfunnel", sf_dir),
+        lambda p: ev.repartition(4)
+        .write.mode("overwrite")
+        .parquet(f"{p}/in"),
+    )
     # NOTE: multi-file parquet with maxFilesPerTrigger would deliver
     # batches in FILE order, not time order — the guard/retention folds
     # are order-insensitive across batches, the funnel fold is NOT
@@ -274,7 +284,7 @@ def streaming_window_funnel_fidelity(
     stream = window_funnel_stream(
         spark.readStream.schema(
             "user_id long, ts timestamp, event_id long, event_type string"
-        ).parquet(f"{tmp}/in")
+        ).parquet(f"{corpus}/in")
     )
     out = _run_stream_to_memory(spark, stream, tmp)
     from pyspark.sql import Window

@@ -239,12 +239,17 @@ def streaming_moments_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.moments import moments_stream
 
-    tmp = tempfile.mkdtemp(prefix="moments-fidelity-")
+    from .llmdata11 import _cached_corpus
+
+    tmp = tempfile.mkdtemp(prefix="moments-fidelity-")  # per-run ckpt only
     ev = table(spark, sf_dir, "events").select("event_type", "value")
-    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    corpus = _cached_corpus(
+        ("moments", sf_dir),
+        lambda p: ev.write.mode("overwrite").parquet(f"{p}/in"),
+    )
     stream = moments_stream(
         spark.readStream.schema("event_type string, value double").parquet(
-            f"{tmp}/in"
+            f"{corpus}/in"
         )
     )
     name = f"moments_fid_{abs(hash(tmp)) % 100000}"

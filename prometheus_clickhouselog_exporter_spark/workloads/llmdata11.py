@@ -1091,13 +1091,16 @@ def streaming_funnel_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     which both sides derive from the identical µs-integer difference."""
     from ..streaming.funnel import funnel_stream
 
-    tmp = _fidelity_tmp("funnel-fidelity-")
+    tmp = _fidelity_tmp("funnel-fidelity-")  # per-run ckpt/sink only
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    corpus = _cached_corpus(
+        ("funnel", sf_dir),
+        lambda p: ev.write.mode("overwrite").parquet(f"{p}/in"),
+    )
     stream = funnel_stream(
         spark.readStream.schema(
             "user_id bigint, ts timestamp, event_type string"
-        ).parquet(f"{tmp}/in")
+        ).parquet(f"{corpus}/in")
     )
     out = _run_stream_to_memory(spark, stream, tmp, mode="append")
     return _materialize(

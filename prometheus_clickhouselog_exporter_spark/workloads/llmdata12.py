@@ -369,11 +369,19 @@ def streaming_enrich_static_fidelity(spark: SparkSession, sf_dir: str) -> DataFr
     hash certification. The stream side never shuffles (broadcast dim);
     the rollup is the update-mode aggregate downstream."""
     from ..streaming.joins import enrich_stream_static
-    from .llmdata11 import _fidelity_tmp, _materialize, _run_stream_to_memory
+    from .llmdata11 import (
+        _cached_corpus,
+        _fidelity_tmp,
+        _materialize,
+        _run_stream_to_memory,
+    )
 
-    tmp = _fidelity_tmp("enrich-fidelity-")
+    tmp = _fidelity_tmp("enrich-fidelity-")  # per-run ckpt/sink only
     ev = table(spark, sf_dir, "events").select("event_type", "user_id", "value")
-    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    corpus = _cached_corpus(
+        ("enrich", sf_dir),
+        lambda p: ev.write.mode("overwrite").parquet(f"{p}/in"),
+    )
     dim = table(spark, sf_dir, "nation").select(
         (F.col("n_nationkey")).alias("nkey"), F.col("n_name").alias("nation")
     )
@@ -384,7 +392,7 @@ def streaming_enrich_static_fidelity(spark: SparkSession, sf_dir: str) -> DataFr
         spark.readStream.schema(
             "event_type string, user_id bigint, value double"
         )
-        .parquet(f"{tmp}/in")
+        .parquet(f"{corpus}/in")
         .withColumn("nkey", F.col("user_id") % 25),
         dim,
         key="nkey",

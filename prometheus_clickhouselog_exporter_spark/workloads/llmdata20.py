@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .core import MD5_SQL, fround, md5_long, query, table
-from .llmdata11 import _fidelity_tmp, _materialize, _run_stream_to_memory
+from .llmdata11 import (
+    _cached_corpus,
+    _fidelity_tmp,
+    _materialize,
+    _run_stream_to_memory,
+)
 
 _CMS_D = 4
 _CMS_W = 256
@@ -75,8 +80,6 @@ def streaming_cms_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tok")
         )
     )
-    from .llmdata11 import _cached_corpus
-
     corpus = _cached_corpus(
         ("cms", sf_dir),
         lambda p: toks.repartition(4)
@@ -259,8 +262,6 @@ def streaming_cep_guard_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    from .llmdata11 import _cached_corpus
-
     corpus = _cached_corpus(
         ("cep", sf_dir),
         lambda p: ev.write.mode("overwrite").parquet(f"{p}/in"),
@@ -319,13 +320,18 @@ def streaming_retention_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB/streaming: state per user is three booleans — retention is
     the textbook monotone streaming aggregate; no watermark needed, no
     custom state code."""
-    tmp = _fidelity_tmp("retention-fidelity-")
+    tmp = _fidelity_tmp("retention-fidelity-")  # per-run ckpt/sink only
     ev = table(spark, sf_dir, "events").select("user_id", "event_type")
-    ev.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+    corpus = _cached_corpus(
+        ("retention", sf_dir),
+        lambda p: ev.repartition(4)
+        .write.mode("overwrite")
+        .parquet(f"{p}/in"),
+    )
     stream = (
         spark.readStream.schema("user_id long, event_type string")
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tmp}/in")
+        .parquet(f"{corpus}/in")
     )
     per_user = stream.groupBy("user_id").agg(
         F.max((F.col("event_type") == "signup").cast("int")).alias("r1"),

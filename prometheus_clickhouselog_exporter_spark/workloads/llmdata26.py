@@ -234,13 +234,19 @@ def streaming_psi_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ref"))
     )
-    ev.filter(F.col("ts") >= cut).select(bucket.alias("bucket")).repartition(
-        4
-    ).write.mode("overwrite").parquet(f"{tmp}/in")
+    from .llmdata11 import _cached_corpus
+
+    cur_side = ev.filter(F.col("ts") >= cut).select(bucket.alias("bucket"))
+    corpus = _cached_corpus(
+        ("psi", sf_dir),
+        lambda p: cur_side.repartition(4)
+        .write.mode("overwrite")
+        .parquet(f"{p}/in"),
+    )
     stream = (
         spark.readStream.schema("bucket long")
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tmp}/in")
+        .parquet(f"{corpus}/in")
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_cur"))
     )

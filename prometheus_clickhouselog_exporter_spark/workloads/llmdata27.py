@@ -66,11 +66,18 @@ def streaming_m4_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_LTTB_BUCKETS - 1).cast("bigint"),
         ).alias("bkt"),
     )
-    binned.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+    from .llmdata11 import _cached_corpus
+
+    corpus = _cached_corpus(
+        ("m4", sf_dir),
+        lambda p: binned.repartition(4)
+        .write.mode("overwrite")
+        .parquet(f"{p}/in"),
+    )
     stream = (
         spark.readStream.schema("event_id bigint, x bigint, y bigint, bkt bigint")
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tmp}/in")
+        .parquet(f"{corpus}/in")
     )
     ykey_min = F.col("y") * F.lit(1000000000) + F.col("event_id")
     ykey_max = F.col("y") * F.lit(1000000000) - F.col("event_id")
