@@ -156,3 +156,65 @@ def test_ktruss_planted_clique_vs_chain(spark):
     assert out["c"].converged
     assert out["d"].n_edges_0 == 4 and out["d"].n_edges_truss == 0
     assert out["d"].converged
+
+
+def test_conover_planted_unequal_variances(spark):
+    """Same planted two-group fixture as Bartlett: the rank-based scale
+    test must also reject equality decisively."""
+    rows = []
+    for i in range(400):
+        tight = 1000.0 + ((i * 7) % 21 - 10) * 0.5
+        wide = 1000.0 + ((i * 13) % 21 - 10) * 30.0
+        rows.append((2 * i, "1-URGENT", tight, "1996-01-02"))
+        rows.append((2 * i + 1, "2-HIGH", wide, "1996-01-02"))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderpriority string, o_totalprice double,"
+        " o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/orders.parquet")
+        out = QUERIES["stats_conover_squared_ranks"](spark, td).collect()[0]
+    assert out.n_groups == 2 and out.df == 1
+    assert out.t_conover > 50.0
+
+
+def test_pettitt_planted_step_change(spark):
+    """A level shift at a known day must be located exactly and be
+    overwhelmingly significant."""
+    rows = []
+    oid = 0
+    for day in range(1, 29):  # Jan 1..28, one order per day
+        level = 100.0 if day <= 14 else 10000.0
+        rows.append((oid, "1-URGENT", level, "1996-01-%02d" % day))
+        oid += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderpriority string, o_totalprice double,"
+        " o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/orders.parquet")
+        out = QUERIES["stats_pettitt_changepoint"](spark, td).collect()[0]
+    assert out.n_days == 28
+    assert out.change_day == "1996-01-14"  # last day of the low regime
+    assert out.significant
+    # prefix ranks are LOW before an upward shift -> U_t negative
+    assert not out.shift_down
+
+
+def test_skeleton_blocking_vowel_typos_share_blocks(spark):
+    """Vowel-level typos must land in one skeleton block and verify;
+    consonant-different names must not be candidates at all."""
+    names = ["green metal", "grean metal", "blue steel", "blae steel",
+             "red brick"]
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/part.parquet")
+        out = QUERIES["er_consonant_skeleton_blocking"](spark, td).collect()[0]
+    assert out.n_names == 5
+    # green/grean -> 'grnmtl', blue/blae -> 'blstl': exactly 2 candidate
+    # pairs, both within levenshtein 2
+    assert out.candidate_pairs == 2
+    assert out.verified_pairs == 2
+    assert out.precision_q == 1.0

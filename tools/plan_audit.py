@@ -250,6 +250,8 @@ MULTI_BNLJ_OK: dict[str, str] = {
     "sample_class_balanced": "1-row n_min + class-offset broadcasts",
     # grand-median + half-count 1-row scalars crossed into the census
     "stats_moods_median": "1-row median/half-count broadcasts",
+    # n_names/block-stats/verify 1-row scalar crosses into the summary
+    "er_consonant_skeleton_blocking": "1-row blocking-profile scalars",
     # 1-row item-count scalar + 25-row rank censuses crossed in
     "eval_kendalls_w": "1-row count + dim-bounded rank broadcasts",
 }
