@@ -820,11 +820,6 @@ def eval_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sq").cast("bigint").alias("s_q"),
         )
     )
-    ranks_long = (
-        r1.select(F.col("rk1").alias("rk"))
-        .unionAll(r2.select(F.col("rk2").alias("rk")))
-        .unionAll(r3.select(F.col("rk3").alias("rk")))
-    )
     # per-rater tie census: identical rank values within one rater's
     # ranking are ties; across raters they are not — census per source
     t1 = r1.groupBy("rk1").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
