@@ -59,7 +59,10 @@ def similarity_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )  # scan once: index build + search + certifier reuse it
     queries_df = emb.filter(F.col("vec_id") < 8)
-    ap = hnsw_topk(emb, queries_df, "embedding", "vec_id", "vec_id", k=10)
+    ap = hnsw_topk(
+        emb, queries_df, "embedding", "vec_id", "vec_id", k=10,
+        train_cache_key=("embeddings", sf_dir),
+    )
     return certify_topk_bound(
         emb, ap, "embedding", "vec_id", queries_df, "vec_id", k=10, eps=0.10
     )

@@ -469,7 +469,10 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )  # scan once: ANN op + certifier exact/rescore reuse it
     queries_df = emb.filter(F.col("vec_id") < 8)
-    ap = pq_adc_topk(emb, queries_df, "embedding", "vec_id", "vec_id", k=10)
+    ap = pq_adc_topk(
+        emb, queries_df, "embedding", "vec_id", "vec_id", k=10,
+        train_cache_key=("embeddings", sf_dir),
+    )
     return certify_topk_bound(emb, ap, "embedding", "vec_id", queries_df, "vec_id", k=10, eps=0.30)
 
 
@@ -489,7 +492,10 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )  # scan once: ANN op + certifier exact/rescore reuse it
     queries_df = emb.filter(F.col("vec_id") < 8)
-    ap = ivfpq_topk(emb, queries_df, "embedding", "vec_id", "vec_id", k=10)
+    ap = ivfpq_topk(
+        emb, queries_df, "embedding", "vec_id", "vec_id", k=10,
+        train_cache_key=("embeddings", sf_dir),
+    )
     return certify_topk_bound(emb, ap, "embedding", "vec_id", queries_df, "vec_id", k=10, eps=0.30)
 
 
