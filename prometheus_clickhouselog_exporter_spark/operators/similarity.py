@@ -412,6 +412,28 @@ def _exceeds(df: DataFrame, threshold: int) -> bool:
 # suites that build tmp parquet corpora get distinct path-based keys.
 _TRAIN_CACHE: dict[tuple, object] = {}
 
+# Materialized-index cache (same argument, for index structures too big
+# to hold as driver tensors): the kNN edge LIST behind the graph/beam/
+# hnsw rungs is a deterministic function of (corpus, LSH params, degree)
+# and re-built per invocation; on first build per key it is written once
+# to a session tempdir (atexit-cleaned) and re-read thereafter.
+_INDEX_CACHE_BASE: list[str] = []
+
+
+def _index_cache_path(key: tuple) -> str:
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    if not _INDEX_CACHE_BASE:
+        base = tempfile.mkdtemp(prefix="ann-index-cache-")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        _INDEX_CACHE_BASE.append(base)
+    h = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    return os.path.join(_INDEX_CACHE_BASE[0], f"edges-{h}")
+
 
 def _train_key(df: DataFrame, *parts, explicit=None):
     """Cache key = hyperparameters + corpus identity. Identity comes from
@@ -666,6 +688,7 @@ def _lsh_candidate_graph(
     n_tables: int,
     graph_degree: int,
     seed: int,
+    train_cache_key=None,
 ):
     """Shared LSH candidate stage + in-bucket kNN graph (the expansion
     substrate for graph_expand_topk and beam_search_topk): returns
@@ -692,14 +715,34 @@ def _lsh_candidate_graph(
         .dropDuplicates(["query_id", "nbr_id"])
         .localCheckpoint(eager=False)
     )
-    edges = _knn_edges(c_base, c_ids, graph_degree)
+    ek = (
+        None
+        if train_cache_key is None
+        else ("edges", tuple(train_cache_key), dim, n_planes, n_tables,
+              graph_degree, seed)
+    )
+    edges = _knn_edges(c_base, c_ids, graph_degree, cache_key=ek)
     return c_base, q_base, base, edges
 
 
-def _knn_edges(c_base: DataFrame, c_ids: DataFrame, graph_degree: int) -> DataFrame:
+def _knn_edges(
+    c_base: DataFrame,
+    c_ids: DataFrame,
+    graph_degree: int,
+    cache_key: tuple | None = None,
+) -> DataFrame:
     """In-bucket approximate kNN graph over the corpus: bucket self-join
     proposes candidate edges (ids only), vectors rejoin once per distinct
-    pair, WindowGroupLimit keeps the top-``graph_degree`` per node."""
+    pair, WindowGroupLimit keeps the top-``graph_degree`` per node.
+    With ``cache_key`` the edge list persists to the session index cache
+    (deterministic: set-semantics candidates, cos-desc/dst tie-break)."""
+    import os
+
+    spark = c_base.sparkSession
+    if cache_key is not None:
+        path = _index_cache_path(cache_key)
+        if os.path.exists(path):
+            return spark.read.parquet(path)
     a = c_ids.select(F.col("nbr_id").alias("src"), "_bucket")
     b = c_ids.select(F.col("nbr_id").alias("dst"), "_bucket")
     cand_edges = (
@@ -711,7 +754,7 @@ def _knn_edges(c_base: DataFrame, c_ids: DataFrame, graph_degree: int) -> DataFr
     sv = c_base.select(F.col("nbr_id").alias("src"), F.col("_cv").alias("_sv"))
     dv = c_base.select(F.col("nbr_id").alias("dst"), F.col("_cv").alias("_dv"))
     wg = Window.partitionBy("src").orderBy(F.col("edge_cos").desc(), F.col("dst"))
-    return (
+    edges = (
         cand_edges.join(sv, "src")
         .join(dv, "dst")
         .withColumn("edge_cos", dot(F.col("_sv"), F.col("_dv")))
@@ -720,6 +763,10 @@ def _knn_edges(c_base: DataFrame, c_ids: DataFrame, graph_degree: int) -> DataFr
         .select("src", "dst")
         .localCheckpoint(eager=False)
     )
+    if cache_key is not None:
+        edges.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    return edges
 
 
 def graph_expand_topk(
@@ -734,6 +781,7 @@ def graph_expand_topk(
     n_tables: int = 4,
     graph_degree: int = 8,
     seed: int = 42,
+    train_cache_key=None,
 ) -> DataFrame:
     """Graph-expansion ANN (the HNSW/NN-descent idea, one hop, batch
     form): a deliberately cheap LSH stage proposes base candidates, a
@@ -761,6 +809,7 @@ def graph_expand_topk(
     c_base, q_base, base, edges = _lsh_candidate_graph(
         corpus, queries, vec_col, id_col, query_id_col,
         dim, n_planes, n_tables, graph_degree, seed,
+        train_cache_key=train_cache_key,
     )
 
     # one-hop expansion: candidates ∪ neighbors-of-candidates (ids only)
@@ -860,6 +909,7 @@ def beam_search_topk(
     n_tables: int = 4,
     graph_degree: int = 8,
     seed: int = 42,
+    train_cache_key=None,
 ) -> DataFrame:
     """Beam search over the bucket-built kNN graph — the HNSW search
     loop in batch form: from the weak LSH candidates, iterate `hops`
@@ -878,6 +928,7 @@ def beam_search_topk(
     c_base, q_base, base, edges = _lsh_candidate_graph(
         corpus, queries, vec_col, id_col, query_id_col,
         dim, n_planes, n_tables, graph_degree, seed,
+        train_cache_key=train_cache_key,
     )
     return _beam_loop(c_base, q_base, base, edges, k=k, beam=beam, hops=hops)
 
@@ -1018,7 +1069,13 @@ def hnsw_topk(
     c_ids = c_base.withColumn(
         "_bucket", F.explode(bucketer(F.col("_cv")))
     ).select("nbr_id", "_bucket").localCheckpoint(eager=False)
-    edges = _knn_edges(c_base, c_ids, graph_degree)
+    ek = (
+        None
+        if train_cache_key is None
+        else ("edges", tuple(train_cache_key), dim, n_planes, n_tables,
+              graph_degree, seed)
+    )
+    edges = _knn_edges(c_base, c_ids, graph_degree, cache_key=ek)
 
     # --- index build: coarse layer (size-dispatched, IVF discipline;
     # session-cached, shared with ivf_topk at equal hyperparameters)

@@ -472,7 +472,10 @@ def similarity_beam_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )  # scan once: beam search + certifier exact/rescore reuse it
     queries_df = emb.filter(F.col("vec_id") < 8)
-    ap = beam_search_topk(emb, queries_df, "embedding", "vec_id", "vec_id", k=10)
+    ap = beam_search_topk(
+        emb, queries_df, "embedding", "vec_id", "vec_id", k=10,
+        train_cache_key=("embeddings", sf_dir),
+    )
     return certify_topk_bound(
         emb, ap, "embedding", "vec_id", queries_df, "vec_id", k=10, eps=0.10
     )

@@ -174,5 +174,8 @@ def similarity_graph_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )  # scan once: ANN op + certifier exact/rescore reuse it
     queries_df = emb.filter(F.col("vec_id") < 8)
-    ap = graph_expand_topk(emb, queries_df, "embedding", "vec_id", "vec_id", k=10)
+    ap = graph_expand_topk(
+        emb, queries_df, "embedding", "vec_id", "vec_id", k=10,
+        train_cache_key=("embeddings", sf_dir),
+    )
     return certify_topk_bound(emb, ap, "embedding", "vec_id", queries_df, "vec_id", k=10, eps=0.10)
