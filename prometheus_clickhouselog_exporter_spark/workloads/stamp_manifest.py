@@ -1,78 +1,29 @@
-"""Static driver-stamp priority manifest (round 11).
+"""Static driver-stamp priority manifest (round 12).
 
-Evidence basis (judged from CORRECTNESS_r01..r10.json mapped onto
+Evidence basis (judged from CORRECTNESS_r01..r11.json mapped onto
 registry positions): the driver stamps the HEAD-50 of the order that
 ``__spark_entry__.queries()`` returns — r9 took the first 50
 never-stamped entries of the r9 ordering, r10 the first 50 of the r10
-ordering.  The r10 prio-1 tie-break used raw registry rank, and the
-36 r2/r3-era never-stamped queries live in ``pipeline_ops*`` /
-``diagnostics`` modules that import LAST, so every round's new modules
-outranked the old debt and it was never reached.
+ordering, and r11 took all 50 from this manifest (verified in the r11
+verdict).  ``_registration_order`` in ``__spark_entry__`` ranks
+never-stamped names by their index here; never-stamped names NOT
+listed (i.e. any round-12+ additions) rank after every manifest entry,
+so new work cannot displace the debt.
 
-``STAMP_PRIORITY`` pins the never-stamped pool explicitly,
-oldest-first: the 36 r2/r3-era queries, then the 31 r10 batch-10..13
-queries that landed after the r10 driver run.  ``_registration_order``
-in ``__spark_entry__`` ranks never-stamped names by their index here;
-never-stamped names NOT listed (i.e. any round-11+ additions) rank
-after every manifest entry, so new work cannot displace the debt.
+Round-12 pruning (VERDICT r11, Next round #1): the 50 entries whose
+r11 driver stamp landed green were removed; what remains is exactly
+the 30 queries never sampled by any driver round — 17 late-r10
+registrations followed by the 13 round-11 additions, each group in
+registry order among themselves.  With registry growth held ≤20 this
+round, the next head-50 window = these 30 + up to 20 re-certs, so the
+debt clears in round 12.
 
-Remove names from this list only when their driver stamp lands green;
-VERDICT r10 "Next round #1" is the directive this implements.
+Remove names from this list only when their driver stamp lands green.
 """
 
 STAMP_PRIORITY: list[str] = [
-    # --- 36 r2/r3-era queries, in registry order among themselves ---
-    "events_markov_transitions",
-    "drift_psi_value_halves",
-    "keyskew_gini_customers",
-    "incremental_agg_merge",
-    "graph_pagerank_names",
-    "scd2_customer_priority_history",
-    "dedup_cluster_canonical",
-    "sample_hash_bernoulli",
-    "sample_stratified_lang",
-    "sample_coordinated_users",
-    "text_quantile_stats",
-    "text_repetition_filter",
-    "dedup_jaccard_pruned",
-    "heavy_hitter_tokens",
-    "dedup_substring_spans",
-    "dedup_incremental_bloom",
-    "curation_manifest_end2end",
-    "sample_source_quota",
-    "cohort_retention_events",
-    "attribution_last_touch",
-    "split_train_valid_test",
-    "stats_robust_mad",
-    "layout_zorder_manifest",
-    "text_bpe_merge_candidates",
-    "text_boilerplate_chunk_df",
-    "pack_padding_efficiency",
-    "sample_epoch_shuffle",
-    "quality_ccnet_buckets",
-    "quantile_disc_doclen",
-    "er_fuzzy_levenshtein_join",
-    "window_rolling_distinct_users",
-    "stats_weighted_median",
-    "stats_grouped_ols",
-    "stats_multivar_ols_2f",
-    "stats_ab_test_zscore",
-    "stats_bootstrap_ci_mean",
-    # --- 31 r10 batch-10..13 queries (landed after the r10 driver run) ---
-    "layout_hilbert_manifest",
-    "graph_closeness_centrality",
-    "clickhouse_summap_battery",
-    "sample_horvitz_thompson",
-    "stats_hodges_lehmann",
-    "ml_mrmr_feature_select",
-    "stats_granger_causality",
-    "timeseries_technical_indicators",
-    "stats_page_trend",
-    "promql_vector_matching",
-    "eval_fleiss_kappa",
-    "stats_cronbach_alpha",
-    "eval_brier_decomposition",
-    "stats_quade_test",
+    # --- 17 late-r10 registrations (landed after the r10 driver run,
+    #     not reached by the r11 head-50), in registry order ---
     "promql_offset_atmodifier",
     "embedding_ledoit_wolf",
     "eval_chrf_pairs",
@@ -90,4 +41,19 @@ STAMP_PRIORITY: list[str] = [
     "timeseries_hurst_rs",
     "stats_ansari_bradley",
     "text_js_divergence",
+    # --- 13 round-11 additions (landed after the r11 driver run),
+    #     in registry order ---
+    "stats_bartlett_test",
+    "stats_moods_median",
+    "stats_kuiper_uniformity",
+    "stats_watson_u2",
+    "stats_esd_outlier_rounds",
+    "eval_kendalls_w",
+    "timeseries_stl_strength",
+    "ml_platt_scaling",
+    "promql_holt_winters",
+    "graph_ktruss_edges",
+    "stats_conover_squared_ranks",
+    "stats_pettitt_changepoint",
+    "er_consonant_skeleton_blocking",
 ]

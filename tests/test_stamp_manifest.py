@@ -1,12 +1,13 @@
-"""The driver-stamp drain mechanism (VERDICT r10, Next round #1).
+"""The driver-stamp drain mechanism (VERDICT r10 #1, r11 #1).
 
-CORRECTNESS_r01..r10.json mapped onto registry positions shows the
+CORRECTNESS_r01..r11.json mapped onto registry positions shows the
 driver stamps the HEAD-50 of the order ``__spark_entry__.queries()``
 returns, so this ordering IS the sampling policy.  These tests pin the
-round-11 manifest mechanics: the never-stamped pool is ordered by the
-static ``STAMP_PRIORITY`` list (36 r2/r3-era queries first, then the
-31 r10 batch-10..13 queries), and any future never-stamped name not in
-the manifest ranks after every manifest entry.
+round-12 manifest mechanics: the never-stamped pool is ordered by the
+static ``STAMP_PRIORITY`` list (pruned at r12 start to exactly the 30
+queries no driver round has ever sampled — 17 late-r10 registrations,
+then the 13 round-11 additions), and any future never-stamped name not
+in the manifest ranks after every manifest entry.
 """
 
 from __future__ import annotations
@@ -43,7 +44,7 @@ def test_manifest_has_no_duplicates():
 
 
 def test_manifest_covers_exactly_the_never_stamped_pool():
-    """As of round 11's start: 67 never-stamped queries, all in the manifest.
+    """As of round 12's start: 30 never-stamped queries, all in the manifest.
 
     If a future round's CORRECTNESS file stamps some of these green they
     stay harmlessly in the manifest (priority 2 sorts them by registry
@@ -76,15 +77,15 @@ def test_never_stamped_head_is_manifest_order():
 
 
 def test_head_50_drains_oldest_debt_first():
-    """At r11 start the head-50 must be the 36 r2/r3-era queries plus the
-    14 oldest late-r10 queries — the driver's next stamp window."""
+    """At r12 start the head-50 must contain every manifest entry that is
+    still unstamped (all 30 of them) — the driver's next stamp window.
+    Registry growth this round must stay small enough that this holds."""
     stamped = _stamped_names()
     order = entrymod._registration_order()
-    old_era = set(STAMP_PRIORITY[:36])
-    unstamped_old = [n for n in old_era if n not in stamped]
+    unstamped_old = [n for n in STAMP_PRIORITY if n not in stamped]
     head = set(order[:50])
     assert all(n in head for n in unstamped_old), (
-        "an unstamped r2/r3-era query fell outside the driver's head-50 window"
+        "an unstamped manifest query fell outside the driver's head-50 window"
     )
 
 
