@@ -254,6 +254,78 @@ MULTI_BNLJ_OK: dict[str, str] = {
     "er_consonant_skeleton_blocking": "1-row blocking-profile scalars",
     # 1-row item-count scalar + 25-row rank censuses crossed in
     "eval_kendalls_w": "1-row count + dim-bounded rank broadcasts",
+    # --- r12 adjudications (VERDICT r11, Next round #2) ---
+    # each entry states the bound that keeps every BNLJ side 1-row or
+    # dimension-sized; spot-read at adjudication time (relative
+    # file:line cites are the source of each bound)
+    # |types|^2 pair frame (event-type domain) + 1-row totals;
+    # relational20.py:148-171
+    "audience_overlap_matrix": "|types|^2 pairs + 1-row totals",
+    # 1-row EM parameter rows (u0, m1/u1/lam) crossed onto the bounded
+    # candidate-pair frame; relational35.py:563-597
+    "er_fellegi_sunter_em": "1-row EM parameter broadcasts",
+    # 1-row estimate + confusion-matrix scalars onto field rows;
+    # relational35.py:225-254
+    "er_fellegi_sunter_scoring": "1-row estimate/confusion scalars",
+    # 1-row corpus-size N broadcast onto the scored frame;
+    # llmdata23.py:145
+    "eval_retrieval_metrics": "1-row corpus-size scalar",
+    # 1-row max-norm scalars for hub and authority normalization;
+    # relational39.py:112-128
+    "graph_hits_hub_authority": "1-row hub/auth max-norm scalars",
+    # 1-row global census (gn/gs/gs2) + 1-row bin total crossed onto
+    # the EMD grid; relational46.py:79,442-443
+    "kanon_tcloseness_audit": "1-row global-census scalars",
+    # four 1-row aggregates (min/max, two zone summaries, two counts)
+    # onto a single output row; llmdata25.py:257-316
+    "layout_zonemap_skipping": "1-row min/max + zone-summary scalars",
+    # 1-row peak-concurrency + session/change-point counts;
+    # llmdata16.py:550-553
+    "logpipe_concurrency_profile": "1-row peak/count scalars",
+    # 1-row OLS coefficient row + conformal quantile + test scalars;
+    # relational45.py:423-462
+    "ml_conformal_interval": "1-row coef/quantile/test scalars",
+    # 1-row Newton parameter vector crossed onto observations each
+    # iteration; llmdata28.py:930-996
+    "ml_logistic_newton2": "1-row Newton parameter broadcasts",
+    # 1-row vocab/total scalars + |C|-row class stats (class domain);
+    # llmdata19.py:115,323-360
+    "ml_naive_bayes_train": "1-row vocab/total + |C|-row class stats",
+    # 1-row corpus totals + per-source (source domain) shares;
+    # llmdata28.py:657-694
+    "sample_doremi_weights": "1-row totals + |sources|-row shares",
+    # 1-row ns/nt totals crossed onto the hash-bucket frame;
+    # llmdata16.py:230,323-324
+    "sample_dsir_importance": "1-row ns/nt total scalars",
+    # 1-row exact-count scalars crossed onto sketch estimate rows;
+    # relational25.py:98,121
+    "sketch_theta_setops": "1-row exact-count scalars",
+    # 1-row grand-total moments + 1-row SSB scalar; relational15.py:286-294
+    "stats_anova_dow": "1-row grand-total + SSB scalars",
+    # 1-row observed-diff + bootstrap-bounds scalars; relational41.py:194
+    "stats_bootstrap_ci_diff": "1-row observed/bounds scalars",
+    # |langs| x |value-census| grid (census-bounded axes, never a row
+    # pair join); relational48.py:97-100
+    "stats_jonckheere_terpstra": "langs x value-census grid",
+    # 1-row n_months/n_days count scalars; relational13.py:111,192
+    "stats_kendall_tau": "1-row month/day-count scalars",
+    # 1-row grand totals onto the source x ECDF-grid frame;
+    # relational22.py:278-281
+    "stats_ks_per_source": "1-row grand-total scalars",
+    # 1-row rest-total nt scalar onto the grid; relational23.py:192-216
+    "stats_ks_source_vs_rest": "1-row rest-total scalar",
+    # 1-row grand-total + SSB scalars (Brown-Forsythe recentering);
+    # relational18.py:164-172
+    "stats_levene_bf": "1-row grand-total + SSB scalars",
+    # 4x4 quarter-pair frame + 1-row n scalar; relational23.py:324-326
+    "stats_nemenyi_quarters": "4x4 quarter pairs + 1-row n",
+    # 1-row observed-stat + permutation-count scalars;
+    # relational41.py:291-297
+    "stats_randomization_test": "1-row observed/count scalars",
+    # 1-row day-count scalar onto slope-pair stats; relational13.py:111
+    "stats_theil_sen_trend": "1-row day-count scalar",
+    # 7-row lag frame + 1-row moment scalars; relational19.py:85,103
+    "timeseries_autocorr_daily": "7-row lags + 1-row moments",
 }
 
 
