@@ -410,6 +410,14 @@ def _exceeds(df: DataFrame, threshold: int) -> bool:
 # provenance, so in-memory test frames (no files) are NEVER cached — a
 # content-less key could alias two different corpora — and recall/pytest
 # suites that build tmp parquet corpora get distinct path-based keys.
+# r12 (VERDICT r11 #3): explicit keys from the workload layer are built
+# by ``workloads.core.corpus_key`` and embed the source table's file
+# listing (path, mtime_ns, size), so an in-place overwrite of the
+# corpus parquet under the SAME path is a cache miss — the trainer
+# retrains instead of serving stale centroids. Implicit keys (from
+# ``df.inputFiles()``) already carried paths; they remain path-only by
+# construction of the file-source plan (a rewritten file set changes
+# the listing).
 _TRAIN_CACHE: dict[tuple, object] = {}
 
 # Materialized-index cache (same argument, for index structures too big

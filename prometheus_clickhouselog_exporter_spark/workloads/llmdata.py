@@ -30,7 +30,7 @@ from ..operators.textstats import (
     quality_score,
     token_count,
 )
-from .core import ANN_CERT_ORACLE, fan_out, fround, query, table
+from .core import ANN_CERT_ORACLE, corpus_key, fan_out, fround, query, table
 
 
 @query(
@@ -462,6 +462,6 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 8)
     ap = ivf_topk(
         emb, queries_df, "embedding", "vec_id", "vec_id", k=10,
-        train_cache_key=("embeddings", sf_dir),
+        train_cache_key=corpus_key(sf_dir, "embeddings"),
     )
     return certify_topk_bound(emb, ap, "embedding", "vec_id", queries_df, "vec_id", k=10, eps=0.15)

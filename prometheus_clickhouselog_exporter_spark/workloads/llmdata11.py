@@ -560,13 +560,25 @@ _STREAM_CORPUS_CACHE: dict[tuple, str] = {}
 
 
 def _cached_corpus(key: tuple, build) -> str:
-    """Return the session-cached corpus dir for ``key``, invoking
-    ``build(dir)`` to materialize it on first use."""
-    if key not in _STREAM_CORPUS_CACHE:
+    """Return the session-cached corpus dir for ``key = (name, sf_dir)``,
+    invoking ``build(dir)`` to materialize it on first use.
+
+    Every fidelity corpus here is a deterministic derivation of the
+    ``events`` table under ``sf_dir``, so the effective cache key folds
+    in that table's file provenance (path, mtime_ns, size per data file,
+    ``core.source_provenance``): an in-place rewrite of the source
+    parquet under the same path is a cache MISS and the corpus is
+    rebuilt (VERDICT r11, What's wrong #4). Callers must NOT mutate or
+    delete the returned dir — per-run state belongs in a separate
+    ``_fidelity_tmp``."""
+    from .core import source_provenance
+
+    full = key + (source_provenance(key[1], "events"),)
+    if full not in _STREAM_CORPUS_CACHE:
         d = _fidelity_tmp(f"corpus-{key[0]}-")
         build(d)
-        _STREAM_CORPUS_CACHE[key] = d
-    return _STREAM_CORPUS_CACHE[key]
+        _STREAM_CORPUS_CACHE[full] = d
+    return _STREAM_CORPUS_CACHE[full]
 
 
 def _bump_new_file_mtimes(path: str, before: set[str], gap_s: int = 60) -> None:

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import fround, query, table
+from .core import corpus_key, fround, query, table
 
 _K = 8
 _ROUNDS = 3
@@ -474,7 +474,7 @@ def similarity_beam_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 8)
     ap = beam_search_topk(
         emb, queries_df, "embedding", "vec_id", "vec_id", k=10,
-        train_cache_key=("embeddings", sf_dir),
+        train_cache_key=corpus_key(sf_dir, "embeddings"),
     )
     return certify_topk_bound(
         emb, ap, "embedding", "vec_id", queries_df, "vec_id", k=10, eps=0.10

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.suffixes import suffix_lcp_unbounded
-from .core import query, table
+from .core import corpus_key, query, table
 
 _L = 10  # minimum duplicated span worth reporting (tokens) — llmdata13 parity
 
@@ -61,7 +61,7 @@ def similarity_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 8)
     ap = hnsw_topk(
         emb, queries_df, "embedding", "vec_id", "vec_id", k=10,
-        train_cache_key=("embeddings", sf_dir),
+        train_cache_key=corpus_key(sf_dir, "embeddings"),
     )
     return certify_topk_bound(
         emb, ap, "embedding", "vec_id", queries_df, "vec_id", k=10, eps=0.10

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import ANN_CERT_ORACLE, fround, money, query, table
+from .core import ANN_CERT_ORACLE, corpus_key, fround, money, query, table
 
 
 @query(
@@ -471,7 +471,7 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 8)
     ap = pq_adc_topk(
         emb, queries_df, "embedding", "vec_id", "vec_id", k=10,
-        train_cache_key=("embeddings", sf_dir),
+        train_cache_key=corpus_key(sf_dir, "embeddings"),
     )
     return certify_topk_bound(emb, ap, "embedding", "vec_id", queries_df, "vec_id", k=10, eps=0.30)
 
@@ -494,7 +494,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 8)
     ap = ivfpq_topk(
         emb, queries_df, "embedding", "vec_id", "vec_id", k=10,
-        train_cache_key=("embeddings", sf_dir),
+        train_cache_key=corpus_key(sf_dir, "embeddings"),
     )
     return certify_topk_bound(emb, ap, "embedding", "vec_id", queries_df, "vec_id", k=10, eps=0.30)
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import ANN_CERT_ORACLE, fan_out, query, table
+from .core import ANN_CERT_ORACLE, corpus_key, fan_out, query, table
 
 
 @query(
@@ -176,6 +176,6 @@ def similarity_graph_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 8)
     ap = graph_expand_topk(
         emb, queries_df, "embedding", "vec_id", "vec_id", k=10,
-        train_cache_key=("embeddings", sf_dir),
+        train_cache_key=corpus_key(sf_dir, "embeddings"),
     )
     return certify_topk_bound(emb, ap, "embedding", "vec_id", queries_df, "vec_id", k=10, eps=0.10)
