@@ -299,13 +299,16 @@ def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     value is a constant of (n, α) the reader applies). The max
     deviation is also reported in kilo-dollar units.
 
-    Exactness: reuses the quantized central-moment scaffolding
-    (m2·n/(n−1) is the sample variance); the max is over per-row
-    quantized |u|·1e9 BIGINTs — max is order-independent, so no float
-    reduction concern exists even before quantization, and quantizing
-    makes the tie behavior explicit.
+    Exactness: the same quantized-moment discipline as
+    stats_jarque_bera (m2 = Σfloor(u²·1e9)/1e9/n; m2·n/(n−1) is the
+    sample variance) with the u²-fold and the max-|u| fold fused into
+    ONE grouped pass; the max is over per-row quantized |u|·1e9
+    BIGINTs — max is order-independent, so no float reduction concern
+    exists even before quantization, and quantizing makes the tie
+    behavior explicit.
 
-    100 TB: two scan passes, 5-row result; max folds map-side.
+    100 TB: two scan passes total (group means, then the fused
+    moment+max fold), 5-row result; both folds map-side combinable.
 
     Ref cite: none — §2.3 territory."""
     o = table(spark, sf_dir, "orders")
@@ -322,21 +325,23 @@ def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("sx").cast("double") / F.col("n") / 1e5
     )
     dev = q.join(F.broadcast(means), "grp").select("grp", "n", u.alias("u"))
-    mx = dev.groupBy("grp").agg(
-        F.max(F.floor(F.abs(F.col("u")) * 1e9).cast("bigint")).alias("dq")
+    fold = dev.groupBy("grp").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(
+            F.floor(F.col("u") * F.col("u") * 1e9)
+            .cast("bigint")
+            .cast("decimal(38,0)")
+        ).alias("s2"),
+        F.max(F.floor(F.abs(F.col("u")) * 1e9).cast("bigint")).alias("dq"),
     )
-    m = _moments(spark, sf_dir)
-    s = F.sqrt(F.col("m2") * F.col("n") / (F.col("n") - 1))
-    return (
-        m.join(mx, "grp")
-        .select(
-            "grp",
-            "n",
-            fround(F.col("dq").cast("double") / 1e9 / s, 6).alias("g_grubbs"),
-            fround(F.col("dq").cast("double") / 1e9, 6).alias("max_dev_kusd"),
-        )
-        .orderBy("grp")
-    )
+    m2 = F.col("s2").cast("double") / 1e9 / F.col("n")
+    s = F.sqrt(m2 * F.col("n") / (F.col("n") - 1))
+    return fold.select(
+        "grp",
+        "n",
+        fround(F.col("dq").cast("double") / 1e9 / s, 6).alias("g_grubbs"),
+        fround(F.col("dq").cast("double") / 1e9, 6).alias("max_dev_kusd"),
+    ).orderBy("grp")
 
 
 # --- Cochran's Q -------------------------------------------------------------------

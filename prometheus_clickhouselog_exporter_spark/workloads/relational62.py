@@ -809,7 +809,9 @@ def sample_kish_deff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ref cite: none — §2.3 territory."""
     d = table(spark, sf_dir, "documents")
-    s = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("nh"))
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh")
+    ).localCheckpoint(eager=False)  # totals + both weight folds read it
     tot = s.agg(
         F.sum("nh").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("k"),

@@ -66,6 +66,12 @@ BOUNDED_GLOBAL_WINDOW_OK: set[str] = {
     # calendar-cardinality daily-revenue series (groupBy day, ckpt) —
     # the centered-MA trend window rides ~30 rows (365 at a year)
     "timeseries_seasonal_decompose",
+    # --- r12: day-census series behind a localCheckpoint (the detector
+    # sees Scan ExistingRDD, not the bounding groupBy(day) above it) —
+    # every window here rides calendar-cardinality census rows
+    "timeseries_variance_ratio",
+    "timeseries_pacf_durbin_levinson",
+    "timeseries_theil_u",
 }
 
 
@@ -326,6 +332,22 @@ MULTI_BNLJ_OK: dict[str, str] = {
     "stats_theil_sen_trend": "1-row day-count scalar",
     # 7-row lag frame + 1-row moment scalars; relational19.py:85,103
     "timeseries_autocorr_daily": "7-row lags + 1-row moments",
+    # --- r12 batch (bounds stated in each docstring) ---
+    # 1-row pooled totals (n1/n2/N) crossed onto the price-cents census
+    "stats_siegel_tukey": "1-row pooled totals onto census",
+    "stats_lepage_test": "1-row pooled totals onto census",
+    # 1-row pooled N onto the langs x n_chars-census grid
+    "stats_ad_ksample": "1-row N onto census grid",
+    # 1-row drift/variance scalars onto day-census difference frames
+    "timeseries_variance_ratio": "1-row drift/moment scalars",
+    # 1-row series mean + 1-row lag-product scalars onto the day census
+    "timeseries_pacf_durbin_levinson": "1-row mean/lag-product scalars",
+    # 1-row root-impurity base onto three bounded value censuses
+    "ml_gini_feature_split": "1-row base onto bounded censuses",
+    # 25x25 nation pair frame + 1-row n/precision-sum scalars
+    "eval_ap_correlation": "25x25 nation pairs + 1-row scalars",
+    # 1-row N/k totals onto the |sources|-row stratum census
+    "sample_kish_deff": "1-row totals onto stratum census",
 }
 
 
