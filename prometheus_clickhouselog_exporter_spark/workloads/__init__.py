@@ -107,6 +107,7 @@ from . import relational59  # noqa: F401,E402
 from . import relational60  # noqa: F401,E402
 from . import relational61  # noqa: F401,E402
 from . import relational62  # noqa: F401,E402
+from . import relational63  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import pipeline_ops2  # noqa: F401,E402

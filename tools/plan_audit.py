@@ -72,6 +72,7 @@ BOUNDED_GLOBAL_WINDOW_OK: set[str] = {
     "timeseries_variance_ratio",
     "timeseries_pacf_durbin_levinson",
     "timeseries_theil_u",
+    "timeseries_ljung_box",
 }
 
 
@@ -163,6 +164,11 @@ OPEN_DOMAIN_WINDOW_OK: dict[str, str] = {
 # construction time (the build-jobs smell). Every entry's eager work is
 # bounded by construction; reviewed at add time, re-review when touched.
 BUILD_JOBS_OK: dict[str, str] = {
+    # r12: four chained census localCheckpoints (grp x value census,
+    # deviation census, scored cells, 5-row group fold) materialize at
+    # plan-print time — every one is census-bounded (distinct n_chars
+    # values x 5 langs), never corpus-sized
+    "stats_fligner_killeen": "chained census checkpoints (bounded)",
     # distrank top-tier fold: top_df.count() + <=100k-row collect +
     # gt.count() per exclusive_prefix call (operators/distrank.py
     # docstring), x2 calls here (vocab rank + shuffled-baseline rank)
@@ -348,6 +354,12 @@ MULTI_BNLJ_OK: dict[str, str] = {
     "eval_ap_correlation": "25x25 nation pairs + 1-row scalars",
     # 1-row N/k totals onto the |sources|-row stratum census
     "sample_kish_deff": "1-row totals onto stratum census",
+    # 1-row pooled-N scalar crossed onto census score cells + 1-row
+    # variance/terms folds (normal-scores family, r12 batch 4)
+    "stats_fligner_killeen": "1-row N + score-fold scalars",
+    "stats_van_der_waerden": "1-row N + score-fold scalars",
+    # 1-row series mean + 1-row lag-product scalars (day census)
+    "timeseries_ljung_box": "1-row mean/lag-product scalars",
 }
 
 
