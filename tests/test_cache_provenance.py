@@ -97,3 +97,50 @@ def test_fidelity_corpus_cache_miss_after_overwrite(spark, tmp_path):
     assert d3 != d1 and len(builds) == 2, (
         "in-place source overwrite must rebuild the fidelity corpus"
     )
+
+
+def _write_documents(spark, sf_dir: str, seed: int = 1) -> None:
+    df = spark.range(10).select(
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        F.concat(F.lit(f"doc {seed} body "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_documents_backed_corpus_keys_on_documents(spark, tmp_path):
+    """ADVICE r12 #1: the MinHash fidelity corpus derives from the
+    ``documents`` table, not ``events`` — its cache key must miss when
+    documents.parquet is rewritten in place, and must NOT miss when an
+    unrelated events.parquet changes."""
+    from prometheus_clickhouselog_exporter_spark.workloads import llmdata11
+
+    sf_dir = str(tmp_path)
+    _write_events(spark, sf_dir)
+    _write_documents(spark, sf_dir, seed=1)
+    builds: list[str] = []
+
+    def build(d: str) -> None:
+        builds.append(d)
+        os.makedirs(d, exist_ok=True)
+
+    d1 = llmdata11._cached_corpus(
+        ("provdoc", sf_dir), build, tables=("documents",)
+    )
+    time.sleep(0.01)
+    _write_events(spark, sf_dir, seed=7)  # unrelated table rewritten
+    d2 = llmdata11._cached_corpus(
+        ("provdoc", sf_dir), build, tables=("documents",)
+    )
+    assert d1 == d2 and len(builds) == 1, (
+        "events rewrite must not spuriously invalidate a documents corpus"
+    )
+    time.sleep(0.01)
+    _write_documents(spark, sf_dir, seed=2)  # the actual source rewritten
+    d3 = llmdata11._cached_corpus(
+        ("provdoc", sf_dir), build, tables=("documents",)
+    )
+    assert d3 != d1 and len(builds) == 2, (
+        "documents rewrite must rebuild the documents-backed corpus"
+    )
