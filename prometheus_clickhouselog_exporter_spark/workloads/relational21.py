@@ -111,8 +111,13 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = [nodes.count()]
     for _ in range(_KCORE_ROUNDS):
-        na = nodes.select(F.col("p").alias("pa"))
-        nb = nodes.select(F.col("p").alias("pb"))
+        # survivor set is |V|-bounded (one long per live node) →
+        # broadcast both semi-join sides so the edge list is filtered at
+        # scan instead of shuffled twice per round (r13 constant-factor
+        # pass; at cluster scale with a non-broadcastable V this becomes
+        # a bloom-filtered keyed semi-join, same plan shape)
+        na = F.broadcast(nodes.select(F.col("p").alias("pa")))
+        nb = F.broadcast(nodes.select(F.col("p").alias("pb")))
         live = edges.join(na, "pa").join(nb, "pb")
         deg = (
             live.select(F.col("pa").alias("p"))
