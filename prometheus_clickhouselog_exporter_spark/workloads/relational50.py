@@ -229,7 +229,7 @@ def spatial_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # consumed every round + certificate
     )
     lab = corec.select("pid", F.col("pid").alias("l"))
-    for _ in range(_ROUNDS):
+    for r in range(_ROUNDS):
         nmin = (
             adjc.join(lab.select(F.col("pid").alias("src"), F.col("l").alias("sl")), "src")
             .groupBy("dst")
@@ -242,11 +242,16 @@ def spatial_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("l"), F.coalesce(F.col("nl"), F.col("l"))).alias("l"),
         )
         jump = lab.select(F.col("pid").alias("jp"), F.col("l").alias("jl"))
-        lab = (
-            lab.join(jump, lab["l"] == jump["jp"])
-            .select("pid", F.col("jl").alias("l"))
-            .localCheckpoint(eager=False)
+        lab = lab.join(jump, lab["l"] == jump["jp"]).select(
+            "pid", F.col("jl").alias("l")
         )
+        # per-round lineage cut is the MEASURED optimum (r13): the
+        # pointer jump references lab TWICE, so every uncheckpointed
+        # round doubles the plan subtree — batching checkpoints to
+        # every 2nd round cost 5.1 s → 7.6 s and every 4th 24 s at
+        # sf0.1; the 16-round loop is scheduling-bound at ~2 tiny jobs
+        # per round and that is its floor on grid-bounded (≤ G²) frames
+        lab = lab.localCheckpoint(eager=False)
     viol = (
         adjc.join(lab.select(F.col("pid").alias("src"), F.col("l").alias("ls")), "src")
         .join(lab.select(F.col("pid").alias("dst"), F.col("l").alias("lt")), "dst")
