@@ -147,16 +147,13 @@ HEADLINE = [
     "similarity_graph_expand_topk",
     "dedup_substring_action",
     "dedup_jaccard_pruned",
-    # r13 (verdict directive #5): the 4 slowest genuine non-headline
-    # rows of BENCH_FULL_r12 promoted so the regression guard watches
-    # the real tail — grid DBSCAN CC rounds (scheduling-bound at ~2
-    # jobs/round, measured floor), Ledoit-Wolf shrinkage (rewritten
-    # this round: double-posexplode moment fan-out + int64 split
-    # accumulators), the mergeable md5-family MinHash source merge,
-    # and the rich-club ladder (rewritten this round: 4-bit degree
-    # masks broadcast onto the edge scan)
-    "spatial_dbscan_grid",
-    "embedding_ledoit_wolf",
+    # r13 (verdict directive #5): the slowest genuine non-headline rows
+    # of BENCH_FULL_r12 promoted so the regression guard watches the
+    # real tail — the mergeable md5-family MinHash source merge and the
+    # rich-club ladder (rewritten this round: 4-bit degree masks
+    # broadcast onto the edge scan). The directive's other two names
+    # (spatial_dbscan_grid, embedding_ledoit_wolf) were already
+    # promoted in the r11 block above.
     "sketch_minhash_source_merge",
     "graph_rich_club",
 ]

@@ -385,6 +385,53 @@ def synth_bmp(df: DataFrame, id_col: str) -> DataFrame:
     return df.mapInPandas(op, out_schema)
 
 
+def synth_bmp_variants(
+    df: DataFrame,
+    id_col: str = "img_id",
+    base_col: str = "base_id",
+    bump_col: str = "bump",
+) -> DataFrame:
+    """Near-duplicate twin generator for the image lane (r13): a
+    spec-correct 24-bit BMP whose dimensions and G/B channels come from
+    ``base_col`` exactly as in ``synth_bmp``, while the R channel gets a
+    deterministic brightness bump of ``bump_col`` on source columns
+    x ≡ base (mod 11): R = ((7x + base) % 256 + bump·[x%11 = base%11])
+    % 256. A bump of 0 reproduces synth_bmp's pixels bit-for-bit, so
+    (img_id, base_id, 0) rows ARE the originals; small bumps perturb a
+    couple of columns' luma — the brightness-band edit pHash is built
+    to be robust-but-not-blind to, planting a controlled near-duplicate
+    structure the Hamming-ball clustering operators recover. Every
+    pixel stays closed-form arithmetic, so a DuckDB oracle can replay
+    the exact luma grid including mod-256 wraps."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for b, bump in zip(pdf[base_col], pdf[bump_col]):
+                b, bump = int(b), int(bump)
+                w, h = 16 + b % 16, 8 + (b * 3) % 16
+                xs = np.arange(w, dtype=np.int64)
+                ys = np.arange(h, dtype=np.int64)
+                r0 = (7 * xs + b) % 256
+                r = ((r0 + np.where(xs % 11 == b % 11, bump, 0)) % 256)
+                r = np.broadcast_to(r, (h, w))
+                g = np.broadcast_to(((11 * ys + b) % 256)[:, None], (h, w))
+                bb = (xs[None, :] + ys[:, None]) % 256
+                img = np.stack([bb, g, r], axis=-1).astype(np.uint8)  # BGR
+                blobs.append(_encode_bmp(img))
+            pdf = pdf.copy()
+            pdf["media"] = blobs
+            yield pdf
+
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ", media binary"
+    )
+    return df.mapInPandas(op, out_schema)
+
+
 def decode_bmp_features(df: DataFrame, media_col: str = "media") -> DataFrame:
     """REAL image decode: parse the BMP container (24-bit uncompressed
     only — anything else raises with the codec a deployment would add),
