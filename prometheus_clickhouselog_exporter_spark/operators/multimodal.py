@@ -393,16 +393,19 @@ def synth_bmp_variants(
 ) -> DataFrame:
     """Near-duplicate twin generator for the image lane (r13): a
     spec-correct 24-bit BMP whose dimensions and G/B channels come from
-    ``base_col`` exactly as in ``synth_bmp``, while the R channel gets a
-    deterministic brightness bump of ``bump_col`` on source columns
-    x ≡ base (mod 11): R = ((7x + base) % 256 + bump·[x%11 = base%11])
-    % 256. A bump of 0 reproduces synth_bmp's pixels bit-for-bit, so
-    (img_id, base_id, 0) rows ARE the originals; small bumps perturb a
-    couple of columns' luma — the brightness-band edit pHash is built
-    to be robust-but-not-blind to, planting a controlled near-duplicate
-    structure the Hamming-ball clustering operators recover. Every
-    pixel stays closed-form arithmetic, so a DuckDB oracle can replay
-    the exact luma grid including mod-256 wraps."""
+    ``base_col`` as in ``synth_bmp``, while R carries a TEXTURED
+    pattern — R = ((37b+3)x + (59b+7)y + x·y + b) % 256 — plus a
+    brightness bump of ``bump_col`` on source columns x ≡ base
+    (mod 11). synth_bmp's separable linear gradients are pHash-
+    DEGENERATE (measured: 13 distinct hashes across 64 ids, 339 pairs
+    at Hamming 0), so this generator adds the x·y cross term and
+    id-dependent gradients, which give 64/64 distinct hashes with every
+    base pair ≥ 12 bits apart; a bump of 4 then lands ~40/64 twins
+    within Hamming ≤ 3 and leaves the rest outside — the controlled
+    near/far mix the Hamming-ball operators need (measurement table in
+    the r13 SCALE.md entry). Every pixel stays closed-form arithmetic,
+    so a DuckDB oracle replays the exact luma grid including mod-256
+    wraps."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -414,9 +417,13 @@ def synth_bmp_variants(
                 w, h = 16 + b % 16, 8 + (b * 3) % 16
                 xs = np.arange(w, dtype=np.int64)
                 ys = np.arange(h, dtype=np.int64)
-                r0 = (7 * xs + b) % 256
-                r = ((r0 + np.where(xs % 11 == b % 11, bump, 0)) % 256)
-                r = np.broadcast_to(r, (h, w))
+                r0 = (
+                    (37 * b + 3) * xs[None, :]
+                    + (59 * b + 7) * ys[:, None]
+                    + xs[None, :] * ys[:, None]
+                    + b
+                ) % 256
+                r = (r0 + np.where(xs % 11 == b % 11, bump, 0)[None, :]) % 256
                 g = np.broadcast_to(((11 * ys + b) % 256)[:, None], (h, w))
                 bb = (xs[None, :] + ys[:, None]) % 256
                 img = np.stack([bb, g, r], axis=-1).astype(np.uint8)  # BGR

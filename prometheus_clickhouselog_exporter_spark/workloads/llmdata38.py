@@ -13,12 +13,15 @@ Blocking guarantee (pigeonhole): the hash splits into 4 disjoint
 false negatives at τ = 3 (it is exact blocking, not an LSH gamble; the
 probabilistic recall curve only starts past τ = bands−1).
 
-Planted signal (the fixture-signal rule): the corpus' synthetic BMPs
-are mutually far in pHash space (measured), so near-duplicate twins
-are planted IN-PLAN via operators/multimodal.synth_bmp_variants — each
-base image gets a brightness-band twin (+16 on R at source columns
-x ≡ base mod 11), the edit pHash is designed to nearly-ignore, giving
-a controlled mix of ≤ τ twin pairs and > τ non-pairs at every SF. All
+Planted signal (the fixture-signal rule, MEASURED — SCALE.md r13):
+synth_bmp's separable gradients are pHash-degenerate (13 distinct
+hashes across 64 ids, 339 pairs at Hamming 0 — a single useless mega-
+cluster), so operators/multimodal.synth_bmp_variants generates a
+TEXTURED base set (x·y cross term + id-dependent gradients: 64/64
+distinct hashes, every base pair ≥ 12 bits apart) and each base gets a
+brightness-band twin (+4 on R at source columns x ≡ base mod 11) —
+landing ~40/64 twins within τ = 3 and the rest outside, the
+near/far mix that keeps both filter branches live at every SF. All
 pixels stay closed-form, so the DuckDB oracle rebuilds the exact
 63-bit hashes and replays the blocking and clustering.
 
@@ -36,7 +39,7 @@ from .core import query, table
 
 _N_IMGS = 64
 _TWIN_OFFSET = 100
-_BUMP = 16
+_BUMP = 4
 _N_BANDS = 4
 _TAU = 3  # exact-blocking bound: bands - 1
 _CC_ROUNDS = 4
@@ -61,7 +64,8 @@ _PH_SQL = f"""
     ),
     lum AS (
       SELECT img_id, x, y,
-             299 * (((7 * sx + bid) % 256
+             299 * ((((37 * bid + 3) * sx + (59 * bid + 7) * sy
+                      + sx * sy + bid) % 256
                      + CASE WHEN sx % 11 = bid % 11 THEN bump ELSE 0 END)
                     % 256)
              + 587 * ((11 * sy + bid) % 256)
@@ -162,6 +166,7 @@ def image_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = ph.select(
         "img_id",
+        "phash",
         F.explode(
             F.array(*[F.lit(b) for b in range(_N_BANDS)])
         ).alias("band"),

@@ -193,6 +193,17 @@ BUILD_JOBS_OK: dict[str, str] = {
     "graph_cc_large_small_star": "large/small-star fixpoint + census",
     "graph_label_propagation": "label-prop rounds (capped)",
     "graph_kcore_peel": "peeling rounds (degeneracy-bounded)",
+    # r13: 8 unrolled BPE merge rounds — per round one vocabulary-
+    # bounded pair aggregate feeds a 1-row argmax checkpoint and a
+    # replace checkpoint; the jobs ARE the training loop
+    "text_bpe_train_merges": "BPE merge rounds (8, vocabulary-bounded)",
+    # r13: the DoReMi weights sub-plan (token-keyed aggregates +
+    # checkpoints, llmdata28) plus the manifest checkpoint and the
+    # 1-row max materialize at build; all vocabulary/|sources|-bounded
+    "sample_mixture_curriculum": "DoReMi weights sub-plan + manifest checkpoint (bounded)",
+    # r13: min-label CC rounds over the <=128-image twin graph plus the
+    # pHash mapInPandas checkpoint — the CC-fixpoint family discipline
+    "image_phash_hamming_clusters": "min-label CC rounds (<=128 nodes)",
     "graph_bfs_name_distances": "BFS frontier rounds (diameter-bounded)",
     "graph_weighted_sssp": "Bellman-Ford rounds (capped)",
     "graph_hits_hub_authority": "HITS power rounds (capped)",
