@@ -59,25 +59,29 @@ def _bpe_round_sql(r: int) -> str:
       ORDER BY pair_total DESC, x, y LIMIT 1
     ),
     w{r} AS MATERIALIZED (
-      SELECT replace(v.w, '|' || b.x || '||' || b.y || '|',
+      SELECT v.word,
+             replace(v.w, '|' || b.x || '||' || b.y || '|',
                      '|' || b.x || b.y || '|') AS w,
              v.freq
       FROM w{r - 1} v CROSS JOIN b{r} b
     )"""
 
 
-_BPE_ORACLE = f"""
-    WITH vocab AS (
+_BPE_VOCAB_SQL = f"""
+    vocab AS (
       SELECT t.word AS word, CAST(count(*) AS BIGINT) AS freq
       FROM documents, unnest(string_split(lower(text), ' ')) AS t(word)
       WHERE regexp_matches(t.word, '^[a-z]{{2,16}}$')
       GROUP BY t.word
     ),
     w0 AS MATERIALIZED (
-      SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS w, freq
+      SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS w, freq
       FROM vocab
     ),
-    {",".join(_bpe_round_sql(r) for r in range(1, _BPE_MERGES + 1))}
+    {",".join(_bpe_round_sql(r) for r in range(1, _BPE_MERGES + 1))}"""
+
+_BPE_ORACLE = f"""
+    WITH {_BPE_VOCAB_SQL}
     {" UNION ALL ".join(
         f"SELECT {r} AS round, x AS tok_x, y AS tok_y, x || y AS merged, "
         f"pair_total, n_words FROM b{r}"
@@ -114,6 +118,18 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-stage replace. Each round's vocab is lineage-cut: the argmax
     subtree and the replace both read w_r, so an uncut plan doubles
     per round (the dbscan lesson, SCALE.md r13)."""
+    merges, _w = _bpe_train(spark, sf_dir)
+    return reduce(lambda a, b: a.unionByName(b), merges).orderBy("round")
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """The shared 8-round training loop: returns the per-round 1-row
+    merge frames and the FINAL vocabulary (word, w, freq) with ``w``
+    the double-pipe token encoding after all merges — consumed by
+    text_bpe_train_merges (merge table) and text_bpe_apply_encoding
+    (the encode pass)."""
     vocab = (
         table(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
@@ -122,7 +138,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
     w = vocab.select(
-        F.regexp_replace("word", "(.)", r"|$1|").alias("w"), "freq"
+        "word", F.regexp_replace("word", "(.)", r"|$1|").alias("w"), "freq"
     ).localCheckpoint(eager=False)
     merges: list[DataFrame] = []
     for r in range(1, _BPE_MERGES + 1):
@@ -166,6 +182,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = (
             w.crossJoin(F.broadcast(best.select("x", "y")))
             .select(
+                "word",
                 F.replace(
                     F.col("w"),
                     F.concat(F.lit("|"), "x", F.lit("||"), "y", F.lit("|")),
@@ -175,7 +192,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)  # argmax + replace both read w
         )
-    return reduce(lambda a, b: a.unionByName(b), merges).orderBy("round")
+    return merges, w
 
 
 _CURRICULUM_ORACLE = f"""

@@ -197,6 +197,9 @@ BUILD_JOBS_OK: dict[str, str] = {
     # bounded pair aggregate feeds a 1-row argmax checkpoint and a
     # replace checkpoint; the jobs ARE the training loop
     "text_bpe_train_merges": "BPE merge rounds (8, vocabulary-bounded)",
+    # r13 batch 2: the encode pass replays the same 8-round trainer
+    # sub-plan before the corpus join — identical bound
+    "text_bpe_apply_encoding": "BPE trainer sub-plan (8 rounds, vocabulary-bounded)",
     # r13: the DoReMi weights sub-plan (token-keyed aggregates +
     # checkpoints, llmdata28) plus the manifest checkpoint and the
     # 1-row max materialize at build; all vocabulary/|sources|-bounded
@@ -277,6 +280,13 @@ MULTI_BNLJ_OK: dict[str, str] = {
     "er_consonant_skeleton_blocking": "1-row blocking-profile scalars",
     # 1-row item-count scalar + 25-row rank censuses crossed in
     "eval_kendalls_w": "1-row count + dim-bounded rank broadcasts",
+    # --- r13 adjudications ---
+    # chi2/hx/hxy 1-row quantized-sum scalars + the 1-row (n, r, c)
+    # census totals crossed into the single association-stats row
+    "clickhouse_categorical_association": "1-row chi2/entropy/total scalar crosses",
+    # 1-row p75 census cut + 1-row confusion aggregate crossed into
+    # the battery row
+    "ml_mcc_threshold": "1-row threshold + confusion scalar crosses",
     # --- r12 adjudications (VERDICT r11, Next round #2) ---
     # each entry states the bound that keeps every BNLJ side 1-row or
     # dimension-sized; spot-read at adjudication time (relative
