@@ -192,6 +192,82 @@ def synth_wav(df: DataFrame, id_col: str, amp: float = 0.5) -> DataFrame:
     return df.mapInPandas(op, out_schema)
 
 
+def synth_wav_chord(
+    df: DataFrame, id_col: str = "clip_id", drop_col: str = "drop_j"
+) -> DataFrame:
+    """Chord synthesizer for the audio near-dup lane (r13): a REAL mono
+    PCM16 WAV per row holding FOUR equal-amplitude partials, each an
+    EXACT FFT bin — partial j of clip b sits at bin 50·band_j(b) + 25
+    with band_j(b) = (b·3^j + 7j + ⌊b/16⌋·5^j) mod 16 (the ⌊b/16⌋ term
+    breaks the mod-16 period so ids 16 apart get distinct chords), i.e. frequency (200·band+100)
+    Hz at N=2000/sr=8000. ``drop_col`` ≥ 0 omits that partial — the
+    planted near-duplicate edit (a missing stem). Exact-bin sines leak
+    ZERO energy into other bins, so the 16-band spectral fingerprint
+    downstream is arithmetically predictable from (id, drop) alone —
+    the multimodal_audio_features oracle discipline."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        t = np.arange(_WAV_N, dtype=np.float64) / _WAV_SR
+        for pdf in batches:
+            blobs = []
+            for b, dj in zip(pdf[id_col], pdf[drop_col]):
+                b, dj = int(b), int(dj)
+                x = np.zeros(_WAV_N, dtype=np.float64)
+                for j in range(4):
+                    if j == dj:
+                        continue
+                    band = (b * 3**j + 7 * j + (b // 16) * 5**j) % 16
+                    f = (50 * band + 25) * (_WAV_SR / _WAV_N)
+                    x += 0.15 * np.sin(2 * np.pi * f * t)
+                pcm = (x * 32767.0).astype("<i2")
+                blobs.append(_encode_wav(_WAV_SR, pcm))
+            pdf = pdf.copy()
+            pdf["media"] = blobs
+            yield pdf
+
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ", media binary"
+    )
+    return df.mapInPandas(op, out_schema)
+
+
+def fingerprint_wav_bands(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """16-band spectral fingerprint over REAL decoded WAV (the
+    Haitsma–Kalker shape collapsed to one frame — band-energy threshold
+    bits): rfft, energy per 50-bin band (bins 0..799), bit b set iff
+    band energy exceeds 1e12 — far above int16 quantization noise
+    (~2.5e4 per band) and far below a single 0.15-amplitude exact-bin
+    partial ((0.15·32767·N/2)² ≈ 2.4e13). Blobs are dropped before the
+    return (wide-row rule); only the 16-bit integer shuffles."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != media_col
+    ) + ", fingerprint bigint"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            fps = []
+            for blob in pdf[media_col]:
+                _sr, raw = _parse_wav(bytes(blob))
+                spec2 = np.abs(np.fft.rfft(raw.astype(np.float64))) ** 2
+                bits = 0
+                for band in range(16):
+                    if float(spec2[50 * band : 50 * (band + 1)].sum()) > 1e12:
+                        bits |= 1 << band
+                fps.append(bits)
+            pdf = pdf.drop(columns=[media_col]).copy()
+            pdf["fingerprint"] = fps
+            yield pdf
+
+    return df.mapInPandas(op, out_schema)
+
+
 def _parse_wav(b: bytes):
     """Parse a PCM16 mono RIFF/WAVE blob → (sample_rate, int16 ndarray).
     Shared by the feature decoder and the resampler; anything non-PCM16

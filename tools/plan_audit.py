@@ -207,6 +207,10 @@ BUILD_JOBS_OK: dict[str, str] = {
     # r13: min-label CC rounds over the <=128-image twin graph plus the
     # pHash mapInPandas checkpoint — the CC-fixpoint family discipline
     "image_phash_hamming_clusters": "min-label CC rounds (<=128 nodes)",
+    # r13 batch 3: the minhash-LSH pair build + 6 min-label CC rounds
+    # (the dedup_minhash_clusters_cc loop) plus the quality join — the
+    # CC-fixpoint family discipline, edges from banded LSH
+    "dedup_cluster_keep_best": "LSH pair build + min-label CC rounds",
     "graph_bfs_name_distances": "BFS frontier rounds (diameter-bounded)",
     "graph_weighted_sssp": "Bellman-Ford rounds (capped)",
     "graph_hits_hub_authority": "HITS power rounds (capped)",
