@@ -139,6 +139,81 @@ def runs_stream(
     )
 
 
+DELTA_OUTPUT_SCHEMA = (
+    "event_type string, n bigint, delta_sum_cents bigint, n_drops bigint"
+)
+_DELTA_STATE = (
+    "n bigint, ds bigint, drops bigint, last_q bigint, has_last bigint"
+)
+
+
+def fold_delta_sum(values: list[float], state: tuple | None) -> tuple:
+    """Sequential deltaSum fold over integer cents q = ⌊v·100 + 0.5⌋:
+    accumulate max(0, q_t − q_{t−1}) across consecutive observations
+    (ClickHouse deltaSum semantics as pinned by
+    clickhouse_delta_sum_moving — the first observation contributes
+    nothing), count ignored negative deltas, carry the boundary cents
+    across batches. Exact integers throughout."""
+    import math
+
+    n, ds, drops, last_q, has_last = (
+        state if state is not None else (0, 0, 0, 0, 0)
+    )
+    for v in values:
+        q = int(math.floor(v * 100 + 0.5))
+        n += 1
+        if has_last:
+            if q > last_q:
+                ds += q - last_q
+            elif q < last_q:
+                drops += 1
+        last_q, has_last = q, 1
+    return n, ds, drops, last_q, has_last
+
+
+def delta_sum_stream(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """events (event_type, ts, event_id, value) → running per-type
+    deltaSum after each batch (update mode): the counter-style
+    positive-delta accumulator, order-sensitive like runs/acf1 — one
+    boundary cent of extra state stitches batches together."""
+
+    def func(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        event_type = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        values = _ordered_values(pdfs)
+        if not values:
+            return
+        prev = tuple(state.get) if state.exists else None
+        n, ds, drops, last_q, has_last = fold_delta_sum(values, prev)
+        state.update((n, ds, drops, last_q, has_last))
+        if timeout_ms > 0:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n": [n],
+                "delta_sum_cents": [ds],
+                "n_drops": [drops],
+            }
+        )
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("event_type", "ts", "event_id", "value")
+        .filter("value IS NOT NULL")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            func, DELTA_OUTPUT_SCHEMA, _DELTA_STATE, "update", timeout_conf
+        )
+    )
+
+
 def fold_acf1(values: list[float], state: tuple | None) -> tuple:
     """Sequential lag-1 co-moment fold over quantized values
     q = ⌊v·SCALE⌋: pair sums (m, Σhq·tq, Σhq, Σtq, Σhq², Σtq²) plus the

@@ -861,3 +861,52 @@ def clickhouse_uniq_upto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return uniq.join(topk, "event_type").orderBy("event_type")
+
+
+# --- streaming deltaSum fidelity twin ----------------------------------------
+
+_SEQ_FILTER = "value IS NOT NULL AND event_id % 16 = 0"
+
+_SDELTA_ORACLE = f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v, ts, event_id
+      FROM events WHERE {_SEQ_FILTER}
+    ),
+    lagged AS (
+      SELECT event_type, v,
+             lag(v) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS pv
+      FROM pts
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND v > pv
+                    THEN v - pv ELSE 0 END) AS BIGINT) AS delta_sum_cents,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND v < pv
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_drops
+    FROM lagged GROUP BY event_type ORDER BY event_type
+    """
+
+
+@query("streaming_delta_sum_fidelity", oracle=_SDELTA_ORACLE)
+def streaming_delta_sum_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL streaming deltaSum monitor
+    (streaming/sequential.delta_sum_stream: integer-cents positive-delta
+    accumulator + one boundary cent of applyInPandasWithState state,
+    the runs/acf1 order-sensitive family) over the shared ordered
+    corpus and value-hash-matches each type's final (n, deltaSum,
+    drops) against the batch lag-window recomputation — the streaming
+    twin of clickhouse_delta_sum_moving, certifying that the
+    cross-batch boundary stitch reproduces the batch counter semantics
+    exactly. Same %16 subsample and corpus as the sequential fidelity
+    family (one cached corpus serves all four monitors)."""
+    from ..streaming.sequential import delta_sum_stream
+    from .llmdata11 import _sequential_fidelity
+
+    return _sequential_fidelity(
+        spark,
+        sf_dir,
+        delta_sum_stream,
+        "event_type string, n bigint, delta_sum_cents bigint, n_drops bigint",
+    )

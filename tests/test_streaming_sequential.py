@@ -111,3 +111,32 @@ def test_acf1_stream_across_batches(spark, tmp_path):
     db = float(m * sum(t * t for t in tq) - sum(tq) ** 2)
     expect = math.floor((num / (da * db) ** 0.5) * 1e6 + 0.5) / 1e6
     assert final.r1 == expect
+
+
+def test_fold_delta_sum_boundary():
+    from prometheus_clickhouselog_exporter_spark.streaming.sequential import (
+        fold_delta_sum,
+    )
+
+    vals = [1.00, 3.50, 2.00, 2.25, 9.00]
+    # deltas (cents): +250, -150(drop), +25, +675 → ds = 950, drops = 1
+    whole = fold_delta_sum(vals, None)
+    split = fold_delta_sum(vals[2:], fold_delta_sum(vals[:2], None))
+    assert whole == split
+    assert whole[:3] == (5, 950, 1)
+
+
+def test_delta_sum_stream_across_batches(spark, tmp_path):
+    from prometheus_clickhouselog_exporter_spark.streaming.sequential import (
+        delta_sum_stream,
+    )
+
+    # the batch boundary splits a POSITIVE delta (3.0 → 4.0): the
+    # boundary cent must carry or the +100 is lost
+    b1 = [1.0, 2.0, 3.0]
+    b2 = [4.0, 1.5, 5.0]
+    final = _run_stream(spark, tmp_path, delta_sum_stream, b1, b2, "dsum_x")
+    # deltas: +100 +100 | +100 -250(drop) +350 → ds 650, drops 1
+    assert final.n == 6
+    assert final.delta_sum_cents == 650
+    assert final.n_drops == 1
