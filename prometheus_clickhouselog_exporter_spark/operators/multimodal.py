@@ -724,6 +724,95 @@ def synth_y4m_scenes(df: DataFrame, id_col: str) -> DataFrame:
     return df.mapInPandas(op, out_schema)
 
 
+def synth_y4m_variants(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    base_col: str = "base_id",
+    shift_col: str = "shift",
+) -> DataFrame:
+    """Near-duplicate twin generator for the video lane (r13): the
+    synth_y4m_scenes stream of ``base_col`` (same dimensions, same
+    scene-A/scene-B formulas, same U/V planes) with the Y plane
+    brightness-shifted by ``shift_col`` (mod 256) — the re-encode/
+    brightness-grade edit a video near-dup detector must catch. All
+    pixels stay closed-form arithmetic including wraps, so a DuckDB
+    oracle can replay every frame's luma census."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for b, sh in zip(pdf[base_col], pdf[shift_col]):
+                b, sh = int(b), int(sh)
+                w, h, nf = 16 + (b % 8) * 2, 8 + (b % 6) * 2, 3 + b % 4
+                tc = nf // 2
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+                for t in range(nf):
+                    if t < tc:
+                        y = (5 * xs + 3 * ys + 17 * t + b + sh) % 256
+                    else:
+                        y = (3 * xs + 5 * ys + 17 * t + b + 100 + sh) % 256
+                    u = np.broadcast_to((xs + t) % 256, (h, w))
+                    v = np.broadcast_to((ys + 2 * t) % 256, (h, w))
+                    parts.append(b"FRAME\n")
+                    parts.append(y.astype(np.uint8).tobytes())
+                    parts.append(u.astype(np.uint8).tobytes())
+                    parts.append(v.astype(np.uint8).tobytes())
+                blobs.append(b"".join(parts))
+            pdf = pdf.copy()
+            pdf["media"] = blobs
+            yield pdf
+
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ", media binary"
+    )
+    return df.mapInPandas(op, out_schema)
+
+
+def y4m_luma_signature(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Temporal luma signature over REAL decoded y4m: per frame the
+    EXACT integer (ΣY, ΣY²) census of the decoded Y plane — the
+    signature sequence video near-dup detectors compare along time.
+    Emits (width, height, n_frames, sum_y array, sum_y2 array); blobs
+    dropped in-operator (wide-row rule), only slim arrays shuffle."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != media_col
+    ) + (
+        ", width int, height int, n_frames int,"
+        " sum_y array<bigint>, sum_y2 array<bigint>"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for blob in pdf[media_col]:
+                w, h, frames = _parse_y4m(bytes(blob))
+                clip = np.stack(frames).astype(np.int64)
+                feats.append(
+                    {
+                        "width": w,
+                        "height": h,
+                        "n_frames": len(frames),
+                        "sum_y": [int(f.sum()) for f in clip],
+                        "sum_y2": [int((f * f).sum()) for f in clip],
+                    }
+                )
+            pdf = pdf.drop(columns=[media_col]).copy()
+            for key in ("width", "height", "n_frames", "sum_y", "sum_y2"):
+                pdf[key] = [f[key] for f in feats]
+            yield pdf
+
+    return df.mapInPandas(op, out_schema)
+
+
 def detect_y4m_cuts(
     df: DataFrame, media_col: str = "media", threshold: float = 60.0
 ) -> DataFrame:

@@ -84,3 +84,11 @@ def test_uniq_upto_saturation(spark):
         assert 1 <= r.uniq_upto_8 <= 9  # saturates at N+1
         assert 1 <= len(r.top3_buckets) <= 3
         assert len(set(r.top3_buckets)) == len(r.top3_buckets)
+
+
+def test_video_pairs_are_exactly_the_twins(spark):
+    rows = QUERIES["video_luma_signature_pairs"](spark, SF_DIR).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.clip_b == r.clip_a + 100  # measured margin: only twins
+        assert r.d1_sum >= 0 and r.d2_sum >= 0
