@@ -413,7 +413,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against brute force."""
     from ..operators.similarity import certify_topk_bound
 
-    emb = table(spark, sf_dir, "embeddings").localCheckpoint(
+    emb = fan_out(table(spark, sf_dir, "embeddings")).localCheckpoint(
         eager=False
     )  # scan once: ANN op + certifier exact/rescore reuse it
     queries_df = emb.filter(F.col("vec_id") < 8)
@@ -456,7 +456,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins recall against brute force."""
     from ..operators.similarity import certify_topk_bound, ivf_topk
 
-    emb = table(spark, sf_dir, "embeddings").localCheckpoint(
+    emb = fan_out(table(spark, sf_dir, "embeddings")).localCheckpoint(
         eager=False
     )  # scan once: ANN op + certifier exact/rescore reuse it
     queries_df = emb.filter(F.col("vec_id") < 8)

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import fround, query, table
+from .core import fan_out, fround, query, table
 
 
 @query(
@@ -149,7 +149,9 @@ def embedding_zca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     would stream to the sink in deployment; here they exist only inside
     the verify pass."""
     d = 64
-    emb = table(spark, sf_dir, "embeddings").select(
+    # fan_out: the 1-row-group parquet otherwise runs every Arrow
+    # moment/whiten kernel on ONE core (the ledoit-wolf lesson, r13)
+    emb = fan_out(table(spark, sf_dir, "embeddings")).select(
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e")
     ).localCheckpoint(eager=False)  # moment pass + verify pass
 

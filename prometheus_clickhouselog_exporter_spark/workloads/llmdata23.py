@@ -25,7 +25,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import fround, query, table
+from .core import fan_out, fround, query, table
 
 _K1, _B = 1.2, 0.75  # BM25 standard parameters
 _RRF_K = 60  # Cormack et al. reciprocal-rank-fusion constant
@@ -204,7 +204,7 @@ def _rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, vec_id, ra, rb): both retrievers' full rankings from
     ONE corpus×queries pass (the cosine and the integer dot ride the
     same joined row, so the corpus is scanned once)."""
-    emb = table(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
+    emb = fan_out(table(spark, sf_dir, "embeddings")).localCheckpoint(eager=False)
     corpus = emb.select(
         "vec_id", _as_double("embedding").alias("ce"), _q8("embedding").alias("c8")
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import fround, query, table
+from .core import fan_out, fround, query, table
 
 _K_PER_TYPE = 20  # reservoir size per stratum
 _MIN_SEEDS = 16  # SemDeDup seed-count floor (k = max(16, floor(sqrt(N))))
@@ -201,7 +201,7 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = (
-        table(spark, sf_dir, "embeddings")
+        fan_out(table(spark, sf_dir, "embeddings"))  # 1-row-group parquet
         .select("vec_id", as_double.alias("ce"))
         .localCheckpoint(eager=False)  # feeds planted (x2), seeds, corpus
     )

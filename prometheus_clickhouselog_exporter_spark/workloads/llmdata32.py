@@ -372,7 +372,10 @@ def embedding_procrustes_alignment(spark: SparkSession, sf_dir: str) -> DataFram
     100 TB: one pass builds all three moment matrices as 3*d^2 exact
     int64 sums (map-side combinable); driver work is O(d^3) on a 32x32
     matrix regardless of corpus size."""
-    emb = table(spark, sf_dir, "embeddings")
+    # fan_out: the single-row-group embeddings parquet otherwise pins
+    # the d^2-per-row moment fan-out to ONE core (the ledoit-wolf
+    # lesson, SCALE.md r13)
+    emb = fan_out(table(spark, sf_dir, "embeddings"))
     d = _PRO_D
     q = _PRO_Q
     # quantized per-cell products, summed as exact int64

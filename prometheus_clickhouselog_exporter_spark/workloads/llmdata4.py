@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import ANN_CERT_ORACLE, corpus_key, fround, money, query, table
+from .core import fan_out, ANN_CERT_ORACLE, corpus_key, fround, money, query, table
 
 
 @query(
@@ -465,7 +465,7 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distances via n_sub table lookups, the FAISS IndexPQ shape."""
     from ..operators.similarity import certify_topk_bound, pq_adc_topk
 
-    emb = table(spark, sf_dir, "embeddings").localCheckpoint(
+    emb = fan_out(table(spark, sf_dir, "embeddings")).localCheckpoint(
         eager=False
     )  # scan once: ANN op + certifier exact/rescore reuse it
     queries_df = emb.filter(F.col("vec_id") < 8)
@@ -488,7 +488,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     almost nothing."""
     from ..operators.similarity import certify_topk_bound, ivfpq_topk
 
-    emb = table(spark, sf_dir, "embeddings").localCheckpoint(
+    emb = fan_out(table(spark, sf_dir, "embeddings")).localCheckpoint(
         eager=False
     )  # scan once: ANN op + certifier exact/rescore reuse it
     queries_df = emb.filter(F.col("vec_id") < 8)

@@ -170,7 +170,7 @@ def similarity_graph_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.similarity import certify_topk_bound, graph_expand_topk
 
-    emb = table(spark, sf_dir, "embeddings").localCheckpoint(
+    emb = fan_out(table(spark, sf_dir, "embeddings")).localCheckpoint(
         eager=False
     )  # scan once: ANN op + certifier exact/rescore reuse it
     queries_df = emb.filter(F.col("vec_id") < 8)
