@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.tables import fan_out
+
 
 def adjacency_lcp(sufs: DataFrame) -> DataFrame:
     """Shared suffix-adjacency core (used by the fixed-bound registry
@@ -86,7 +88,9 @@ def suffix_lcp_unbounded(
     # the doubling loop exists to avoid. Each round re-joins positions
     # to the per-doc arrays and slices to the current cap, so storage is
     # O(n) and per-round data is O(n * cap).
-    toks = docs.filter(F.col(text_col).isNotNull()).select(
+    # fan_out: the per-round O(n·cap) suffix slices are built ABOVE this
+    # scan, and a 1-row-group parquet would pin them to one core (r13)
+    toks = fan_out(docs).filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), tokens.alias("tokens")
     ).localCheckpoint(eager=False)
     sufs_base = toks.select(

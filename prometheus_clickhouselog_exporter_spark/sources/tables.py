@@ -107,3 +107,32 @@ def read_any(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, 
     if schema is not None:
         reader = reader.schema(schema)
     return reader.options(**options).load(path)
+
+
+def fan_out(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Round-robin repartition a narrow scan up to the cluster parallelism
+    before CPU-heavy per-row work (regex parse, shingling, signatures,
+    suffix slices, ANN encodes).
+
+    Why: a parquet file's row group is the minimum split unit, so a small
+    input (one row group) pins the whole codegen pipeline above it to ONE
+    core no matter how many the session has — `maxPartitionBytes` cannot
+    split below a row group, and AQE only coalesces, never fans out a scan.
+    On a real cluster the 100 TB input has thousands of splits and this is
+    a no-op (partitions already ≥ parallelism/min_factor); locally it
+    trades a tiny shuffle of the raw rows for full-width execution of the
+    expensive expressions above.
+
+    The width signal is ``inputFiles()`` — plan metadata, not
+    ``df.rdd.getNumPartitions()``, which would materialize the Python RDD
+    wrapper (and its whole conversion path) on the driver per query build.
+    File count lower-bounds the scan's split count, and the case this
+    helper exists for IS the few-files case; non-file inputs (empty list)
+    conservatively fan out. Lives here (not workloads/core) since r13 so
+    OPERATORS can apply it at their scan edge too — workloads.core
+    re-exports it."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    n_files = len(df.inputFiles())
+    if n_files and n_files * min_factor >= target:
+        return df
+    return df.repartition(target)

@@ -17,7 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.tables import read_parquet_nanos_safe
+from ..sources.tables import fan_out, read_parquet_nanos_safe  # noqa: F401 — fan_out re-exported; moved to sources.tables in r13 so operators can use it
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -138,31 +138,7 @@ def corpus_key(sf_dir: str, name: str) -> tuple:
     return (name, sf_dir, source_provenance(sf_dir, name))
 
 
-def fan_out(df: DataFrame, min_factor: int = 2) -> DataFrame:
-    """Round-robin repartition a narrow scan up to the cluster parallelism
-    before CPU-heavy per-row work (regex parse, shingling, signatures).
 
-    Why: a parquet file's row group is the minimum split unit, so a small
-    input (one row group) pins the whole codegen pipeline above it to ONE
-    core no matter how many the session has — `maxPartitionBytes` cannot
-    split below a row group, and AQE only coalesces, never fans out a scan.
-    On a real cluster the 100 TB input has thousands of splits and this is
-    a no-op (partitions already ≥ parallelism/min_factor); locally it
-    trades a tiny shuffle of the raw rows for full-width execution of the
-    expensive expressions above.
-
-    The width signal is ``inputFiles()`` — plan metadata, not
-    ``df.rdd.getNumPartitions()``, which would materialize the Python RDD
-    wrapper (and its whole conversion path) on the driver per query build.
-    File count lower-bounds the scan's split count, and the case this
-    helper exists for IS the few-files case; non-file inputs (empty list)
-    conservatively fan out.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    n_files = len(df.inputFiles())
-    if n_files and n_files * min_factor >= target:
-        return df
-    return df.repartition(target)
 
 
 # --- cross-engine float discipline -----------------------------------------

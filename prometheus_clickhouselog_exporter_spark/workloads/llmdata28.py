@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import MD5_SQL, fround, md5_long, query, table
+from .core import fan_out, MD5_SQL, fround, md5_long, query, table
 
 _P = 32  # signature positions (perms)
 _R = 4  # band width -> 8 bands; P(candidate|J) = 1-(1-J^4)^8
@@ -454,9 +454,9 @@ def dedup_minhash_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ref cite: none — /root/reference has no dedup surface."""
     from ..operators.dedup import minhash_lsh_dedup
 
-    d = table(spark, sf_dir, "documents").filter(
+    d = fan_out(table(spark, sf_dir, "documents")).filter(
         F.size(F.split(F.col("text"), " ")) >= 3
-    )
+    )  # signature kernel above a 1-row-group scan: full width (r13)
     pairs = minhash_lsh_dedup(d, "text", "doc_id", threshold=0.5).select(
         "id_a", "id_b"
     )

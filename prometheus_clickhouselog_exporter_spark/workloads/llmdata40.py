@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import fround, query, table
+from .core import fan_out, fround, query, table
 
 # --- Breslow-Day homogeneity of odds ratios ----------------------------------
 
@@ -534,9 +534,9 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_dedup
     from .llmdata28 import _CC_ROUNDS
 
-    d = table(spark, sf_dir, "documents").filter(
+    d = fan_out(table(spark, sf_dir, "documents")).filter(
         F.size(F.split(F.col("text"), " ")) >= 3
-    )
+    )  # signature kernel above a 1-row-group scan: full width (r13)
     pairs = minhash_lsh_dedup(d, "text", "doc_id", threshold=0.5).select(
         "id_a", "id_b"
     )

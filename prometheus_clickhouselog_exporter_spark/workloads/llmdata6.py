@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import shingle_hashes, word_shingles
-from .core import query, table
+from .core import fan_out, query, table
 
 _TOPK_VOCAB = 10
 _N_PERMS = 8
@@ -268,9 +268,9 @@ def sketch_minhash_source_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sketch-sized), never the data. Jaccard-from-signature estimation
     between sources is then signature-width work on the driver.
     """
-    d = table(spark, sf_dir, "documents").filter(
+    d = fan_out(table(spark, sf_dir, "documents")).filter(
         F.size(F.split(F.col("text"), " ")) >= 3
-    )
+    )  # md5 perm fan-out above a 1-row-group scan: full width (r13)
     post = (
         d.select("source", F.explode(word_shingles(F.col("text"), 3)).alias("g"))
         .distinct()

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import connected_components, minhash_lsh_dedup, word_shingles
+from ..operators.dedup import shingle_hashes, connected_components, minhash_lsh_dedup, word_shingles
 from ..operators.sampling import deterministic_sample, hash_bucket, stratified_sample
 from .core import fan_out, fround, query, table
 from .llmdata import _SHINGLE_JACCARD_SQL
@@ -282,7 +282,15 @@ def dedup_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(table(spark, sf_dir, "documents")).filter(
         F.size(F.split(F.col("text"), " ")) >= 3
     )
-    sh = d.select(F.col("doc_id").alias("_id"), word_shingles(F.col("text"), 3).alias("_sh"))
+    # hashed shingles (operators/dedup.shingle_hashes): set sizes,
+    # document frequencies, and intersection counts are identical
+    # modulo 64-bit collisions (repo-standard equivalence) and the
+    # output carries only counts/ratios — the string shingle build
+    # alone cost ~3 s of this query's sf0.1 wall (r13, the
+    # dedup_containment_shingles measurement)
+    sh = shingle_hashes(d, "text", "doc_id", 3).select(
+        F.col("_sid").alias("_id"), F.col("_shingle_hashes").alias("_sh")
+    )
     # posting feeds the df pass AND the prune; pruned feeds sizes and both
     # self-join sides — checkpoint each so the corpus shingles once
     # (plan audit: documents was scanned 8x through recomputed postings).

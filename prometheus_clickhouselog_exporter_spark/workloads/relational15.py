@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import fround, money, query, table
+from .core import fan_out, fround, money, query, table
 from .core import MD5_SQL as _MD5_SQL, md5_long as _md5_long
 
 _TUNE_PERMS = 16  # signature width for the band-tuning report
@@ -367,7 +367,8 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     |configs| band-aggregates over signature-sized data, never a pair
     join (candidate counts come from bucket sizes: Σ C(sz,2)).
     """
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))  # 16 md5 perms per
+    # posting above a 1-row-group scan — full width, not one core (r13)
     toks = d.select(
         "doc_id", F.split(F.lower("text"), " ").alias("t")
     ).filter(F.size("t") >= 3)
