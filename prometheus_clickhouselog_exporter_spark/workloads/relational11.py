@@ -259,15 +259,18 @@ def udtf_lateral_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately simple so DuckDB can rebuild it with string_split +
     range. Tie-broken (count DESC, bigram) for a total order.
 
-    Scale note: a Python UDTF is Arrow-batched but still Python-side —
-    the slow path by design, registered here as SURFACE coverage. The
+    Scale note (r13): the UDTF runs ARROW-OPTIMIZED (Spark 4
+    ``useArrow=True`` — the plan shows ArrowEvalPythonUDTF, not the
+    row-at-a-time BatchEvalPython this row carried as the registry's
+    one deliberate row-python plan through r12), so rows cross to
+    Python in Arrow batches; still Python-side work, which is why the
     native equivalent for this particular expansion is the
     explode(word_shingles(...)) recipe used by every dedup operator;
     tests/test_relational11.py asserts the two agree.
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="bigram: string")
+    @udtf(returnType="bigram: string", useArrow=True)
     class BigramsUDTF:
         def eval(self, text: str):
             toks = (text or "").split(" ")
