@@ -194,14 +194,21 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Field order is deliberate: the driver's capture keeps only the LAST
+    # ~2000 chars of output, and at 70 headline queries the JSON line no
+    # longer fits that window (BENCH_r09..r12 all show "parsed": null).
+    # Keys cannot be removed or renamed, but JSON key order is free — with
+    # "queries" first and value/metric/unit/sf last, the tail window always
+    # retains the total and its labels. Same line, same fields, same
+    # measurement (declared in OPTIMIZATION_r13.md).
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "metric": "headline_queries_total_wall",
+                "unit": "sec",
+                "value": total,
             }
         )
     )

@@ -5,13 +5,15 @@ is the fixed-bound registry form; this operator removes the bound).
 Why doubling: sorting truncated suffixes is exact only while no two
 DISTINCT suffixes share an entire truncation-length prefix — past that,
 tie blocks sort arbitrarily and the max-LCP pair may not be adjacent.
-Rather than materializing full suffixes (O(n·maxlen) data), the loop
-re-sorts with a doubled slice length only while a tie at the current
-cap exists, detected by a 1-row convergence aggregate (the CC-checksum
-discipline, operators/dedup.py): each round costs one sort of
-O(n · cap) tokens, and caps grow geometrically, so total work is within
-2x of the final cap — the classical prefix-doubling bound, rendered as
-plain DataFrame ops.
+Rather than materializing full suffixes (O(n·maxlen) data), the cap
+doubles only while a tie at the current cap exists. Since r13's
+optimization pass the tie probe is a HASH CENSUS (a tie at cap c exists
+iff some complete c-token window is duplicated — one xxhash64 hash-agg,
+no payload shuffle), so the O(n · cap) token sort runs exactly ONCE, at
+the first census-certified tie-free cap. Caps grow geometrically, so
+census work is within 2x of the final cap — the classical
+prefix-doubling bound, with the sorts it used to spend on probing
+replaced by 8-byte hash aggregates.
 
 100 TB: the sort is Spark's range-partitioned sort (never a global
 window); the convergence check collects ONE row per round. Web-corpus
@@ -102,34 +104,51 @@ def suffix_lcp_unbounded(
         "tok1",
     ).localCheckpoint(eager=False)
 
+    # Find the final cap with HASH CENSUSES instead of full sort rounds
+    # (r13 optimization pass, guide §2.3/§2.4 — shuffle hashes, not
+    # O(n·cap) token payloads). Equivalence: an adjacent pair "ties at
+    # cap c" in the sorted order iff BOTH sliced suffixes fill c and
+    # match entirely — i.e. iff some complete c-token window occurs at
+    # two distinct positions. (⇐: two equal complete windows put a run
+    # of ≥2 suffixes sharing the c-prefix contiguously in sorted order —
+    # any suffix ordered between them must itself carry the same
+    # complete prefix, since a shorter prefix-suffix sorts BEFORE the
+    # run — so some adjacent pair ties. ⇒: an adjacent tie IS a
+    # duplicated complete window.) A census per candidate cap is one
+    # map-side xxhash64 over the window plus a duplicate-exists
+    # aggregate; hash collisions can only claim a spurious tie, which
+    # grows the cap one step — never returns a wrong order, because the
+    # FINAL sort runs at a census-certified tie-free cap and a tie-free
+    # capped sort equals the full-suffix sort (the old loop's own
+    # termination argument). Only that one sort ever runs; the old
+    # loop's discarded intermediate sorts (2× the final round's work)
+    # are gone.
     cap = start_cap
     for _ in range(max_rounds):
-        sufs = sufs_base.join(toks, "doc_id").select(
-            "doc_id",
-            "pos",
-            "tok1",
-            F.coalesce(F.get("tokens", F.col("pos") + 1), F.lit("")).alias("tok2"),
-            F.slice("tokens", F.col("pos") + 1, cap).alias("suf"),
+        window = F.slice("tokens", F.col("pos") + 1, cap)
+        dup_windows = (
+            sufs_base.join(toks, "doc_id")
+            .where(F.size("tokens") - F.col("pos") >= cap)
+            .select(F.xxhash64(F.concat_ws(" ", window)).alias("h"))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .limit(1)
+            .count()
         )
-        rows = adjacency_lcp(sufs)
-        out = rows.select(
-            "doc_id",
-            "pos",
-            "pdoc",
-            "ppos",
-            "crossdoc",
-            "lcp",
-            # a tie at the cap means BOTH sides filled the cap and
-            # matched it entirely — only then can the true LCP exceed it
-            (
-                (F.col("lcp") == cap)
-                & (F.size("suf") == cap)
-                & (F.size("psuf") == cap)
-            ).alias("_capped"),
-        ).localCheckpoint(eager=False)
-        ties = out.agg(F.count_if(F.col("_capped")).alias("n")).first()["n"]
-        if ties == 0:
-            return out.drop("_capped")
+        if dup_windows == 0:
+            sufs = sufs_base.join(toks, "doc_id").select(
+                "doc_id",
+                "pos",
+                "tok1",
+                F.coalesce(F.get("tokens", F.col("pos") + 1), F.lit("")).alias(
+                    "tok2"
+                ),
+                F.slice("tokens", F.col("pos") + 1, cap).alias("suf"),
+            )
+            return adjacency_lcp(sufs).select(
+                "doc_id", "pos", "pdoc", "ppos", "crossdoc", "lcp"
+            )
         cap *= 2
     raise RuntimeError(
         f"suffix_lcp_unbounded: ties persist at cap={cap} after "

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import query, table
+from .core import fan_out, query, table
 
 _T = 128  # suffix truncation + oracle numbers-table bound (tokens)
 _L = 10  # minimum duplicated span worth reporting (tokens)
@@ -75,7 +75,13 @@ lcps AS MATERIALIZED (
 def _suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacency rows (doc_id, pos, pdoc, ppos, crossdoc, suf, lcp) for
     every neighboring suffix pair in the bucketed sorted order."""
-    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # fan_out (r13 optimization pass): the tokenize + posexplode + slice
+    # work below is the expensive side of the (tok1, tok2) exchange, and
+    # documents.parquet is ONE row group locally — without the fan-out the
+    # whole O(positions × _T) suffix build pins to a single core.
+    docs = fan_out(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     tokens = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
     # Fail-loud at the oracle's numbers-table bound: a document longer
     # than _T tokens would silently lose suffix positions on the SQL

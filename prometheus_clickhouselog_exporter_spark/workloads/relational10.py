@@ -556,12 +556,14 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       doc pair shares tokens, so the inverted-index join degenerates to
       Σ|posting|² exploded rows (~6e8 at sf0.1) that must then SHUFFLE
       into per-pair groups — all cost, no pruning. Instead each doc
-      becomes ONE vocab-indexed tf array; pairs meet in a broadcast
-      join (doc profiles are |V| ints — KBs), the 2·min>=max length
-      filter prunes first, and Σmin is a per-row zip_with fold. No
-      exploded shuffle exists. 141 s → ~8 s. The qualifying OUTPUT here
-      is itself ~10% of all pairs (1.32M rows) — inherently quadratic
-      on this corpus, which is exactly when profiles beat postings.
+      becomes ONE vocab-indexed tf array and the pair space evaluates
+      as numpy block matrix work in mapInPandas via the exact identity
+      Σmin = (T_a + T_b − L1)/2 (r13; the r8-r12 form was a broadcast
+      NLJ with a per-pair zip_with fold — 141 s naive → ~8 s NLJ →
+      ~2 s numpy). No exploded shuffle exists; only qualifying pairs
+      cross the Arrow boundary. The qualifying OUTPUT here is itself
+      ~10% of all pairs (1.32M rows) — inherently quadratic on this
+      corpus, which is exactly when profiles beat postings.
     - **Sparse-vocab path** (web corpus, |V| ~ 1e7): the original
       inverted-index posting join — postings are short, co-occurrence
       bounds the pair space, and dense |V|-arrays would be absurd.
@@ -640,33 +642,68 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-        # the stream side is tiny (doc-cardinality) and AQE would coalesce
-        # it to ONE partition — which would serialize the 12.5M-pair
-        # broadcast-NLJ onto a single core (measured 65 s vs 7 s at sf0.1).
-        # Spread the pair evaluation across the cluster explicitly.
-        a = prof.repartition(
-            spark.sparkContext.defaultParallelism
-        ).select(
-            F.col("doc_id").alias("id_a"), F.col("v").alias("va"), F.col("t").alias("ta")
+        # r13 optimization pass (guide §4.2): the previous dense arm was a
+        # 12.5M-ordered-pair broadcast-NLJ whose join condition and
+        # zip_with(least)+aggregate fold ran pair-at-a-time in codegen
+        # (~6.5-8.7 s at sf0.1, almost entirely the BNLJ stage). Σmin over
+        # dense tf profiles has a closed form through the L1 distance —
+        #   Σmin(a,b) = (T_a + T_b − Σ|a_k − b_k|) / 2, exact in int64 —
+        # so the whole pair space evaluates as numpy block matrix work
+        # inside mapInPandas. Each task holds the (n_docs × |V|) int64
+        # profile matrix once (collected+broadcast — the SAME bound as the
+        # F.broadcast(b) build side it replaces: dense arm requires
+        # |V| ≤ 2048 and corpus ≤ _ICWS_DOCS), streams its slice of a-rows
+        # against it in |V|-pass accumulation (no m×n×|V| temp), and emits
+        # only qualifying pairs across the Arrow boundary. The explicit
+        # length-compat prefilter is subsumed: 3·Σmin ≥ T_a+T_b implies it.
+        import numpy as np
+
+        rows = prof.select("doc_id", "v", "t").collect()
+        all_ids = np.fromiter((r["doc_id"] for r in rows), dtype=np.int64)
+        all_t = np.fromiter((r["t"] for r in rows), dtype=np.int64)
+        all_v = (
+            np.array([r["v"] for r in rows], dtype=np.int64)
+            if rows
+            else np.zeros((0, n_vocab), dtype=np.int64)
         )
-        b = prof.select(
-            F.col("doc_id").alias("id_b"), F.col("v").alias("vb"), F.col("t").alias("tb")
-        )
-        smin = F.aggregate(
-            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: F.least(x, y)),
-            F.lit(0).cast("bigint"),
-            lambda s, x: s + x,
-        )
-        pairs = (
-            a.join(
-                F.broadcast(b),
-                (F.col("id_a") < F.col("id_b"))
-                # length-compatibility first: 3·smin>=ta+tb needs
-                # max(T) <= 2·min(T) since smin <= min(T)
-                & (F.greatest(F.col("ta"), F.col("tb"))
-                   <= 2 * F.least(F.col("ta"), F.col("tb"))),
-            )
-            .withColumn("smin", smin)
+        bc = spark.sparkContext.broadcast((all_ids, all_t, all_v))
+
+        def pair_blocks(batches):
+            import pandas as pd
+
+            b_ids, b_t, b_v = bc.value
+            n = len(b_ids)
+            for pdf in batches:
+                if not len(pdf) or n == 0:
+                    continue
+                a_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+                a_t = pdf["t"].to_numpy(dtype=np.int64)
+                a_v = np.array(list(pdf["v"]), dtype=np.int64)
+                for lo in range(0, len(pdf), 1024):
+                    hi = min(lo + 1024, len(pdf))
+                    blk = a_v[lo:hi]
+                    l1 = np.zeros((hi - lo, n), dtype=np.int64)
+                    for k in range(blk.shape[1]):
+                        l1 += np.abs(blk[:, k, None] - b_v[None, :, k])
+                    tsum = a_t[lo:hi, None] + b_t[None, :]
+                    smin = (tsum - l1) // 2
+                    keep = (a_ids[lo:hi, None] < b_ids[None, :]) & (
+                        3 * smin >= tsum
+                    )
+                    ii, jj = np.nonzero(keep)
+                    yield pd.DataFrame(
+                        {
+                            "id_a": a_ids[lo:hi][ii],
+                            "id_b": b_ids[jj],
+                            "smin": smin[ii, jj],
+                            "ta": a_t[lo:hi][ii],
+                            "tb": b_t[jj],
+                        }
+                    )
+
+        pairs = prof.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+            pair_blocks,
+            "id_a bigint, id_b bigint, smin bigint, ta bigint, tb bigint",
         )
         return _finish(pairs, "dense")
     a = tf.select(F.col("doc_id").alias("id_a"), "tok", F.col("tf").alias("tfa"))
