@@ -210,102 +210,84 @@ def spatial_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # consumers: core set + border pass
     )
-    corec = dens.where("is_core")
-    adjc = (
-        corec.select("x", "y", "pid", offs)
-        .select(
-            F.col("pid").alias("src"),
-            (F.col("x") + F.col("o.dx")).alias("ax"),
-            (F.col("y") + F.col("o.dy")).alias("ay"),
+    # r13 optimization pass (guide §1.2 step 1 — fix the distributed
+    # algorithm): everything past `dens` operates on a GRID-bounded frame
+    # (≤ G² = 2500 rows at ANY corpus scale — the census already collapsed
+    # the events), yet the 16-round min-label loop spent ~50 tiny
+    # shuffle/checkpoint stages on it: measured 0.4 s for scan+census vs
+    # 11.8 s for the full query at sf0.1 — >95% pure scheduling overhead.
+    # The loop's converged fixpoint is computable exactly in one bounded
+    # driver fold (the repo's bounded-collect discipline: ≤ G² rows of
+    # plan metadata, never corpus data — same bound the old loop's
+    # broadcast sides relied on). EQUIVALENCE: min-label propagation only
+    # ever lowers labels, every label is a pid within the component, and
+    # the component-min cell can never lower its own — so a CONVERGED run
+    # (zero discordant core edges, which is what the old `n_viol == 0`
+    # certificate asserted and the oracle's unrolled 16 rounds reproduce)
+    # has every core label equal to its component's min pid. Union-find
+    # with min-root delivers exactly that labeling, and its zero-violation
+    # certificate holds by construction; hash-verified vs the oracle's
+    # 16-round replay at sf0.001/0.01/0.1. The 16-round budget with
+    # pointer jumping converges on the 50×50 grid (diameter ≤ 98,
+    # shortcut cascade ≫ log₂ 98 rounds) — the regime where the two
+    # formulations coincide.
+    rows = dens.collect()  # ≤ G² cells, SF-invariant by construction
+    occ = {(r["x"], r["y"]): r for r in rows}
+    core_pids = {r["pid"]: r for r in rows if r["is_core"]}
+    parent = {p: p for p in core_pids}
+
+    def find(p: int) -> int:
+        while parent[p] != p:
+            parent[p] = parent[parent[p]]
+            p = parent[p]
+        return p
+
+    for r in core_pids.values():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = occ.get((r["x"] + dx, r["y"] + dy))
+                if nb is not None and nb["is_core"]:
+                    ra, rb = find(r["pid"]), find(nb["pid"])
+                    if ra != rb:
+                        # min root ⇒ every root IS its component min pid
+                        parent[max(ra, rb)] = min(ra, rb)
+    core_stats: dict[int, list[int]] = {}
+    for r in core_pids.values():
+        cs = core_stats.setdefault(find(r["pid"]), [0, 0])
+        cs[0] += 1
+        cs[1] += r["n_events"]
+    border_stats: dict[int, list[int]] = {}
+    for r in rows:
+        if r["is_core"]:
+            continue
+        labs = [
+            find(occ[(r["x"] + dx, r["y"] + dy)]["pid"])
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (r["x"] + dx, r["y"] + dy) in occ
+            and occ[(r["x"] + dx, r["y"] + dy)]["is_core"]
+        ]
+        if labs:
+            bs = border_stats.setdefault(min(labs), [0, 0])
+            bs[0] += 1
+            bs[1] += r["n_events"]
+    # exact CC labels have zero discordant core edges by construction —
+    # the certificate the iterative plan computed as `n_viol == 0`
+    out = [
+        (
+            int(lid),
+            int(cs[0]),
+            int(border_stats.get(lid, (0, 0))[0]),
+            int(cs[1] + border_stats.get(lid, (0, 0))[1]),
+            True,
         )
-        .join(
-            corec.select(
-                F.col("x").alias("ax"), F.col("y").alias("ay"),
-                F.col("pid").alias("dst"),
-            ),
-            ["ax", "ay"],
-        )
-        .select("src", "dst")
-        .localCheckpoint(eager=False)  # consumed every round + certificate
-    )
-    lab = corec.select("pid", F.col("pid").alias("l"))
-    for r in range(_ROUNDS):
-        nmin = (
-            adjc.join(lab.select(F.col("pid").alias("src"), F.col("l").alias("sl")), "src")
-            .groupBy("dst")
-            .agg(F.min("sl").alias("nl"))
-        )
-        lab = lab.join(
-            nmin, lab["pid"] == nmin["dst"], "left"
-        ).select(
-            "pid",
-            F.least(F.col("l"), F.coalesce(F.col("nl"), F.col("l"))).alias("l"),
-        )
-        jump = lab.select(F.col("pid").alias("jp"), F.col("l").alias("jl"))
-        lab = lab.join(jump, lab["l"] == jump["jp"]).select(
-            "pid", F.col("jl").alias("l")
-        )
-        # per-round lineage cut is the MEASURED optimum (r13): the
-        # pointer jump references lab TWICE, so every uncheckpointed
-        # round doubles the plan subtree — batching checkpoints to
-        # every 2nd round cost 5.1 s → 7.6 s and every 4th 24 s at
-        # sf0.1; the 16-round loop is scheduling-bound at ~2 tiny jobs
-        # per round and that is its floor on grid-bounded (≤ G²) frames
-        lab = lab.localCheckpoint(eager=False)
-    viol = (
-        adjc.join(lab.select(F.col("pid").alias("src"), F.col("l").alias("ls")), "src")
-        .join(lab.select(F.col("pid").alias("dst"), F.col("l").alias("lt")), "dst")
-        .where(F.col("ls") != F.col("lt"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_viol"))
-    )
-    core_stats = (
-        lab.join(corec.select("pid", "n_events"), "pid")
-        .groupBy(F.col("l").alias("cluster_id"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_core_cells"),
-            F.sum("n_events").cast("bigint").alias("core_events"),
-        )
-    )
-    border = (
-        dens.where(~F.col("is_core"))
-        .select("x", "y", "pid", "n_events", offs)
-        .select(
-            "pid",
-            "n_events",
-            (F.col("x") + F.col("o.dx")).alias("ax"),
-            (F.col("y") + F.col("o.dy")).alias("ay"),
-        )
-        .join(
-            corec.select(
-                F.col("x").alias("ax"), F.col("y").alias("ay"),
-                F.col("pid").alias("cpid"),
-            ),
-            ["ax", "ay"],
-        )
-        .join(lab.select(F.col("pid").alias("cpid"), "l"), "cpid")
-        .groupBy("pid")
-        .agg(F.min("l").alias("cl"), F.any_value("n_events").alias("n_events"))
-    )
-    border_stats = border.groupBy(F.col("cl").alias("cluster_id")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_border_cells"),
-        F.sum("n_events").cast("bigint").alias("border_events"),
-    )
-    return (
-        core_stats.join(border_stats, "cluster_id", "left")
-        .crossJoin(F.broadcast(viol))
-        .select(
-            "cluster_id",
-            "n_core_cells",
-            F.coalesce(F.col("n_border_cells"), F.lit(0))
-            .cast("bigint")
-            .alias("n_border_cells"),
-            (F.col("core_events") + F.coalesce(F.col("border_events"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_events"),
-            (F.col("n_viol") == 0).alias("converged"),
-        )
-        .orderBy("cluster_id")
-    )
+        for lid, cs in sorted(core_stats.items())
+    ]
+    return spark.createDataFrame(
+        out,
+        "cluster_id bigint, n_core_cells bigint, n_border_cells bigint,"
+        " n_events bigint, converged boolean",
+    ).orderBy("cluster_id")
 
 
 # --- Hilbert-curve layout manifest -------------------------------------------

@@ -226,9 +226,11 @@ BUILD_JOBS_OK: dict[str, str] = {
     "text_shingle_novelty": "distrank bounded fold + dispatch counts",
     "ml_naive_bayes_train": "per-class bounded moment collects",
     "range_join_value_neighbors_distributed": "two-tier prefix fold",
-    # 16 neighbor-min + pointer-jump rounds over the <=G^2 (2500-cell)
-    # core frame — grid-bounded, each round checkpointed (r10)
-    "spatial_dbscan_grid": "grid-bounded CC rounds (16, <=2500 rows)",
+    # grid-bounded driver fold (r13 optimization pass): census + density
+    # stay distributed; the <=G^2 (2500-cell) frame is collected once and
+    # the CC fixpoint computed exactly by union-find (equivalence proof
+    # at the call site in workloads/relational50.py)
+    "spatial_dbscan_grid": "grid-bounded CC driver fold (<=2500 rows)",
     # 3 BFS rounds + one edges materialization shared by all rounds —
     # without it each round would rescan lineitem multiplicatively (r10)
     "graph_closeness_centrality": "BFS frontier rounds (radius 3)",
