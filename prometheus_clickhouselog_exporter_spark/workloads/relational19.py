@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import fround, query, table
+from .core import copurchase_edges, fround, query, table
 
 
 @query(
@@ -304,16 +304,11 @@ def graph_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard is the per-order line cap in the schema.
     """
     li = table(spark, sf_dir, "lineitem")
-    lines = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = lines.alias("a"), lines.alias("b")
+    # one-exchange edge build (r13 optimization pass — core.copurchase_edges;
+    # collect_set subsumes the old lines-level distinct)
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
+        copurchase_edges(li.select("l_orderkey", "l_partkey"), directed=False)
+        .select(F.col("src").alias("pa"), F.col("dst").alias("pb"))
         .localCheckpoint(eager=False)  # edge list; both endpoints fan out
     )
     degree = (

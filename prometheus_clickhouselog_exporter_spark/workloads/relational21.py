@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import fround, query, table
+from .core import copurchase_edges, fround, query, table
 
 _KCORE_K = 3
 _KCORE_ROUNDS = 4
@@ -91,16 +91,11 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed in practice ≈ the peel depth, rarely more than a handful.
     """
     li = table(spark, sf_dir, "lineitem")
-    lines = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = lines.alias("a"), lines.alias("b")
+    # one-exchange edge build (r13 optimization pass — core.copurchase_edges;
+    # collect_set subsumes the old lines-level distinct)
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
+        copurchase_edges(li.select("l_orderkey", "l_partkey"), directed=False)
+        .select(F.col("src").alias("pa"), F.col("dst").alias("pb"))
         .localCheckpoint(eager=False)  # edge list reused every round
     )
     nodes = (
@@ -119,9 +114,12 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         na = F.broadcast(nodes.select(F.col("p").alias("pa")))
         nb = F.broadcast(nodes.select(F.col("p").alias("pb")))
         live = edges.join(na, "pa").join(nb, "pb")
+        # explode both endpoints in ONE pass: the r10-r12 unionByName of
+        # two selects re-evaluated the (uncheckpointed) live join TWICE
+        # per round — the same rows, twice the join work (r13
+        # optimization pass, guide §2.4 duplicated-subtree check)
         deg = (
-            live.select(F.col("pa").alias("p"))
-            .unionByName(live.select(F.col("pb").alias("p")))
+            live.select(F.explode(F.array("pa", "pb")).alias("p"))
             .groupBy("p")
             .agg(F.count(F.lit(1)).alias("d"))
         )

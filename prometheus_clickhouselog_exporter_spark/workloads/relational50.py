@@ -468,25 +468,39 @@ def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: edges are order-local pairs (never a global cross join);
     the mask frame is |V|-bounded (≤ one row per node, 1 long of state
     per node regardless of seed count up to 64) and broadcast to the
-    edge scan; the bit_or aggregate partitions by dst. Seed choice is
-    TakeOrderedAndProject over the degree census; the row_number that
-    assigns bits windows over exactly 8 post-limit rows."""
+    adjacency scan; the bit_or aggregate partitions by dst. Seed choice
+    is TakeOrderedAndProject over the degree census; the row_number that
+    assigns bits windows over exactly 8 post-limit rows.
+
+    r13 optimization pass (guide §2.3/§2.4): the graph state is ONE
+    adjacency-list frame — pairs grouped to (src, collect_set(dst)) in a
+    single exchange. collect_set subsumes the edge-list distinct (one
+    exchange of the raw pair stream saved), degree = size(ns) makes the
+    census exchange-free, and each BFS round joins + explodes the
+    |V|-row checkpointed adjacency instead of re-probing a 2.4M-row edge
+    list (7.5 s → 3.7 s same-session A/B, rows identical). Adjacency
+    cells are co-occurrence-bounded (orders-per-part × cart size ≈
+    constant in SF), the same bound the edge form relied on."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    li2 = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    pairs = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
     )
-    edges = (
-        li.join(li2, li["l_orderkey"] == li2["k"])
-        .where(F.col("l_partkey") != F.col("dst"))
-        .select(F.col("l_partkey").alias("src"), "dst")
-        .distinct()
-        .localCheckpoint(eager=False)  # consumed by degree census + 3 rounds
+    adj = (
+        pairs.groupBy("src")
+        .agg(F.collect_set("dst").alias("ns"))
+        .localCheckpoint(eager=False)  # consumed by census + 3 rounds
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    deg = adj.select(
+        F.col("src").alias("node"), F.size("ns").cast("bigint").alias("degree")
+    )
     seeds = (
-        deg.orderBy(F.col("degree").desc(), "src")
+        deg.orderBy(F.col("degree").desc(), "node")
         .limit(8)
-        .select(F.col("src").alias("seed"), "degree")
+        .select(F.col("node").alias("seed"), "degree")
         .withColumn(
             "bit",
             F.row_number().over(
@@ -507,19 +521,24 @@ def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggregate's map-side partial does the dedup the old distinct
         paid a full shuffle for."""
         return (
-            edges.join(F.broadcast(m), F.col("src") == F.col("node"))
-            .groupBy(F.col("dst"))
+            adj.join(F.broadcast(m), F.col("src") == F.col("node"))
+            .select(F.explode("ns").alias("dst"), "mask")
+            .groupBy("dst")
             .agg(F.bit_or("mask").alias("raw"))
             .select(F.col("dst").alias("node"), "raw")
         )
 
     m1 = (
-        edges.join(
+        adj.join(
             F.broadcast(seeds.select("seed", "bit")),
             F.col("src") == F.col("seed"),
         )
-        .groupBy(F.col("dst").alias("node"))
-        .agg(F.bit_or(F.expr("shiftleft(1L, bit)").cast("long")).alias("mask"))
+        .select(
+            F.explode("ns").alias("node"),
+            F.expr("shiftleft(1L, bit)").cast("long").alias("b"),
+        )
+        .groupBy("node")
+        .agg(F.bit_or("b").alias("mask"))
         .localCheckpoint(eager=False)
     )
     zero = F.lit(0).cast("long")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import MD5_SQL, fround, md5_long, query, table
+from .core import MD5_SQL, copurchase_edges, fround, md5_long, query, table
 
 # --- Anderson–Darling uniformity audit of the md5 hash family ------------------
 
@@ -166,16 +166,10 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale with a non-broadcastable V the mask joins stay keyed —
     still 2 exchanges of the edge list instead of 1+4×."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    li2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("dst")
-    )
-    edges = (
-        li.join(li2, li["l_orderkey"] == li2["k2"])
-        .where(F.col("l_partkey") != F.col("dst"))
-        .select(F.col("l_partkey").alias("src"), "dst")
-        .distinct()
-        .localCheckpoint(eager=False)  # consumers: degree census + probe
-    )
+    # one-exchange edge build (r13 optimization pass — core.copurchase_edges)
+    edges = copurchase_edges(li).localCheckpoint(
+        eager=False
+    )  # consumers: degree census + probe
     _KS = (2, 4, 8, 16)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
