@@ -223,10 +223,20 @@ def dedup_weighted_jaccard_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )  # re-rank probes it twice
     totals = tf.groupBy("doc_id").agg(F.sum("tf").alias("t"))
-    n_vocab = tf.select("tok").distinct().count()
+    vocab = tf.select("tok").distinct().localCheckpoint(
+        eager=False
+    )  # r13: dispatch count + dense index reuse ONE distinct
+    n_vocab = vocab.count()
     if n_vocab <= 2048:
-        # dense re-rank: candidates meet broadcast vocab-indexed profiles
-        vidx = tf.select("tok").distinct().withColumn(
+        # dense re-rank (r13 optimization pass, guide §4.2): candidates
+        # meet the vocab-indexed profiles as numpy gathers in mapInPandas
+        # via the exact int64 identity Σmin = (T_a + T_b − L1)/2 — the
+        # per-candidate zip_with fold ran pair-at-a-time in codegen. The
+        # profile matrix is docs × |V| int64, the SAME broadcast bound
+        # the two F.broadcast(prof) sides paid before.
+        import numpy as np
+
+        vidx = vocab.withColumn(
             "i", F.row_number().over(Window.orderBy("tok")).cast("int")
         )
         prof = (
@@ -249,26 +259,45 @@ def dedup_weighted_jaccard_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "t",
             )
         )
-        pa = prof.select(
-            F.col("doc_id").alias("id_a"),
-            F.col("v").alias("va"),
-            F.col("t").alias("ta"),
+        rows = prof.select("doc_id", "v", "t").collect()
+        ids = np.fromiter((r["doc_id"] for r in rows), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        tvec = np.fromiter((r["t"] for r in rows), dtype=np.int64)[order]
+        vmat = (
+            np.array([r["v"] for r in rows], dtype=np.int64)[order]
+            if rows
+            else np.zeros((0, n_vocab), dtype=np.int64)
         )
-        pb = prof.select(
-            F.col("doc_id").alias("id_b"),
-            F.col("v").alias("vb"),
-            F.col("t").alias("tb"),
-        )
-        smin = F.aggregate(
-            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: F.least(x, y)),
-            F.lit(0).cast("bigint"),
-            lambda s, x: s + x,
-        )
-        pairs = (
-            cand.repartition(spark.sparkContext.defaultParallelism)
-            .join(F.broadcast(pa), "id_a")
-            .join(F.broadcast(pb), "id_b")
-            .withColumn("smin", smin)
+        bc = spark.sparkContext.broadcast((ids, tvec, vmat))
+
+        def rerank(batches):
+            import pandas as pd
+
+            b_ids, b_t, b_v = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ia = np.searchsorted(b_ids, pdf["id_a"].to_numpy(np.int64))
+                ib = np.searchsorted(b_ids, pdf["id_b"].to_numpy(np.int64))
+                l1 = np.abs(b_v[ia] - b_v[ib]).sum(axis=1)
+                tsum = b_t[ia] + b_t[ib]
+                smin = (tsum - l1) // 2
+                yield pd.DataFrame(
+                    {
+                        "id_a": b_ids[ia],
+                        "id_b": b_ids[ib],
+                        "smin": smin,
+                        "ta": b_t[ia],
+                        "tb": b_t[ib],
+                    }
+                )
+
+        pairs = cand.repartition(
+            spark.sparkContext.defaultParallelism
+        ).mapInPandas(
+            rerank,
+            "id_a bigint, id_b bigint, smin bigint, ta bigint, tb bigint",
         )
     else:
         # posting re-rank RESTRICTED TO CANDIDATES (candidate-bounded)
