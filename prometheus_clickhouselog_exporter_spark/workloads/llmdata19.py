@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import MD5_SQL, fan_out, fround, md5_long, query, table
+from .core import MD5_SQL, fround, md5_long, query, table
 
 _CMS_D = 4  # rows (independent hashes)
 _CMS_W = 256  # columns per row
@@ -289,13 +289,13 @@ def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus' sparsity pattern — never with |V|x|C|, which is the
     term that outgrows memory first on web-scale vocab (measured at
     the 10x probe: see SCALE.md naive-Bayes row)."""
-    # fan_out (r13 optimization pass): the checkpointed token explode
-    # inherits the scan's partitioning — documents.parquet is ONE row
-    # group locally, so without the fan-out all three consumers re-read a
-    # single-partition checkpoint single-core (A/B: 5.9 s → 4.5 s min,
-    # rows identical).
+    # NB (r13 optimization pass): a fan_out here was landed on a 3-round
+    # A/B (5.9 → 4.5 s) and REVERTED after a 5-round interleaved A/B on a
+    # quieter window flipped it decisively (old 3.63/4.11 min/median vs
+    # new 5.78/6.54) — the single-partition checkpoint costs less than
+    # the extra exchange + 32-task scheduling on this frame.
     toks = (
-        fan_out(table(spark, sf_dir, "documents"))
+        table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
         .select(
             "doc_id",
