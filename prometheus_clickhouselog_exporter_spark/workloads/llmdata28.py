@@ -228,14 +228,15 @@ def dedup_weighted_jaccard_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # r13: dispatch count + dense index reuse ONE distinct
     n_vocab = vocab.count()
     if n_vocab <= 2048:
-        # dense re-rank (r13 optimization pass, guide §4.2): candidates
-        # meet the vocab-indexed profiles as numpy gathers in mapInPandas
-        # via the exact int64 identity Σmin = (T_a + T_b − L1)/2 — the
-        # per-candidate zip_with fold ran pair-at-a-time in codegen. The
-        # profile matrix is docs × |V| int64, the SAME broadcast bound
-        # the two F.broadcast(prof) sides paid before.
-        import numpy as np
-
+        # dense re-rank: candidates meet broadcast vocab-indexed profiles.
+        # NB (r13 optimization pass): a numpy mapInPandas re-rank via
+        # Σmin = (T_a+T_b−L1)/2 was landed on one A/B (8.30 → 6.15) and
+        # REVERTED after a 5-round interleaved A/B on a quieter window
+        # showed it neutral-to-slower (old 5.47 min / 6.41 median vs new
+        # 6.35 / 6.85) — the zip_with fold is not this query's bottleneck
+        # (piecewise: candidates 2.1 s, re-rank 1.2 s) and the collect +
+        # broadcast round-trip per pass eats the codegen saving. The
+        # broadcast-join form also needs no driver collect at 100 TB.
         vidx = vocab.withColumn(
             "i", F.row_number().over(Window.orderBy("tok")).cast("int")
         )
@@ -259,45 +260,26 @@ def dedup_weighted_jaccard_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "t",
             )
         )
-        rows = prof.select("doc_id", "v", "t").collect()
-        ids = np.fromiter((r["doc_id"] for r in rows), dtype=np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        tvec = np.fromiter((r["t"] for r in rows), dtype=np.int64)[order]
-        vmat = (
-            np.array([r["v"] for r in rows], dtype=np.int64)[order]
-            if rows
-            else np.zeros((0, n_vocab), dtype=np.int64)
+        pa = prof.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("t").alias("ta"),
         )
-        bc = spark.sparkContext.broadcast((ids, tvec, vmat))
-
-        def rerank(batches):
-            import pandas as pd
-
-            b_ids, b_t, b_v = bc.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                ia = np.searchsorted(b_ids, pdf["id_a"].to_numpy(np.int64))
-                ib = np.searchsorted(b_ids, pdf["id_b"].to_numpy(np.int64))
-                l1 = np.abs(b_v[ia] - b_v[ib]).sum(axis=1)
-                tsum = b_t[ia] + b_t[ib]
-                smin = (tsum - l1) // 2
-                yield pd.DataFrame(
-                    {
-                        "id_a": b_ids[ia],
-                        "id_b": b_ids[ib],
-                        "smin": smin,
-                        "ta": b_t[ia],
-                        "tb": b_t[ib],
-                    }
-                )
-
-        pairs = cand.repartition(
-            spark.sparkContext.defaultParallelism
-        ).mapInPandas(
-            rerank,
-            "id_a bigint, id_b bigint, smin bigint, ta bigint, tb bigint",
+        pb = prof.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col("t").alias("tb"),
+        )
+        smin = F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: F.least(x, y)),
+            F.lit(0).cast("bigint"),
+            lambda s, x: s + x,
+        )
+        pairs = (
+            cand.repartition(spark.sparkContext.defaultParallelism)
+            .join(F.broadcast(pa), "id_a")
+            .join(F.broadcast(pb), "id_b")
+            .withColumn("smin", smin)
         )
     else:
         # posting re-rank RESTRICTED TO CANDIDATES (candidate-bounded)
