@@ -223,10 +223,12 @@ def dedup_weighted_jaccard_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )  # re-rank probes it twice
     totals = tf.groupBy("doc_id").agg(F.sum("tf").alias("t"))
-    vocab = tf.select("tok").distinct().localCheckpoint(
-        eager=False
-    )  # r13: dispatch count + dense index reuse ONE distinct
-    n_vocab = vocab.count()
+    # NB: the dispatch count and the dense index each run their own
+    # distinct — merging them behind a localCheckpoint hides the
+    # HashAggregate from plan_audit's bounded-window proof (the
+    # documented checkpoint-under-global-window trap) for zero measured
+    # gain, so the two-distinct form stays.
+    n_vocab = tf.select("tok").distinct().count()
     if n_vocab <= 2048:
         # dense re-rank: candidates meet broadcast vocab-indexed profiles.
         # NB (r13 optimization pass): a numpy mapInPandas re-rank via
@@ -237,7 +239,7 @@ def dedup_weighted_jaccard_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (piecewise: candidates 2.1 s, re-rank 1.2 s) and the collect +
         # broadcast round-trip per pass eats the codegen saving. The
         # broadcast-join form also needs no driver collect at 100 TB.
-        vidx = vocab.withColumn(
+        vidx = tf.select("tok").distinct().withColumn(
             "i", F.row_number().over(Window.orderBy("tok")).cast("int")
         )
         prof = (
