@@ -82,6 +82,12 @@ def suffix_lcp_unbounded(
     ``start_cap`` tokens until no adjacent pair ties at the cap (or
     ``max_rounds`` doublings — then it fails loud rather than return a
     truncated answer).
+
+    SINGLE-CONSUMPTION CONTRACT (ADVICE r13 #4): the returned adjacency
+    frame is NOT checkpointed — a consumer that triggers it more than
+    once re-runs the O(n·cap) certified sort each time. The sole caller
+    (llmdata13) consumes it linearly; add ``.localCheckpoint(eager=False)``
+    at the call site if a multi-action consumer ever appears.
     """
     tokens = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
     # Checkpoint the token ARRAYS once per doc and the slim per-position
@@ -153,7 +159,8 @@ def suffix_lcp_unbounded(
     raise RuntimeError(
         f"suffix_lcp_unbounded: ties persist at cap={cap} after "
         f"{max_rounds} doublings — raise max_rounds (corpus has "
-        "duplicated prefixes longer than the cap)"
+        "duplicated prefixes longer than the cap; note a ~2^-64 "
+        "xxhash64 census collision can also inflate the cap one step)"
     )
 
 

@@ -790,7 +790,10 @@ _UNIQ_ORACLE = """
       FROM ev GROUP BY 1, 2
     ),
     topk AS (
-      SELECT event_type, list(bucket ORDER BY rk) AS top3_buckets
+      SELECT event_type,
+             max(CASE WHEN rk = 1 THEN bucket END) AS top1_bucket,
+             max(CASE WHEN rk = 2 THEN bucket END) AS top2_bucket,
+             max(CASE WHEN rk = 3 THEN bucket END) AS top3_bucket
       FROM (
         SELECT event_type, bucket,
                row_number() OVER (PARTITION BY event_type
@@ -798,7 +801,8 @@ _UNIQ_ORACLE = """
         FROM bc
       ) WHERE rk <= 3 GROUP BY event_type
     )
-    SELECT u.event_type, u.uniq_upto_8, t.top3_buckets
+    SELECT u.event_type, u.uniq_upto_8,
+           t.top1_bucket, t.top2_bucket, t.top3_bucket
     FROM uniq u JOIN topk t USING (event_type)
     ORDER BY u.event_type
     """
@@ -810,11 +814,15 @@ def clickhouse_uniq_upto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     type: uniqUpTo returns the EXACT distinct count while it is ≤ 8 and
     saturates at 9 ("more than 8") — the bounded-memory cardinality
     gate ClickHouse uses for "show exact counts up to N"; topK(3)
-    returns the 3 heaviest value buckets as an ARRAY with the
-    deterministic (count DESC, bucket) tie-break (ClickHouse's topK is
-    a SpaceSaving sketch; at this group cardinality the exact answer
-    IS the sketch's guarantee, and streaming_heavyhitters_fidelity
-    covers the bounded-memory variant).
+    returns the 3 heaviest value buckets as three scalar columns
+    (top1/top2/top3, NULL when a type has fewer than 3 buckets) with
+    the deterministic (count DESC, bucket) tie-break (ClickHouse's
+    topK is a SpaceSaving sketch; at this group cardinality the exact
+    answer IS the sketch's guarantee, and
+    streaming_heavyhitters_fidelity covers the bounded-memory
+    variant). Scalar columns, not an ARRAY: declared outputs must be
+    flat so any downstream row canonicalizer can sort them (r13
+    verdict item 1 — an array-typed final column is unverifiable).
 
     100 TB: uniqUpTo's production form keeps ≤ N+1 keys per group (the
     saturating property is the point); here both halves are two-level
@@ -849,14 +857,14 @@ def clickhouse_uniq_upto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .groupBy("event_type")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct("rk", "bucket"))
-            ).alias("_s")
-        )
-        .select(
-            "event_type",
-            F.transform(F.col("_s"), lambda s: s["bucket"]).alias(
-                "top3_buckets"
+            F.max(F.when(F.col("rk") == 1, F.col("bucket"))).alias(
+                "top1_bucket"
+            ),
+            F.max(F.when(F.col("rk") == 2, F.col("bucket"))).alias(
+                "top2_bucket"
+            ),
+            F.max(F.when(F.col("rk") == 3, F.col("bucket"))).alias(
+                "top3_bucket"
             ),
         )
     )

@@ -493,6 +493,15 @@ def growth_streak_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Tests lower it to exercise the arm on the small fixtures.
 _ICWS_DOCS = 200_000
 
+# Session-scoped dense-arm profile broadcast, keyed on corpus provenance
+# (ADVICE r13 #2): every query BUILD used to collect and re-broadcast the
+# (n_docs × |V|) int64 profile matrix and never destroy it — bench builds
+# each query 3× (warm-up + 2 timed passes), leaking ~n_docs·|V|·8 bytes
+# per build for the session lifetime. One broadcast per corpus, same
+# invalidation discipline as the ANN _TRAIN_CACHE (file provenance in the
+# key catches in-place rewrites of the source parquet).
+_DENSE_BC: dict[tuple, object] = {}
+
 
 @query(
     "dedup_weighted_jaccard",
@@ -658,15 +667,21 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # length-compat prefilter is subsumed: 3·Σmin ≥ T_a+T_b implies it.
         import numpy as np
 
-        rows = prof.select("doc_id", "v", "t").collect()
-        all_ids = np.fromiter((r["doc_id"] for r in rows), dtype=np.int64)
-        all_t = np.fromiter((r["t"] for r in rows), dtype=np.int64)
-        all_v = (
-            np.array([r["v"] for r in rows], dtype=np.int64)
-            if rows
-            else np.zeros((0, n_vocab), dtype=np.int64)
-        )
-        bc = spark.sparkContext.broadcast((all_ids, all_t, all_v))
+        from .core import corpus_key
+
+        bk = corpus_key(sf_dir, "documents")
+        bc = _DENSE_BC.get(bk)
+        if bc is None:
+            rows = prof.select("doc_id", "v", "t").collect()
+            all_ids = np.fromiter((r["doc_id"] for r in rows), dtype=np.int64)
+            all_t = np.fromiter((r["t"] for r in rows), dtype=np.int64)
+            all_v = (
+                np.array([r["v"] for r in rows], dtype=np.int64)
+                if rows
+                else np.zeros((0, n_vocab), dtype=np.int64)
+            )
+            bc = spark.sparkContext.broadcast((all_ids, all_t, all_v))
+            _DENSE_BC[bk] = bc
 
         def pair_blocks(batches):
             import pandas as pd

@@ -224,36 +224,47 @@ def spatial_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the component-min cell can never lower its own — so a CONVERGED run
     # (zero discordant core edges, which is what the old `n_viol == 0`
     # certificate asserted and the oracle's unrolled 16 rounds reproduce)
-    # has every core label equal to its component's min pid. Union-find
-    # with min-root delivers exactly that labeling, and its zero-violation
-    # certificate holds by construction; hash-verified vs the oracle's
-    # 16-round replay at sf0.001/0.01/0.1. The 16-round budget with
-    # pointer jumping converges on the 50×50 grid (diameter ≤ 98,
-    # shortcut cascade ≫ log₂ 98 rounds) — the regime where the two
-    # formulations coincide.
+    # has every core label equal to its component's min pid. The driver
+    # fold (below) replays the oracle's own 16 rounds exactly, so the
+    # labeling AND the converged certificate agree with the oracle in
+    # every regime; hash-verified vs the oracle's 16-round replay at
+    # sf0.001/0.01/0.1. The 16-round budget with pointer jumping
+    # converges on the 50×50 grid (diameter ≤ 98, shortcut cascade ≫
+    # log₂ 98 rounds).
     rows = dens.collect()  # ≤ G² cells, SF-invariant by construction
     occ = {(r["x"], r["y"]): r for r in rows}
     core_pids = {r["pid"]: r for r in rows if r["is_core"]}
-    parent = {p: p for p in core_pids}
-
-    def find(p: int) -> int:
-        while parent[p] != p:
-            parent[p] = parent[parent[p]]
-            p = parent[p]
-        return p
-
+    # r14 (ADVICE r13 #1): the fold now replays the oracle's EXACT
+    # 16-round loop (neighbor-min then one pointer jump per round) over
+    # the ≤ G² core cells instead of computing the union-find fixpoint
+    # and hard-coding converged=True. On a converged run the two agree
+    # (the r13 equivalence argument); on a hypothetically unconverged
+    # data distribution the replay reproduces the oracle's partial
+    # labels AND its converged=False instead of silently diverging.
+    # Cost: O(_ROUNDS · 9 · G²) driver dict ops — same boundedness story
+    # as the collect above (plan metadata, never corpus data).
+    nbrs: dict[int, list[int]] = {}
     for r in core_pids.values():
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                nb = occ.get((r["x"] + dx, r["y"] + dy))
-                if nb is not None and nb["is_core"]:
-                    ra, rb = find(r["pid"]), find(nb["pid"])
-                    if ra != rb:
-                        # min root ⇒ every root IS its component min pid
-                        parent[max(ra, rb)] = min(ra, rb)
+        nbrs[r["pid"]] = [
+            occ[(r["x"] + dx, r["y"] + dy)]["pid"]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (r["x"] + dx, r["y"] + dy) in occ
+            and occ[(r["x"] + dx, r["y"] + dy)]["is_core"]
+        ]
+    labels = {p: p for p in core_pids}
+    for _ in range(_ROUNDS):
+        la = {
+            p: min(labels[p], min(labels[q] for q in ns))
+            for p, ns in nbrs.items()
+        }
+        labels = {p: la[la[p]] for p in core_pids}
+    converged = all(
+        labels[p] == labels[q] for p, ns in nbrs.items() for q in ns
+    )
     core_stats: dict[int, list[int]] = {}
     for r in core_pids.values():
-        cs = core_stats.setdefault(find(r["pid"]), [0, 0])
+        cs = core_stats.setdefault(labels[r["pid"]], [0, 0])
         cs[0] += 1
         cs[1] += r["n_events"]
     border_stats: dict[int, list[int]] = {}
@@ -261,7 +272,7 @@ def spatial_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r["is_core"]:
             continue
         labs = [
-            find(occ[(r["x"] + dx, r["y"] + dy)]["pid"])
+            labels[occ[(r["x"] + dx, r["y"] + dy)]["pid"]]
             for dx in (-1, 0, 1)
             for dy in (-1, 0, 1)
             if (r["x"] + dx, r["y"] + dy) in occ
@@ -271,15 +282,13 @@ def spatial_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             bs = border_stats.setdefault(min(labs), [0, 0])
             bs[0] += 1
             bs[1] += r["n_events"]
-    # exact CC labels have zero discordant core edges by construction —
-    # the certificate the iterative plan computed as `n_viol == 0`
     out = [
         (
             int(lid),
             int(cs[0]),
             int(border_stats.get(lid, (0, 0))[0]),
             int(cs[1] + border_stats.get(lid, (0, 0))[1]),
-            True,
+            converged,
         )
         for lid, cs in sorted(core_stats.items())
     ]

@@ -82,8 +82,14 @@ def test_uniq_upto_saturation(spark):
     assert rows
     for r in rows:
         assert 1 <= r.uniq_upto_8 <= 9  # saturates at N+1
-        assert 1 <= len(r.top3_buckets) <= 3
-        assert len(set(r.top3_buckets)) == len(r.top3_buckets)
+        # scalar top-3 (r14: flat columns so the driver canonicalizer
+        # can sort the frame — no array-typed final columns)
+        tops = [r.top1_bucket, r.top2_bucket, r.top3_bucket]
+        filled = [t for t in tops if t is not None]
+        assert r.top1_bucket is not None
+        assert len(set(filled)) == len(filled)  # distinct buckets
+        # NULLs only trail: rank i empty ⇒ rank i+1 empty
+        assert tops == filled + [None] * (3 - len(filled))
 
 
 def test_video_pairs_are_exactly_the_twins(spark):
