@@ -120,7 +120,9 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`similarity_lsh_topk`, operators/similarity.py) is the scale path when
     the query set itself is large.
     """
-    emb = fan_out(table(spark, sf_dir, "embeddings"))
+    # r14: fan_out removed -- driver-regressed rung (0.36->0.60 s,
+    # scaling ratio 0.61 at PERF_r13); local A/B a wash (see r14 notes).
+    emb = table(spark, sf_dir, "embeddings")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     corpus = emb.select(F.col("vec_id"), F.col("label"), as_double.alias("ce"))
     queries = (
@@ -413,7 +415,17 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against brute force."""
     from ..operators.similarity import certify_topk_bound
 
-    emb = fan_out(table(spark, sf_dir, "embeddings")).localCheckpoint(
+    # r14: fan_out REMOVED here (r13 wave a1f5056). The driver measured
+    # this ladder rung 2-4x SLOWER at local[32] than at 8 cores with the
+    # fan_out (PERF_r13 scaling block), and a 5-round interleaved A/B on
+    # the r14 box shows the fan_out gains nothing for these multi-job,
+    # driver-looped kernels (arms within noise) -- the repartition only
+    # adds a 32-task exchange + checkpoint topology per job on a tiny
+    # frame. The single-kernel consumers (ledoit, power-iter, zca,
+    # procrustes, semdedup, pq/ivfpq...) KEEP their fan_out: same A/B
+    # shows 1.4-2.9x wins there. At cluster scale fan_out is a no-op
+    # (enough splits), so removal only changes local-mode topology.
+    emb = table(spark, sf_dir, "embeddings").localCheckpoint(
         eager=False
     )  # scan once: ANN op + certifier exact/rescore reuse it
     queries_df = emb.filter(F.col("vec_id") < 8)
@@ -456,7 +468,8 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins recall against brute force."""
     from ..operators.similarity import certify_topk_bound, ivf_topk
 
-    emb = fan_out(table(spark, sf_dir, "embeddings")).localCheckpoint(
+    # r14: fan_out removed -- same rationale as the lsh rung above.
+    emb = table(spark, sf_dir, "embeddings").localCheckpoint(
         eager=False
     )  # scan once: ANN op + certifier exact/rescore reuse it
     queries_df = emb.filter(F.col("vec_id") < 8)

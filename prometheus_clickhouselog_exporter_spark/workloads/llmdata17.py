@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import fan_out, corpus_key, fround, query, table
+from .core import corpus_key, fround, query, table
 
 _K = 8
 _ROUNDS = 3
@@ -468,7 +468,10 @@ def similarity_beam_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-hop expansion → beam search."""
     from ..operators.similarity import beam_search_topk, certify_topk_bound
 
-    emb = fan_out(table(spark, sf_dir, "embeddings")).localCheckpoint(
+    # r14: fan_out removed -- driver-regressed ANN ladder rung; see the
+    # rationale comment at similarity_lsh_topk (llmdata.py) and
+    # OPTIMIZATION_r14.md.
+    emb = table(spark, sf_dir, "embeddings").localCheckpoint(
         eager=False
     )  # scan once: beam search + certifier exact/rescore reuse it
     queries_df = emb.filter(F.col("vec_id") < 8)

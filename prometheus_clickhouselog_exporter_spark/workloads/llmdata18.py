@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.suffixes import suffix_lcp_unbounded
-from .core import fan_out, corpus_key, query, table
+from .core import corpus_key, query, table
 
 _L = 10  # minimum duplicated span worth reporting (tokens) — llmdata13 parity
 
@@ -55,7 +55,10 @@ def similarity_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus bucket table."""
     from ..operators.similarity import certify_topk_bound, hnsw_topk
 
-    emb = fan_out(table(spark, sf_dir, "embeddings")).localCheckpoint(
+    # r14: fan_out removed -- driver-regressed ANN ladder rung; see the
+    # rationale comment at similarity_lsh_topk (llmdata.py) and
+    # OPTIMIZATION_r14.md.
+    emb = table(spark, sf_dir, "embeddings").localCheckpoint(
         eager=False
     )  # scan once: index build + search + certifier reuse it
     queries_df = emb.filter(F.col("vec_id") < 8)

@@ -170,7 +170,10 @@ def similarity_graph_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.similarity import certify_topk_bound, graph_expand_topk
 
-    emb = fan_out(table(spark, sf_dir, "embeddings")).localCheckpoint(
+    # r14: fan_out removed -- driver-regressed ANN ladder rung; see the
+    # rationale comment at similarity_lsh_topk (llmdata.py) and
+    # OPTIMIZATION_r14.md.
+    emb = table(spark, sf_dir, "embeddings").localCheckpoint(
         eager=False
     )  # scan once: ANN op + certifier exact/rescore reuse it
     queries_df = emb.filter(F.col("vec_id") < 8)
